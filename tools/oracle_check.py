@@ -1,0 +1,94 @@
+#!/usr/bin/env python3
+"""Local pre-validation of the t2 DuckDB oracle gate (SURVEY.md §5.2).
+
+Usage: python3 tools/oracle_check.py <sfDir> <verifyOutDir> [query ...]
+
+Reads <verifyOutDir>/oracle_sql.json (written by graft.Verify), registers
+each fixture table as a DuckDB view over <sfDir>/*.parquet, runs every
+oracle SQL, and compares it against the Spark result parquet at
+<verifyOutDir>/<name>/*.parquet — columns sorted by name, exact value
+equality, in produced row order (the driver hashes in this shape).
+
+Exit 0 iff all queries match.
+"""
+import json
+import math
+import sys
+from pathlib import Path
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def norm(v):
+    """Normalize a cell for comparison across duckdb/parquet round-trips."""
+    if isinstance(v, float):
+        return ("f", v)  # exact float equality intended
+    import decimal
+    if isinstance(v, decimal.Decimal):
+        return ("d", str(v.normalize()))
+    if isinstance(v, list):
+        return ("l", tuple(norm(x) for x in v))
+    return v
+
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3:])
+    con = duckdb.connect()
+    for t in TABLES:
+        p = Path(sf_dir) / f"{t}.parquet"
+        if p.exists():
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+
+    oracle = json.loads((Path(out_dir) / "oracle_sql.json").read_text())
+    failures, checked, skipped = [], 0, []
+    for name, sql in sorted(oracle.items()):
+        if only and name not in only:
+            continue
+        res_dir = Path(out_dir) / name
+        files = sorted(res_dir.glob("*.parquet")) if res_dir.exists() else []
+        if not files:
+            failures.append((name, "spark result parquet missing (query failed in Verify?)"))
+            continue
+        try:
+            want = con.execute(sql).fetch_arrow_table()
+        except Exception as e:
+            failures.append((name, f"oracle SQL error: {e}"))
+            continue
+        got = con.execute(
+            f"SELECT * FROM read_parquet('{res_dir}/*.parquet')").fetch_arrow_table()
+        wcols, gcols = sorted(want.column_names), sorted(got.column_names)
+        if wcols != gcols:
+            failures.append((name, f"column mismatch: oracle={wcols} spark={gcols}"))
+            continue
+        wrows = [tuple(norm(r[c]) for c in wcols) for r in want.to_pylist()]
+        grows = [tuple(norm(r[c]) for c in gcols) for r in got.to_pylist()]
+        if len(wrows) != len(grows):
+            failures.append((name, f"row count: oracle={len(wrows)} spark={len(grows)}"))
+            continue
+        diff = next((i for i, (w, g) in enumerate(zip(wrows, grows)) if w != g), None)
+        if diff is not None:
+            failures.append((name,
+                f"first diff at row {diff}:\n  oracle: {wrows[diff]}\n  spark:  {grows[diff]}"))
+            continue
+        checked += 1
+        print(f"  OK  {name} ({len(wrows)} rows)")
+
+    # queries present in results but not in oracle map → rows-only check
+    for d in sorted(Path(out_dir).iterdir()):
+        if d.is_dir() and d.name not in oracle:
+            n = con.execute(f"SELECT count(*) FROM read_parquet('{d}/*.parquet')").fetchone()[0]
+            skipped.append(d.name)
+            print(f"  --  {d.name}: no oracle, {n} rows (rows-only check)")
+
+    print(f"\n{checked} matched, {len(failures)} failed, {len(skipped)} no-oracle")
+    for name, msg in failures:
+        print(f"FAIL {name}: {msg}")
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()

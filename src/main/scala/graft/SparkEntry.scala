@@ -18,10 +18,12 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Aggregations.queries
+    Scans.queries ++ Filters.queries ++ Joins.queries ++
+      Aggregations.queries ++ SortsSets.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    Aggregations.oracle
+    Scans.oracle ++ Filters.oracle ++ Joins.oracle ++
+      Aggregations.oracle ++ SortsSets.oracle
 }

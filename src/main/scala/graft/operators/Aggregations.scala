@@ -33,8 +33,101 @@ object Aggregations {
       .orderBy("l_returnflag", "l_linestatus")
   }
 
+  /** Exact distinct-count per group (shuffles twice: expand + final). */
+  def aggDistinct(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("n_parts"), count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+
+  /** HLL++ approximate distinct — single-pass, constant memory per
+    * group: the 100 TB path when exactness isn't required. No oracle
+    * (sketch internals differ across engines); `AggregationSpec`
+    * bounds it against the exact count instead.
+    */
+  def aggApproxHll(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        countDistinct(col("l_partkey")).as("exact_parts"))
+      .orderBy("l_returnflag")
+
+  /** ROLLUP over nation×priority with grouping_id disambiguation. */
+  def aggRollup(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val c = Tables.customer(s, dir)
+    val n = Tables.nation(s, dir)
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .rollup(col("n_name"), col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(dec("o_totalprice")).as("sum_price"),
+        grouping_id().as("gid"))
+      .orderBy(col("gid"), asc_nulls_first("n_name"), asc_nulls_first("o_orderpriority"))
+  }
+
+  /** CUBE over order status×priority. */
+  def aggCube(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(dec("o_totalprice")).as("sum_price"),
+        grouping_id().as("gid"))
+      .orderBy(col("gid"), asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))
+
+  /** Explicit GROUPING SETS via the SQL entry point (temp view). */
+  def aggGroupingSets(s: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_gs")
+    s.sql(
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+        |  grouping_id() AS gid
+        |FROM lineitem_gs
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)
+  }
+
+  /** min_by/max_by (sort-agg flavor) with a tie-free ranking value:
+    * totalprice is not unique, so rank on price*100 (exact cents)
+    * composed with the unique orderkey.
+    */
+  def aggSortFirstLast(s: SparkSession, dir: String): DataFrame = {
+    val rankVal = (round(col("o_totalprice") * 100).cast("bigint") * lit(10000000L)
+      + col("o_orderkey")).as("v")
+    Tables.orders(s, dir)
+      .select(col("o_orderpriority"), col("o_orderkey"), dec("o_totalprice").as("price"), rankVal)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        min_by(col("o_orderkey"), col("v")).as("cheapest_order"),
+        max_by(col("o_orderkey"), col("v")).as("priciest_order"),
+        min(col("price")).as("min_price"),
+        max(col("price")).as("max_price"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** Custom typed UDAF (graft.functions.WeightedAvg): discount-weighted
+    * average extended price per return flag.
+    */
+  def udafWeighted(s: SparkSession, dir: String): DataFrame = {
+    val wavg = udaf(graft.functions.WeightedAvg)
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(wavg(dec("l_extendedprice"), dec("l_discount")).cast("decimal(18,6)").as("wavg_price"))
+      .orderBy("l_returnflag")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_agg_pricing_summary" -> pricingSummary
+    "q_agg_pricing_summary" -> pricingSummary,
+    "q_agg_distinct" -> aggDistinct,
+    "q_agg_approx_hll" -> aggApproxHll,
+    "q_agg_rollup" -> aggRollup,
+    "q_agg_cube" -> aggCube,
+    "q_agg_grouping_sets" -> aggGroupingSets,
+    "q_agg_sort_first_last" -> aggSortFirstLast,
+    "q_udaf_weighted" -> udafWeighted
   )
 
   val oracle: Map[String, String] = Map(
@@ -50,6 +143,57 @@ object Aggregations {
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         |GROUP BY l_returnflag, l_linestatus
-        |ORDER BY l_returnflag, l_linestatus""".stripMargin
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_agg_distinct" ->
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_partkey) AS n_parts,
+        |  count(*) AS n
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+    "q_agg_rollup" ->
+      """SELECT n_name, o_orderpriority,
+        |  count(*) AS n,
+        |  sum(CAST(o_totalprice AS DECIMAL(18,2))) AS sum_price,
+        |  CAST(GROUPING(n_name, o_orderpriority) AS BIGINT) AS gid
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY ROLLUP(n_name, o_orderpriority)
+        |ORDER BY gid, n_name NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+    "q_agg_cube" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  count(*) AS n,
+        |  sum(CAST(o_totalprice AS DECIMAL(18,2))) AS sum_price,
+        |  CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid
+        |FROM orders
+        |GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+    "q_agg_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+        |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q_agg_sort_first_last" ->
+      """SELECT o_orderpriority,
+        |  arg_min(o_orderkey, v) AS cheapest_order,
+        |  arg_max(o_orderkey, v) AS priciest_order,
+        |  min(price) AS min_price,
+        |  max(price) AS max_price
+        |FROM (SELECT o_orderpriority, o_orderkey,
+        |        CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+        |        CAST(round(o_totalprice * 100) AS BIGINT) * 10000000 + o_orderkey AS v
+        |      FROM orders)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+    "q_udaf_weighted" ->
+      """SELECT l_returnflag,
+        |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)
+        |     / CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS DECIMAL(18,6)) AS wavg_price
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin
   )
 }

@@ -1,0 +1,271 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** §2.3 joins.
+  *
+  * Scale strategy per shape:
+  *  - dimension joins broadcast the small side (no shuffle of the fact);
+  *  - fact-fact joins shuffle both sides on the join key once (SMJ);
+  *  - the theta/band join broadcasts the tiny band table under a
+  *    nested-loop — never a fact×fact cartesian;
+  *  - the as-of join is a single shuffle on the partition key + one
+  *    window pass (union technique), NOT a join+filter explosion.
+  */
+object Joins {
+
+  /** Fact⋈dim with an explicit broadcast hint: lineitem⋈part. */
+  def joinBroadcast(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val p = Tables.part(s, dir)
+    li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(sum(dec("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+      .orderBy("p_brand")
+  }
+
+  /** Fact⋈fact shuffled sort-merge (broadcast suppressed via merge hint). */
+  def joinSortMerge(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir).hint("merge")
+    val o = Tables.orders(s, dir)
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), sum(dec("l_extendedprice")).as("sum_price"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** TPC-H Q5-shaped 4-way star join + region filter. The three
+    * dimension hops (customer→nation→region) broadcast; only
+    * lineitem⋈orders shuffles.
+    */
+  def joinMultiway(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val o = Tables.orders(s, dir)
+    val c = Tables.customer(s, dir)
+    val n = Tables.nation(s, dir)
+    val r = Tables.region(s, dir)
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .where(col("r_name") === "ASIA")
+      .groupBy(col("n_name"))
+      .agg(sum(dec("l_extendedprice") * (lit(1).cast("decimal(18,2)") - dec("l_discount")))
+        .as("revenue"))
+      .orderBy("n_name")
+  }
+
+  /** Left-outer customer→orders with null-side aggregation. */
+  def joinOuter(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val o = Tables.orders(s, dir)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"), col("c_name"))
+      .agg(
+        count(col("o_orderkey")).as("n_orders"),
+        coalesce(sum(dec("o_totalprice")), lit(0).cast("decimal(38,2)")).as("total_spent"))
+      .orderBy("c_custkey")
+  }
+
+  /** Full-outer join of two per-user event slices (error vs purchase
+    * counts) — genuine null sides both ways when a user has only one
+    * of the two event types.
+    */
+  def joinFullOuter(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    val errs = e.where(col("event_type") === "error")
+      .groupBy(col("user_id").as("err_user")).agg(count(lit(1)).as("n_errors"))
+    val purch = e.where(col("event_type") === "purchase")
+      .groupBy(col("user_id").as("p_user")).agg(count(lit(1)).as("n_purchases"))
+    errs.join(purch, errs("err_user") === purch("p_user"), "full_outer")
+      .select(col("err_user"), col("p_user"), col("n_errors"), col("n_purchases"))
+      .orderBy(asc_nulls_first("err_user"), asc_nulls_first("p_user"))
+  }
+
+  /** Customers WITH a big-ticket order (left semi ≡ EXISTS). */
+  def joinSemi(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val o = Tables.orders(s, dir).where(col("o_totalprice") > 400000)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy("c_custkey")
+  }
+
+  /** Customers WITHOUT any urgent order (left anti ≡ NOT EXISTS,
+    * TPC-H Q22 flavor).
+    */
+  def joinAnti(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val o = Tables.orders(s, dir).where(col("o_orderpriority") === "1-URGENT")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy("c_custkey")
+  }
+
+  /** Theta (non-equi) band join: parts bucketed into literal price
+    * bands via `lo <= p < hi`. The band table is 4 rows → broadcast
+    * nested loop, which is the correct 100 TB plan for tiny-side theta.
+    */
+  def joinThetaRange(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val p = Tables.part(s, dir)
+    val bands = Seq(
+      (900.0, 925.0, "b0"), (925.0, 950.0, "b1"),
+      (950.0, 975.0, "b2"), (975.0, 1000.0, "b3")
+    ).toDF("lo", "hi", "band")
+    p.join(broadcast(bands), col("p_retailprice") >= col("lo") && col("p_retailprice") < col("hi"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_parts"), sum(dec("p_retailprice")).as("sum_price"))
+      .orderBy("band")
+  }
+
+  /** Interval join: repeat orders by the same customer within 30 days.
+    * Equi on custkey + date-range predicate → shuffles once on the
+    * customer key; per-key fanout is bounded by orders-per-customer.
+    */
+  def joinInterval(s: SparkSession, dir: String): DataFrame = {
+    val o1 = Tables.orders(s, dir).select(
+      col("o_custkey").as("custkey"), col("o_orderkey").as("first_order"),
+      col("o_orderdate").as("first_date"))
+    val o2 = Tables.orders(s, dir).select(
+      col("o_custkey").as("custkey2"), col("o_orderkey").as("next_order"),
+      col("o_orderdate").as("next_date"))
+    o1.join(o2,
+        col("custkey") === col("custkey2")
+          && col("next_date") >= col("first_date")
+          && col("next_date") < col("first_date") + expr("INTERVAL 30 DAYS")
+          && col("first_order") < col("next_order"))
+      .select(col("custkey"), col("first_order"), col("next_order"))
+      .orderBy("custkey", "first_order", "next_order")
+  }
+
+  /** As-of (backward) join: for each purchase event, the latest click
+    * by the same user at-or-before its timestamp.
+    *
+    * Implementation is the union-window technique: tag click rows,
+    * sort each user partition once by (ts, event_id), and carry the
+    * last non-null click ts forward. One shuffle on user_id, no join
+    * explosion — the plan that survives 100 TB (a join+row_number
+    * variant would rescan every click per purchase).
+    */
+  def joinAsof(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+      .where(col("event_type").isin("click", "purchase"))
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    e.withColumn("click_ts",
+        last(when(col("event_type") === "click", col("ts")), ignoreNulls = true).over(w))
+      .where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts").as("p_ts"), col("click_ts"))
+      .orderBy("event_id")
+  }
+
+  /** Tiny cross product: region × nation. */
+  def joinCross(s: SparkSession, dir: String): DataFrame =
+    Tables.region(s, dir).crossJoin(Tables.nation(s, dir))
+      .select(col("r_name"), col("n_name"))
+      .orderBy("r_name", "n_name")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_join_broadcast" -> joinBroadcast,
+    "q_join_sortmerge" -> joinSortMerge,
+    "q_join_multiway" -> joinMultiway,
+    "q_join_outer" -> joinOuter,
+    "q_join_full_outer" -> joinFullOuter,
+    "q_join_semi" -> joinSemi,
+    "q_join_anti" -> joinAnti,
+    "q_join_theta_range" -> joinThetaRange,
+    "q_join_interval" -> joinInterval,
+    "q_join_asof" -> joinAsof,
+    "q_join_cross" -> joinCross
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_join_broadcast" ->
+      """SELECT p_brand,
+        |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+        |  count(*) AS n
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand
+        |ORDER BY p_brand""".stripMargin,
+    "q_join_sortmerge" ->
+      """SELECT o_orderpriority,
+        |  count(*) AS n,
+        |  sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_price
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+    "q_join_multiway" ->
+      """SELECT n_name,
+        |  sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name
+        |ORDER BY n_name""".stripMargin,
+    "q_join_outer" ->
+      """SELECT c_custkey, c_name,
+        |  count(o_orderkey) AS n_orders,
+        |  coalesce(sum(CAST(o_totalprice AS DECIMAL(18,2))), CAST(0 AS DECIMAL(38,2))) AS total_spent
+        |FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey, c_name
+        |ORDER BY c_custkey""".stripMargin,
+    "q_join_full_outer" ->
+      """SELECT err_user, p_user, n_errors, n_purchases
+        |FROM (SELECT user_id AS err_user, count(*) AS n_errors
+        |      FROM events WHERE event_type = 'error' GROUP BY user_id) e
+        |FULL OUTER JOIN
+        |     (SELECT user_id AS p_user, count(*) AS n_purchases
+        |      FROM events WHERE event_type = 'purchase' GROUP BY user_id) p
+        |ON err_user = p_user
+        |ORDER BY err_user NULLS FIRST, p_user NULLS FIRST""".stripMargin,
+    "q_join_semi" ->
+      """SELECT c_custkey, c_name, c_mktsegment
+        |FROM customer SEMI JOIN (SELECT * FROM orders WHERE o_totalprice > 400000) o
+        |  ON c_custkey = o_custkey
+        |ORDER BY c_custkey""".stripMargin,
+    "q_join_anti" ->
+      """SELECT c_custkey, c_name, c_mktsegment
+        |FROM customer ANTI JOIN (SELECT * FROM orders WHERE o_orderpriority = '1-URGENT') o
+        |  ON c_custkey = o_custkey
+        |ORDER BY c_custkey""".stripMargin,
+    "q_join_theta_range" ->
+      """SELECT band,
+        |  count(*) AS n_parts,
+        |  sum(CAST(p_retailprice AS DECIMAL(18,2))) AS sum_price
+        |FROM part
+        |JOIN (VALUES (900.0, 925.0, 'b0'), (925.0, 950.0, 'b1'),
+        |             (950.0, 975.0, 'b2'), (975.0, 1000.0, 'b3')) AS b(lo, hi, band)
+        |  ON p_retailprice >= lo AND p_retailprice < hi
+        |GROUP BY band
+        |ORDER BY band""".stripMargin,
+    "q_join_interval" ->
+      """SELECT o1.o_custkey AS custkey, o1.o_orderkey AS first_order, o2.o_orderkey AS next_order
+        |FROM orders o1 JOIN orders o2
+        |  ON o1.o_custkey = o2.o_custkey
+        | AND o2.o_orderdate >= o1.o_orderdate
+        | AND o2.o_orderdate < o1.o_orderdate + INTERVAL 30 DAY
+        | AND o1.o_orderkey < o2.o_orderkey
+        |ORDER BY custkey, first_order, next_order""".stripMargin,
+    "q_join_asof" ->
+      """SELECT p.event_id, p.user_id,
+        |  CAST(p.ts AS TIMESTAMP) AS p_ts,
+        |  CAST(c.ts AS TIMESTAMP) AS click_ts
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY p.event_id""".stripMargin,
+    "q_join_cross" ->
+      """SELECT r_name, n_name
+        |FROM region CROSS JOIN nation
+        |ORDER BY r_name, n_name""".stripMargin
+  )
+}

@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** §2.1 scans/sources. The reference's own surface is snapshot-file
+  * movement (SURVEY §0.1); its batch-queryable face here is plain
+  * parquet scans whose filters/projections Catalyst pushes into the
+  * vectorized reader (`PushedFilters`/`ReadSchema` asserted in
+  * ScanPushdownSpec).
+  */
+object Scans {
+
+  /** Full-scan aggregate over lineitem: exercises the vectorized
+    * parquet reader end-to-end with only 3 columns materialized.
+    */
+  def scanParquet(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir).agg(
+      count(lit(1)).as("n_rows"),
+      sum(dec("l_quantity")).as("total_qty"),
+      countDistinct(col("l_orderkey")).as("n_orders"))
+
+  /** Column pruning + predicate pushdown: the scan must read only the
+    * projected columns and skip row groups via the shipdate/quantity
+    * min-max stats. At 100 TB this is the difference between reading
+    * 3 columns of late data and the whole table.
+    */
+  def scanPruned(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .where(col("l_shipdate") >= lit("2000-01-01").cast("timestamp")
+        && col("l_quantity") < 5)
+      .select(col("l_orderkey"), col("l_linenumber"), dec("l_quantity").as("qty"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** JSON-string source column: parse `events.props` into a typed int. */
+  def sourceJson(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(
+        col("event_id"),
+        col("event_type"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .orderBy("event_id")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_scan_parquet" -> scanParquet,
+    "q_scan_pruned" -> scanPruned,
+    "q_source_json" -> sourceJson
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_scan_parquet" ->
+      """SELECT count(*) AS n_rows,
+        |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS total_qty,
+        |  count(DISTINCT l_orderkey) AS n_orders
+        |FROM lineitem""".stripMargin,
+    "q_scan_pruned" ->
+      """SELECT l_orderkey, l_linenumber, CAST(l_quantity AS DECIMAL(18,2)) AS qty
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '2000-01-01 00:00:00' AND l_quantity < 5
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_source_json" ->
+      """SELECT event_id, event_type,
+        |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+        |FROM events
+        |ORDER BY event_id""".stripMargin
+  )
+}

@@ -20,7 +20,19 @@ object Tables {
   def part(s: SparkSession, dir: String): DataFrame      = read(s, dir, "part")
   def orders(s: SparkSession, dir: String): DataFrame    = read(s, dir, "orders")
   def lineitem(s: SparkSession, dir: String): DataFrame  = read(s, dir, "lineitem")
-  def events(s: SparkSession, dir: String): DataFrame    = read(s, dir, "events")
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 rejects
+    * ([PARQUET_TYPE_ILLEGAL]). Read it as a raw ns long
+    * (`nanosAsLong`) and rebuild a µs TimestampType with exact
+    * integer division (`div` — a double division would lose precision
+    * on ~1.7e18 ns epochs). Matches DuckDB's CAST(ts AS TIMESTAMP)
+    * truncation, which oracle SQL must apply on its side too.
+    */
+  def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    read(s, dir, "events")
+      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.expr("ts div 1000")))
+  }
   def documents(s: SparkSession, dir: String): DataFrame = read(s, dir, "documents")
   def embeddings(s: SparkSession, dir: String): DataFrame = read(s, dir, "embeddings")
 }

@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** M1 relational-core invariants (SURVEY §5.4/§5.6): cheap cross-query
+  * algebra on the sf0.001 fixtures plus plan-shape assertions.
+  */
+class RelationalSpec extends SparkSpec {
+
+  test("flagship pricing summary: 6 groups, counts sum to filtered rows") {
+    val df = q("q_agg_pricing_summary").cache()
+    assert(df.count() == 6)
+    val total = df.agg(sum("count_order")).head.getLong(0)
+    val expected = graft.sources.Tables.lineitem(spark, sf)
+      .where(col("l_shipdate") <= lit("1998-09-02").cast("timestamp")).count()
+    assert(total == expected)
+  }
+
+  test("semi + anti partition customer set per predicate") {
+    val c = graft.sources.Tables.customer(spark, sf).count()
+    val urgentCusts = q("q_join_anti").count()
+    val withUrgent = graft.sources.Tables.customer(spark, sf)
+      .join(graft.sources.Tables.orders(spark, sf).where(col("o_orderpriority") === "1-URGENT"),
+        col("c_custkey") === col("o_custkey"), "left_semi").count()
+    assert(urgentCusts + withUrgent == c)
+  }
+
+  test("except keys == anti keys (distinct customer keys without urgent orders)") {
+    val e = q("q_set_except").collect().map(_.getLong(0)).toSet
+    val a = q("q_join_anti").collect().map(_.getLong(0)).toSet
+    assert(e == a)
+  }
+
+  test("top-k is the prefix of the full sort") {
+    val full = graft.sources.Tables.lineitem(spark, sf)
+      .orderBy(desc("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+      .limit(20).select("l_orderkey", "l_linenumber")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    val topk = q("q_sort_limit_topk").collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    assert(topk == full)
+  }
+
+  test("union all count = sum of branch counts") {
+    val e = graft.sources.Tables.events(spark, sf)
+    val expected = e.where(col("event_type") === "click").count() +
+      e.where(col("value") > 400).count()
+    assert(q("q_set_union_all").count() == expected)
+  }
+
+  test("asof: click_ts <= p_ts and user has an earlier-or-equal click") {
+    val df = q("q_join_asof")
+    assert(df.where(col("click_ts") > col("p_ts")).count() == 0)
+    assert(df.count() == graft.sources.Tables.events(spark, sf)
+      .where(col("event_type") === "purchase").count())
+  }
+
+  test("approx distinct within 10% of exact") {
+    q("q_agg_approx_hll").collect().foreach { r =>
+      val approx = r.getLong(1).toDouble
+      val exact = r.getLong(2).toDouble
+      assert(math.abs(approx - exact) / exact < 0.10, s"approx=$approx exact=$exact")
+    }
+  }
+
+  test("scan pruning pushes predicates and reads a narrow schema") {
+    val plan = q("q_scan_pruned").queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: ["), plan)
+    assert(plan.contains("l_quantity"), plan)
+    // projection+filter columns only — price columns must not be read
+    assert(!plan.contains("l_extendedprice"), plan)
+  }
+
+  test("broadcast join plans a BroadcastHashJoin; merge hint plans SortMergeJoin") {
+    val b = q("q_join_broadcast").queryExecution.executedPlan.toString
+    assert(b.contains("BroadcastHashJoin"), b)
+    val m = q("q_join_sortmerge").queryExecution.executedPlan.toString
+    assert(m.contains("SortMergeJoin"), m)
+  }
+
+  test("outer join: customers without orders have zero-decimal totals") {
+    val df = q("q_join_outer")
+    assert(df.where(col("n_orders") === 0 && col("total_spent") =!= 0).count() == 0)
+  }
+
+  test("rollup row count = detail + per-nation subtotals + grand total") {
+    val detail = q("q_agg_rollup").where(col("gid") === 0).count()
+    val nations = q("q_agg_rollup").where(col("gid") === 1).count()
+    val grand = q("q_agg_rollup").where(col("gid") === 3).count()
+    assert(grand == 1 && nations == 25 && q("q_agg_rollup").count() == detail + nations + grand)
+  }
+}

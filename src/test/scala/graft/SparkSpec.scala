@@ -1,0 +1,21 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Shared session base for all specs: one local session per suite,
+  * harness-shaped config (UTC, small shuffle partitions, UI off).
+  */
+trait SparkSpec extends AnyFunSuite {
+  val sf: String = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  def q(name: String): org.apache.spark.sql.DataFrame =
+    SparkEntry.queries(name)(spark, sf)
+}

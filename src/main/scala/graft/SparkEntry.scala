@@ -19,11 +19,15 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Scans.queries ++ Filters.queries ++ Joins.queries ++
-      Aggregations.queries ++ SortsSets.queries
+      Aggregations.queries ++ SortsSets.queries ++ Windows.queries ++
+      graft.functions.FnSuites.queries ++ TextOps.queries ++
+      SimilarityOps.queries ++ NearDup.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Scans.oracle ++ Filters.oracle ++ Joins.oracle ++
-      Aggregations.oracle ++ SortsSets.oracle
+      Aggregations.oracle ++ SortsSets.oracle ++ Windows.oracle ++
+      graft.functions.FnSuites.oracle ++ TextOps.oracle ++
+      SimilarityOps.oracle ++ NearDup.oracle
 }

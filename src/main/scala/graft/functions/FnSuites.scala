@@ -1,0 +1,160 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.dec
+import graft.sources.Tables
+
+/** §2.7 scalar function suites — one deterministic projection per
+  * family, all codegen'd built-ins (no UDFs in the hot path).
+  *
+  * Dialect traps handled per SURVEY §7.4: Spark `dayofweek` is Sun=1
+  * vs DuckDB Sun=0 (+1 on the oracle side); DuckDB `regexp_replace`
+  * needs the 'g' flag to match Spark's replace-all; DuckDB
+  * `floor`/`len`/rank-family return wider types than Spark, so both
+  * sides cast to a pinned type; transcendental results are presented
+  * as DECIMAL(18,6) so sub-ulp libm drift can't flip a hash.
+  */
+object FnSuites {
+
+  def fnString(s: SparkSession, dir: String): DataFrame =
+    Tables.part(s, dir)
+      .select(
+        col("p_partkey"),
+        substring(col("p_name"), 1, 8).as("sub"),
+        upper(col("p_name")).as("up"),
+        lower(col("p_brand")).as("lo"),
+        trim(concat(lit("  "), col("p_name"), lit("  "))).as("trimmed"),
+        concat_ws("-", col("p_brand"), col("p_type")).as("cat"),
+        lpad(col("p_brand"), 10, "*").as("pad"),
+        length(col("p_name")).cast("int").as("len"),
+        element_at(split(col("p_name"), " "), 1).as("first_tok"),
+        regexp_extract(col("p_name"), "([0-9]+)", 1).as("digits"),
+        regexp_replace(col("p_name"), "a", "@").as("repl"))
+      .orderBy("p_partkey")
+
+  def fnDate(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .select(
+        col("o_orderkey"),
+        date_trunc("month", col("o_orderdate")).as("month_start"),
+        year(col("o_orderdate")).cast("int").as("yr"),
+        month(col("o_orderdate")).cast("int").as("mo"),
+        dayofweek(col("o_orderdate")).cast("int").as("dow"),
+        datediff(lit("2002-01-01").cast("date"), col("o_orderdate")).cast("int").as("days_to_2002"),
+        date_add(col("o_orderdate"), 30).as("plus30"),
+        unix_timestamp(col("o_orderdate")).as("epoch_s"))
+      .orderBy("o_orderkey")
+
+  def fnMath(s: SparkSession, dir: String): DataFrame =
+    Tables.part(s, dir)
+      .select(
+        col("p_partkey"),
+        round(dec("p_retailprice"), 1).as("r1"),
+        abs(dec("p_retailprice") - lit(950).cast("decimal(18,2)")).as("ab"),
+        sqrt(col("p_size")).cast("decimal(18,6)").as("sq"),
+        log(col("p_size")).cast("decimal(18,6)").as("l_n"),
+        log10(col("p_size")).cast("decimal(18,6)").as("l10"),
+        pow(col("p_size"), 2).cast("decimal(18,6)").as("pw"),
+        pmod(col("p_size") - 25, lit(7)).cast("int").as("pm"),
+        floor(col("p_retailprice")).cast("bigint").as("fl"),
+        ceil(col("p_retailprice")).cast("bigint").as("ce"),
+        signum(col("p_retailprice") - 950).cast("int").as("sg"))
+      .orderBy("p_partkey")
+
+  def fnArray(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .select(
+        col("vec_id"),
+        size(col("embedding")).cast("int").as("dim"),
+        expr("size(filter(embedding, x -> x > 0))").cast("int").as("n_pos"),
+        sort_array(slice(col("embedding"), 1, 5)).as("first5_sorted"),
+        array_max(col("embedding")).as("vmax"),
+        array_min(col("embedding")).as("vmin"),
+        expr("CAST(aggregate(embedding, CAST(0 AS DOUBLE), (acc, x) -> acc + x) AS DECIMAL(18,6))")
+          .as("sum_all"),
+        expr("CAST(aggregate(zip_with(embedding, embedding, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, x) -> acc + x) AS DECIMAL(18,6))")
+          .as("dot_self"))
+      .orderBy("vec_id")
+
+  def fnMapJson(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .withColumn("m", from_json(col("props"), org.apache.spark.sql.types.MapType(
+        org.apache.spark.sql.types.StringType, org.apache.spark.sql.types.IntegerType)))
+      .select(
+        col("event_id"),
+        map_keys(col("m")).as("keys"),
+        size(col("m")).cast("int").as("n_keys"),
+        element_at(col("m"), "k").as("k_val"),
+        expr("aggregate(map_values(m), 0, (a, b) -> a + b)").cast("int").as("vals_sum"))
+      .orderBy("event_id")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_fn_string" -> fnString,
+    "q_fn_date" -> fnDate,
+    "q_fn_math" -> fnMath,
+    "q_fn_array" -> fnArray,
+    "q_fn_map_json" -> fnMapJson
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_fn_string" ->
+      """SELECT p_partkey,
+        |  substring(p_name, 1, 8) AS sub,
+        |  upper(p_name) AS up,
+        |  lower(p_brand) AS lo,
+        |  trim('  ' || p_name || '  ') AS trimmed,
+        |  concat_ws('-', p_brand, p_type) AS cat,
+        |  lpad(p_brand, 10, '*') AS pad,
+        |  CAST(length(p_name) AS INTEGER) AS len,
+        |  string_split(p_name, ' ')[1] AS first_tok,
+        |  regexp_extract(p_name, '([0-9]+)', 1) AS digits,
+        |  regexp_replace(p_name, 'a', '@', 'g') AS repl
+        |FROM part
+        |ORDER BY p_partkey""".stripMargin,
+    "q_fn_date" ->
+      """SELECT o_orderkey,
+        |  CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+        |  CAST(year(o_orderdate) AS INTEGER) AS yr,
+        |  CAST(month(o_orderdate) AS INTEGER) AS mo,
+        |  CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS dow,
+        |  CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS INTEGER) AS days_to_2002,
+        |  CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS plus30,
+        |  date_diff('second', TIMESTAMP '1970-01-01 00:00:00', o_orderdate) AS epoch_s
+        |FROM orders
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_fn_math" ->
+      """SELECT p_partkey,
+        |  round(CAST(p_retailprice AS DECIMAL(18,2)), 1) AS r1,
+        |  abs(CAST(p_retailprice AS DECIMAL(18,2)) - CAST(950 AS DECIMAL(18,2))) AS ab,
+        |  CAST(sqrt(p_size) AS DECIMAL(18,6)) AS sq,
+        |  CAST(ln(p_size) AS DECIMAL(18,6)) AS l_n,
+        |  CAST(log10(p_size) AS DECIMAL(18,6)) AS l10,
+        |  CAST(pow(p_size, 2) AS DECIMAL(18,6)) AS pw,
+        |  CAST(((p_size - 25) % 7 + 7) % 7 AS INTEGER) AS pm,
+        |  CAST(floor(p_retailprice) AS BIGINT) AS fl,
+        |  CAST(ceil(p_retailprice) AS BIGINT) AS ce,
+        |  CAST(sign(p_retailprice - 950) AS INTEGER) AS sg
+        |FROM part
+        |ORDER BY p_partkey""".stripMargin,
+    "q_fn_array" ->
+      """SELECT vec_id,
+        |  CAST(len(embedding) AS INTEGER) AS dim,
+        |  CAST(len(list_filter(embedding, x -> x > 0)) AS INTEGER) AS n_pos,
+        |  list_sort(embedding[1:5]) AS first5_sorted,
+        |  list_aggregate(embedding, 'max') AS vmax,
+        |  list_aggregate(embedding, 'min') AS vmin,
+        |  CAST(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE)), 'sum') AS DECIMAL(18,6)) AS sum_all,
+        |  CAST(list_aggregate(list_transform(embedding, x -> CAST(x * x AS DOUBLE)), 'sum') AS DECIMAL(18,6)) AS dot_self
+        |FROM embeddings
+        |ORDER BY vec_id""".stripMargin,
+    "q_fn_map_json" ->
+      """SELECT event_id,
+        |  CAST(json_keys(props) AS VARCHAR[]) AS keys,
+        |  CAST(len(json_keys(props)) AS INTEGER) AS n_keys,
+        |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val,
+        |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS vals_sum
+        |FROM events
+        |ORDER BY event_id""".stripMargin
+  )
+}

@@ -1,0 +1,189 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+import scala.util.hashing.MurmurHash3
+
+/** §2.9 near-duplicate detection: MinHash+LSH, SimHash, and exact
+  * n-gram Jaccard. All three are banded/blocked dataflows — candidate
+  * generation is always an equi-join on a bucket key, never a global
+  * cartesian, so the same plan runs at 100 TB (bucket sizes bound the
+  * quadratic term).
+  *
+  * Hashes are pure-Scala deterministic (MurmurHash3 / splitmix64
+  * finalizer) — stable across JVMs, executors and runs; no RNG state.
+  */
+object NearDup {
+
+  val NumHashes = 64
+  val Bands = 16
+  val RowsPerBand = 4 // 16 × 4 = 64
+  val ShingleK = 3
+
+  /** splitmix64 finalizer — the standard 64-bit avalanche mix. */
+  private def mix64(x0: Long): Long = {
+    var x = x0
+    x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+    x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+    x ^ (x >>> 31)
+  }
+
+  private def shingleHash(sh: String): Long =
+    (MurmurHash3.stringHash(sh, 0x9747b28c).toLong << 32) |
+      (MurmurHash3.stringHash(sh, 0x85ebca6b).toLong & 0xffffffffL)
+
+  /** k-token shingles of a whitespace-tokenized doc. */
+  def shingles(text: String, k: Int = ShingleK): Seq[String] = {
+    val toks = text.split(" ")
+    if (toks.length < k) Seq(toks.mkString(" "))
+    else toks.sliding(k).map(_.mkString(" ")).toSeq
+  }
+
+  /** 64 minhash values: min over shingles of mix64(h ^ seed_i). */
+  def minhashSignature(text: String): Array[Long] = {
+    val hs = shingles(text).map(shingleHash)
+    Array.tabulate(NumHashes) { i =>
+      val seed = mix64(i.toLong + 1)
+      hs.map(h => mix64(h ^ seed)).min
+    }
+  }
+
+  /** 64-bit SimHash over token hashes (unit weights). */
+  def simhash64(text: String): Long = {
+    val counts = new Array[Int](64)
+    text.split(" ").foreach { t =>
+      val h = shingleHash(t)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+        b += 1
+      }
+    }
+    (0 until 64).foldLeft(0L)((acc, b) => if (counts(b) > 0) acc | (1L << b) else acc)
+  }
+
+  def jaccard(a: Set[String], b: Set[String]): Double = {
+    val inter = a.intersect(b).size
+    if (a.isEmpty && b.isEmpty) 1.0 else inter.toDouble / (a.size + b.size - inter)
+  }
+
+  /** MinHash+LSH near-dup pairs: shingle → 64 minhashes → 16 bands →
+    * bucket equi-join → exact-Jaccard confirm at τ=0.8.
+    *
+    * No oracle: the hash family is not portable to DuckDB SQL;
+    * NearDupSpec proves recall/precision on planted near-dups.
+    */
+  def dedupMinhash(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sigUdf = udf((text: String) => minhashSignature(text))
+    val bandHashUdf = udf((sig: Seq[Long], band: Int) => {
+      val slice = sig.slice(band * RowsPerBand, (band + 1) * RowsPerBand)
+      mix64(slice.foldLeft(band.toLong)((acc, v) => mix64(acc ^ v)))
+    })
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val sigs = docs.withColumn("sig", sigUdf(col("text")))
+    val buckets = sigs
+      .select(col("doc_id"), col("sig"), explode(typedlit((0 until Bands).toArray)).as("band"))
+      .withColumn("bucket", bandHashUdf(col("sig"), col("band")))
+      .select(col("doc_id"), col("band"), col("bucket"))
+    val cand = buckets.as("l").join(buckets.as("r"),
+        col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket")
+          && col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("d1"), col("r.doc_id").as("d2"))
+      .distinct()
+    val shingleUdf = udf((text: String) => shingles(text).toSet.toSeq)
+    val sets = docs.select(col("doc_id"), shingleUdf(col("text")).as("sh"))
+    val jacUdf = udf((a: Seq[String], b: Seq[String]) => jaccard(a.toSet, b.toSet))
+    cand
+      .join(sets.select(col("doc_id").as("d1"), col("sh").as("sh1")), Seq("d1"))
+      .join(sets.select(col("doc_id").as("d2"), col("sh").as("sh2")), Seq("d2"))
+      .withColumn("jac", jacUdf(col("sh1"), col("sh2")))
+      .where(col("jac") >= 0.8)
+      .select(col("d1"), col("d2"), col("jac").cast("decimal(9,6)").as("jaccard"))
+      .orderBy("d1", "d2")
+  }
+
+  /** SimHash near-dup pairs: 64-bit signature, 4×16-bit chunk
+    * banding (pigeonhole guarantees recall for hamming ≤ 3), exact
+    * hamming confirm via bit_count(xor). No oracle (hash family).
+    */
+  def dedupSimhash(s: SparkSession, dir: String): DataFrame = {
+    val shUdf = udf((text: String) => simhash64(text))
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), shUdf(col("text")).as("sh"))
+    val chunks = docs.select(col("doc_id"), col("sh"),
+        explode(typedlit((0 until 4).toArray)).as("chunk"))
+      .withColumn("ckey", expr("shiftright(sh, chunk * 16)").bitwiseAND(lit(0xffffL)))
+    val cand = chunks.as("l").join(chunks.as("r"),
+        col("l.chunk") === col("r.chunk") && col("l.ckey") === col("r.ckey")
+          && col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("d1"), col("l.sh").as("sh1"),
+        col("r.doc_id").as("d2"), col("r.sh").as("sh2"))
+      .distinct()
+    cand.withColumn("hamming", bit_count(col("sh1").bitwiseXOR(col("sh2"))).cast("int"))
+      .where(col("hamming") <= 3)
+      .select(col("d1"), col("d2"), col("hamming"))
+      .orderBy("d1", "d2")
+  }
+
+  /** Exact n-gram Jaccard ≥ 0.5 via an inverted shingle index:
+    * distinct (doc, shingle) → self-join on shingle (the index) →
+    * intersection counts → |A|+|B|−∩ union. Fully SQL-expressible →
+    * oracle'd. The shingle join is the blocked/candidate step: only
+    * docs sharing a shingle are ever compared.
+    */
+  def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame = {
+    // Blocked by lang: near-dup candidates are only sought within the
+    // same language partition, which caps posting-list fanout on the
+    // hot shingles of the small fixture vocabulary (and is the
+    // standard blocking key for corpus dedup at scale).
+    val sh = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), explode(expr(
+        "transform(sequence(1, greatest(size(split(text, ' ')) - 2, 1)), " +
+          "i -> concat_ws(' ', slice(split(text, ' '), i, 3)))")).as("shingle"))
+      .distinct()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.lang") === col("b.lang") && col("a.shingle") === col("b.shingle")
+          && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("d1"), col("sz").as("sz1")), Seq("d1"))
+      .join(sizes.select(col("doc_id").as("d2"), col("sz").as("sz2")), Seq("d2"))
+      .withColumn("jac", col("inter").cast("double") / (col("sz1") + col("sz2") - col("inter")))
+      .where(col("jac") >= 0.5)
+      .select(col("d1"), col("d2"), col("jac").cast("decimal(9,6)").as("jaccard"))
+      .orderBy("d1", "d2")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_minhash" -> dedupMinhash,
+    "q_dedup_simhash" -> dedupSimhash,
+    "q_dedup_ngram_jaccard" -> dedupNgramJaccard
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_dedup_ngram_jaccard" ->
+      """WITH sh AS (
+        |  SELECT DISTINCT doc_id, lang, shingle FROM (
+        |    SELECT doc_id, lang,
+        |      unnest(list_transform(range(1, greatest(len(string_split(text, ' ')) - 1, 2)),
+        |        i -> array_to_string(string_split(text, ' ')[i:i+2], ' '))) AS shingle
+        |    FROM documents)),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+        |  FROM sh a JOIN sh b ON a.lang = b.lang AND a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id)
+        |SELECT d1, d2,
+        |  CAST(CAST(inter AS DOUBLE) / (s1.sz + s2.sz - inter) AS DECIMAL(9,6)) AS jaccard
+        |FROM inter
+        |JOIN sizes s1 ON s1.doc_id = d1
+        |JOIN sizes s2 ON s2.doc_id = d2
+        |WHERE CAST(inter AS DOUBLE) / (s1.sz + s2.sz - inter) >= 0.5
+        |ORDER BY d1, d2""".stripMargin
+  )
+}

@@ -1,0 +1,207 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** §2.9 vector-similarity operators over `embeddings.embedding`
+  * (array<float>, dim 64).
+  *
+  * All dot products are left-fold double accumulations via
+  * higher-order functions (codegen'd, no UDF), mirrored exactly by
+  * the DuckDB oracle's list_transform/list_aggregate fold so results
+  * are bit-identical.
+  *
+  * Scale notes: brute-force top-k is the correctness baseline (one
+  * scan, TakeOrderedAndProject); pairwise similarity is blocked on
+  * `label` so the self-join shuffles once on the block key and never
+  * goes cartesian globally; the LSH variant buckets vectors by
+  * random-hyperplane signature so candidate generation is an
+  * equi-join on the bucket id.
+  */
+object SimilarityOps {
+
+  /** dot(a,b) via the codegen'd FloatDotProduct expression — a double
+    * left-fold bit-identical to the HOF form and the DuckDB oracle
+    * (graft.functions.FloatDotProduct).
+    */
+  private def dotExpr(a: String, b: String): Column = expr(s"float_dot($a, $b)")
+
+  private def normExpr(a: String): Column = expr(s"sqrt(float_dot($a, $a))")
+
+  /** Brute-force cosine top-10 against the vec_id=0 query vector. */
+  def simTopK(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorExprs.register(s)
+    val emb = Tables.embeddings(s, dir)
+    val qvec = emb.where(col("vec_id") === 0).select(col("embedding"))
+      .head.getSeq[Float](0).toArray
+    emb.where(col("vec_id") =!= 0)
+      .withColumn("q", typedlit(qvec))
+      .withColumn("score_d",
+        dotExpr("embedding", "q") / (normExpr("embedding") * normExpr("q")))
+      .select(col("vec_id"), col("label"), col("score_d").cast("decimal(12,6)").as("score"))
+      .orderBy(desc("score"), asc("vec_id"))
+      .limit(10)
+  }
+
+  /** All pairs with cosine ≥ 0.3 inside the same `label` block.
+    * Blocking keeps the join an equi-join on label — at 100 TB the
+    * block key would be an LSH bucket (see simAnnLsh) instead of a
+    * 10-value label, but the dataflow is identical.
+    */
+  def simPairs(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorExprs.register(s)
+    // norms are per-vector: compute them once before the pair join
+    // (O(n·d)) instead of per candidate pair (O(n²·d)); bit-identical
+    // to the oracle's in-expression norms since the fold is the same.
+    val a = Tables.embeddings(s, dir)
+      .select(col("vec_id").as("v1"), col("label"), col("embedding").as("e1"))
+      .withColumn("na", normExpr("e1"))
+    val b = Tables.embeddings(s, dir)
+      .select(col("vec_id").as("v2"), col("label").as("label2"), col("embedding").as("e2"))
+      .withColumn("nb", normExpr("e2"))
+    a.join(b, col("label") === col("label2") && col("v1") < col("v2"))
+      .withColumn("score_d", dotExpr("e1", "e2") / (col("na") * col("nb")))
+      .where(col("score_d") >= 0.3)
+      .select(col("v1"), col("v2"), col("label"), col("score_d").cast("decimal(12,6)").as("score"))
+      .orderBy("v1", "v2")
+  }
+
+  /** Embedding-cosine near-dup drop list: any vector with a ≥0.4
+    * neighbour of smaller vec_id is dropped (deterministic keeper =
+    * smallest id in the near-dup relation).
+    */
+  def dedupEmbed(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorExprs.register(s)
+    val a = Tables.embeddings(s, dir)
+      .select(col("vec_id").as("v1"), col("label"), col("embedding").as("e1"))
+      .withColumn("na", normExpr("e1"))
+    val b = Tables.embeddings(s, dir)
+      .select(col("vec_id").as("v2"), col("label").as("label2"), col("embedding").as("e2"))
+      .withColumn("nb", normExpr("e2"))
+    a.join(b, col("label") === col("label2") && col("v1") < col("v2"))
+      .withColumn("score_d", dotExpr("e1", "e2") / (col("na") * col("nb")))
+      .where(col("score_d") >= 0.4)
+      .select(col("v2").as("dropped_id"))
+      .distinct()
+      .orderBy("dropped_id")
+  }
+
+  /** k-NN label vote: probes are vec_id<10, candidates vec_id>=10;
+    * k=5 by cosine, majority label with (count desc, label asc)
+    * tiebreak. Probe side broadcasts.
+    */
+  def knnLabel(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorExprs.register(s)
+    val probes = Tables.embeddings(s, dir).where(col("vec_id") < 10)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
+      .withColumn("np", normExpr("pe"))
+    val cands = Tables.embeddings(s, dir).where(col("vec_id") >= 10)
+      .select(col("vec_id").as("cand_id"), col("label"), col("embedding").as("ce"))
+      .withColumn("nc", normExpr("ce"))
+    val byScore = Window.partitionBy(col("probe_id"))
+      .orderBy(desc("score_d"), asc("cand_id"))
+    val byVotes = Window.partitionBy(col("probe_id"))
+      .orderBy(desc("n_votes"), asc("label"))
+    cands.join(broadcast(probes))
+      .withColumn("score_d", dotExpr("pe", "ce") / (col("np") * col("nc")))
+      .withColumn("rn", row_number().over(byScore))
+      .where(col("rn") <= 5)
+      .groupBy(col("probe_id"), col("label"))
+      .agg(count(lit(1)).as("n_votes"))
+      .withColumn("rk", row_number().over(byVotes))
+      .where(col("rk") === 1)
+      .select(col("probe_id"), col("label").as("pred_label"), col("n_votes"))
+      .orderBy("probe_id")
+  }
+
+  /** Approximate NN via random-hyperplane LSH: 8-bit signatures from
+    * integer-deterministic hyperplanes (portable, no RNG at runtime),
+    * candidates = query's bucket, ranked by true cosine. The scale
+    * path: signature is a map-side projection, candidate generation an
+    * equi-join on bucket. No oracle (approximation); SimilaritySpec
+    * checks containment in the brute-force ranking.
+    */
+  def simAnnLsh(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorExprs.register(s)
+    val planes: Array[Array[Double]] = Array.tabulate(8, 64) { (j, d) =>
+      val h = (2654435761L * (j * 64 + d + 1)) & 0xffffffffL
+      h.toDouble / 2147483648.0 - 1.0
+    }
+    val emb = Tables.embeddings(s, dir).withColumn("planes", typedlit(planes))
+    val withSig = emb.withColumn("bucket", expr(
+      """aggregate(transform(planes, p ->
+        |  CASE WHEN aggregate(zip_with(embedding, p, (x, y) -> CAST(x AS DOUBLE) * y),
+        |                      CAST(0 AS DOUBLE), (acc, v) -> acc + v) >= 0 THEN 1 ELSE 0 END),
+        |  0, (acc, bit) -> acc * 2 + bit)""".stripMargin))
+    val qrow = withSig.where(col("vec_id") === 0)
+      .select(col("embedding"), col("bucket")).head
+    val qvec = qrow.getSeq[Float](0).toArray
+    val qbucket = qrow.getInt(1)
+    withSig.where(col("vec_id") =!= 0 && col("bucket") === qbucket)
+      .withColumn("q", typedlit(qvec))
+      .withColumn("score_d",
+        dotExpr("embedding", "q") / (normExpr("embedding") * normExpr("q")))
+      .select(col("vec_id"), col("score_d").cast("decimal(12,6)").as("score"))
+      .orderBy(desc("score"), asc("vec_id"))
+      .limit(10)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sim_topk" -> simTopK,
+    "q_sim_pairs" -> simPairs,
+    "q_dedup_embed" -> dedupEmbed,
+    "q_knn_label" -> knnLabel,
+    "q_sim_ann_lsh" -> simAnnLsh
+  )
+
+  private val dotSql =
+    "list_aggregate(list_transform(list_zip(%s, %s), s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)), 'sum')"
+  private val normSql =
+    "sqrt(list_aggregate(list_transform(%s, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))"
+
+  private def cosSql(a: String, b: String) =
+    s"${dotSql.format(a, b)} / (${normSql.format(a)} * ${normSql.format(b)})"
+
+  val oracle: Map[String, String] = Map(
+    "q_sim_topk" ->
+      s"""WITH qv AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 0)
+         |SELECT vec_id, label,
+         |  CAST(${cosSql("embedding", "q")} AS DECIMAL(12,6)) AS score
+         |FROM embeddings, qv
+         |WHERE vec_id <> 0
+         |ORDER BY score DESC, vec_id
+         |LIMIT 10""".stripMargin,
+    "q_sim_pairs" ->
+      s"""SELECT a.vec_id AS v1, b.vec_id AS v2, a.label,
+         |  CAST(${cosSql("a.embedding", "b.embedding")} AS DECIMAL(12,6)) AS score
+         |FROM embeddings a JOIN embeddings b
+         |  ON a.label = b.label AND a.vec_id < b.vec_id
+         |WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.3
+         |ORDER BY v1, v2""".stripMargin,
+    "q_dedup_embed" ->
+      s"""SELECT DISTINCT b.vec_id AS dropped_id
+         |FROM embeddings a JOIN embeddings b
+         |  ON a.label = b.label AND a.vec_id < b.vec_id
+         |WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.4
+         |ORDER BY dropped_id""".stripMargin,
+    "q_knn_label" ->
+      s"""WITH probes AS (SELECT vec_id AS probe_id, embedding AS pe FROM embeddings WHERE vec_id < 10),
+         |cands AS (SELECT vec_id AS cand_id, label, embedding AS ce FROM embeddings WHERE vec_id >= 10),
+         |scored AS (
+         |  SELECT probe_id, cand_id, label,
+         |    row_number() OVER (PARTITION BY probe_id
+         |      ORDER BY ${cosSql("pe", "ce")} DESC, cand_id) AS rn
+         |  FROM cands CROSS JOIN probes),
+         |votes AS (
+         |  SELECT probe_id, label, count(*) AS n_votes
+         |  FROM scored WHERE rn <= 5
+         |  GROUP BY probe_id, label)
+         |SELECT probe_id, label AS pred_label, n_votes
+         |FROM (SELECT *, row_number() OVER (PARTITION BY probe_id
+         |        ORDER BY n_votes DESC, label) AS rk FROM votes)
+         |WHERE rk = 1
+         |ORDER BY probe_id""".stripMargin
+  )
+}

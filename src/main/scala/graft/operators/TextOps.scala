@@ -1,0 +1,247 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** §2.9 text-analysis operators for the LLM-data-pipeline surface:
+  * exact dedup, tokenization, corpus stats, language ID, quality
+  * scoring, fingerprinting, bigram generation, scalar UDF showcase.
+  *
+  * All tokenization is `split(text, ' ')` — the fixture corpus is
+  * clean single-space ASCII (FIXTURES.md). Everything here is a
+  * single scan + one aggregation exchange; nothing materializes the
+  * corpus on the driver.
+  */
+object TextOps {
+
+  private val stopEn = Seq("the", "a", "of", "to", "and", "in", "is")
+  private val stopDe = Seq("der", "die", "das", "und", "ist")
+  private val stopEs = Seq("el", "la", "los", "es", "por")
+  private val stopFr = Seq("le", "les", "et", "est", "une")
+
+  private def sqlList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString("(", ", ", ")")
+
+  /** Exact dedup keeping the smallest doc_id per distinct text.
+    * `groupBy(text).min(doc_id)` — NOT dropDuplicates, whose keeper is
+    * partition-order-dependent and breaks determinism at any scale.
+    */
+  def dedupExact(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .groupBy(col("text"))
+      .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_copies"))
+      .select(col("keeper_id"), col("n_copies"), length(col("text")).cast("int").as("text_len"))
+      .orderBy("keeper_id")
+
+  /** Tokenize → explode → stopword-filter → global top-20 terms.
+    * Two-level aggregation (partial per partition, final after one
+    * exchange on token) — the scalable word-count shape.
+    */
+  def textTokens(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .where(!col("tok").isin(stopEn: _*))
+      .groupBy(col("tok"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), asc("tok"))
+      .limit(20)
+
+  /** Per lang×source corpus stats incl. distinct-token cardinality.
+    *
+    * Shape note: the naive form (explode + 3 count-distincts in one
+    * agg) triggers an Expand that triples the token rows. Instead the
+    * doc-level sums are computed arithmetically without exploding
+    * (sum over docs of n_chars·n_toks ≡ sum over token rows of
+    * n_chars), and only the distinct-token count pays one explode +
+    * distinct — measured ~4× cheaper at sf0.1, same values.
+    */
+  def textStats(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .withColumn("n_toks_doc", size(split(col("text"), " ")).cast("long"))
+    val perGroup = docs.groupBy(col("lang"), col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_toks_doc")).as("n_toks"),
+        sum(col("n_chars") * col("n_toks_doc")).as("chars_x_toks"))
+    val distinctToks = docs
+      .select(col("lang"), col("source"), explode(split(col("text"), " ")).as("tok"))
+      .distinct()
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_distinct_toks"))
+    perGroup.join(distinctToks, Seq("lang", "source"))
+      .select(col("lang"), col("source"), col("n_docs"), col("n_distinct_toks"), col("n_toks"),
+        (col("chars_x_toks").cast("double") / col("n_toks")).cast("decimal(18,4)")
+          .as("avg_chars_per_tok_row"))
+      .orderBy("lang", "source")
+  }
+
+  /** Stopword-profile language ID (n-gram-heuristic family): score =
+    * stopword-hit ratio per language, argmax with a fixed tie order.
+    * The fixture corpus is synthetic English-ish engine vocabulary, so
+    * 'en' dominates — the operator shape is what matters.
+    */
+  def textLangId(s: SparkSession, dir: String): DataFrame = {
+    def ratio(ws: Seq[String]) =
+      s"CAST(size(filter(toks, t -> t IN ${sqlList(ws)})) AS DOUBLE) / size(toks)"
+    Tables.documents(s, dir)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("s_en", expr(ratio(stopEn)))
+      .withColumn("s_de", expr(ratio(stopDe)))
+      .withColumn("s_es", expr(ratio(stopEs)))
+      .withColumn("s_fr", expr(ratio(stopFr)))
+      .select(
+        col("doc_id"), col("lang"),
+        when(col("s_en") >= greatest(col("s_de"), col("s_es"), col("s_fr")), "en")
+          .when(col("s_de") >= greatest(col("s_es"), col("s_fr")), "de")
+          .when(col("s_es") >= col("s_fr"), "es")
+          .otherwise("fr").as("pred_lang"),
+        col("s_en").cast("decimal(9,6)").as("score_en"))
+      .orderBy("doc_id")
+  }
+
+  /** Quality scoring: token counts (whitespace + BPE-ish regex
+    * pieces), average token length, stopword ratio, composite score.
+    */
+  def textQuality(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n_toks", size(col("toks")).cast("int"))
+      .withColumn("n_pieces",
+        size(regexp_extract_all(col("text"), lit("[^aeiou ]+[aeiou]*|[aeiou]+"), lit(0))).cast("int"))
+      .withColumn("stop_ratio",
+        expr(s"CAST(size(filter(toks, t -> t IN ${sqlList(stopEn)})) AS DOUBLE) / size(toks)"))
+      .select(
+        col("doc_id"), col("n_toks"), col("n_pieces"),
+        ((col("n_chars") - (col("n_toks") - 1)).cast("double") / col("n_toks"))
+          .cast("decimal(9,4)").as("avg_tok_len"),
+        col("stop_ratio").cast("decimal(9,6)").as("stop_ratio"),
+        (when(col("n_chars") >= 100, 0.5).otherwise(0.0)
+          + when(col("stop_ratio") > 0, 0.5).otherwise(0.0)).cast("decimal(3,1)").as("quality"))
+      .orderBy("doc_id")
+
+  /** Deterministic document fingerprint: left-fold rolling hash over
+    * token features, mod a prime — portable integer arithmetic only
+    * (no engine-specific hash functions).
+    */
+  def textFingerprint(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("vals",
+        expr("transform(split(text, ' '), t -> CAST(ascii(t) * 256 + length(t) AS BIGINT))"))
+      .select(
+        col("doc_id"),
+        expr("aggregate(vals, CAST(0 AS BIGINT), (a, b) -> (a * 131 + b) % 1000000007)").as("fp"))
+      .orderBy("doc_id")
+
+  /** Table-function shape: document → bigram rows via a generator
+    * (explode over an index-driven transform), then global top-20.
+    */
+  def udtfBigrams(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("toks", split(col("text"), " "))
+      .select(explode(expr(
+        "transform(sequence(1, size(toks) - 1), i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"))
+        .as("bigram"))
+      .groupBy(col("bigram"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), asc("bigram"))
+      .limit(20)
+
+  /** Registered scalar UDF showcase: normalize_text (trim + collapse
+    * whitespace + lowercase), kept SQL-replicable by design.
+    */
+  def udfScalar(s: SparkSession, dir: String): DataFrame = {
+    s.udf.register("normalize_text",
+      (t: String) => if (t == null) null else t.trim.replaceAll("\\s+", " ").toLowerCase)
+    Tables.documents(s, dir)
+      .select(
+        col("doc_id"),
+        expr("normalize_text(concat('  ', upper(text), '   '))").as("norm"),
+        length(expr("normalize_text(text)")).cast("int").as("norm_len"))
+      .orderBy("doc_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_exact" -> dedupExact,
+    "q_text_tokens" -> textTokens,
+    "q_text_stats" -> textStats,
+    "q_text_langid" -> textLangId,
+    "q_text_quality" -> textQuality,
+    "q_text_fingerprint" -> textFingerprint,
+    "q_udtf_bigrams" -> udtfBigrams,
+    "q_udf_scalar" -> udfScalar
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      """SELECT min(doc_id) AS keeper_id, count(*) AS n_copies,
+        |  CAST(length(text) AS INTEGER) AS text_len
+        |FROM documents
+        |GROUP BY text
+        |ORDER BY keeper_id""".stripMargin,
+    "q_text_tokens" ->
+      """SELECT tok, count(*) AS cnt
+        |FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        |WHERE tok NOT IN ('the', 'a', 'of', 'to', 'and', 'in', 'is')
+        |GROUP BY tok
+        |ORDER BY cnt DESC, tok
+        |LIMIT 20""".stripMargin,
+    "q_text_stats" ->
+      """SELECT lang, source,
+        |  count(DISTINCT doc_id) AS n_docs,
+        |  count(DISTINCT tok) AS n_distinct_toks,
+        |  count(*) AS n_toks,
+        |  CAST(CAST(sum(n_chars) AS DOUBLE) / count(*) AS DECIMAL(18,4)) AS avg_chars_per_tok_row
+        |FROM (SELECT lang, source, doc_id, n_chars, unnest(string_split(text, ' ')) AS tok
+        |      FROM documents)
+        |GROUP BY lang, source
+        |ORDER BY lang, source""".stripMargin,
+    "q_text_langid" ->
+      """WITH scored AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a', 'of', 'to', 'and', 'in', 'is'))) AS DOUBLE) / len(string_split(text, ' ')) AS s_en,
+        |    CAST(len(list_filter(string_split(text, ' '), t -> t IN ('der', 'die', 'das', 'und', 'ist'))) AS DOUBLE) / len(string_split(text, ' ')) AS s_de,
+        |    CAST(len(list_filter(string_split(text, ' '), t -> t IN ('el', 'la', 'los', 'es', 'por'))) AS DOUBLE) / len(string_split(text, ' ')) AS s_es,
+        |    CAST(len(list_filter(string_split(text, ' '), t -> t IN ('le', 'les', 'et', 'est', 'une'))) AS DOUBLE) / len(string_split(text, ' ')) AS s_fr
+        |  FROM documents)
+        |SELECT doc_id, lang,
+        |  CASE WHEN s_en >= greatest(s_de, s_es, s_fr) THEN 'en'
+        |       WHEN s_de >= greatest(s_es, s_fr) THEN 'de'
+        |       WHEN s_es >= s_fr THEN 'es'
+        |       ELSE 'fr' END AS pred_lang,
+        |  CAST(s_en AS DECIMAL(9,6)) AS score_en
+        |FROM scored
+        |ORDER BY doc_id""".stripMargin,
+    "q_text_quality" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS INTEGER) AS n_toks,
+        |  CAST(len(regexp_extract_all(text, '[^aeiou ]+[aeiou]*|[aeiou]+', 0)) AS INTEGER) AS n_pieces,
+        |  CAST(CAST(n_chars - (len(string_split(text, ' ')) - 1) AS DOUBLE) / len(string_split(text, ' ')) AS DECIMAL(9,4)) AS avg_tok_len,
+        |  CAST(CAST(len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a', 'of', 'to', 'and', 'in', 'is'))) AS DOUBLE) / len(string_split(text, ' ')) AS DECIMAL(9,6)) AS stop_ratio,
+        |  CAST((CASE WHEN n_chars >= 100 THEN 0.5 ELSE 0.0 END)
+        |     + (CASE WHEN len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a', 'of', 'to', 'and', 'in', 'is'))) > 0 THEN 0.5 ELSE 0.0 END) AS DECIMAL(3,1)) AS quality
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+    "q_text_fingerprint" ->
+      """SELECT doc_id,
+        |  list_reduce(
+        |    list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(text, ' '), t -> CAST(ascii(t) * 256 + length(t) AS BIGINT))),
+        |    (a, b) -> (a * 131 + b) % 1000000007) AS fp
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+    "q_udtf_bigrams" ->
+      """SELECT bigram, count(*) AS cnt
+        |FROM (SELECT unnest(list_transform(range(1, len(string_split(text, ' '))),
+        |        i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i + 1])) AS bigram
+        |      FROM documents)
+        |GROUP BY bigram
+        |ORDER BY cnt DESC, bigram
+        |LIMIT 20""".stripMargin,
+    "q_udf_scalar" ->
+      """SELECT doc_id,
+        |  lower(trim(regexp_replace(concat('  ', upper(text), '   '), '\s+', ' ', 'g'))) AS norm,
+        |  CAST(length(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS INTEGER) AS norm_len
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin
+  )
+}

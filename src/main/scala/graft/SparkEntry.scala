@@ -21,7 +21,8 @@ object SparkEntry {
     Scans.queries ++ Filters.queries ++ Joins.queries ++
       Aggregations.queries ++ SortsSets.queries ++ Windows.queries ++
       graft.functions.FnSuites.queries ++ TextOps.queries ++
-      SimilarityOps.queries ++ NearDup.queries
+      SimilarityOps.queries ++ NearDup.queries ++ Multimodal.queries ++
+      graft.streaming.StreamingQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -29,5 +30,6 @@ object SparkEntry {
     Scans.oracle ++ Filters.oracle ++ Joins.oracle ++
       Aggregations.oracle ++ SortsSets.oracle ++ Windows.oracle ++
       graft.functions.FnSuites.oracle ++ TextOps.oracle ++
-      SimilarityOps.oracle ++ NearDup.oracle
+      SimilarityOps.oracle ++ NearDup.oracle ++ Multimodal.oracle ++
+      graft.streaming.StreamingQueries.oracle
 }

@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Extracted feature row for an opaque media blob. */
+case class MediaFeatures(doc_id: Long, n_bytes: Int, sum_bytes: Long, max_byte: Int)
+
+/** Multimodal-column plumbing: media as opaque `binary` columns with
+  * typed metadata, processed by per-partition batch functions — the
+  * Scala analogue of a Pandas-UDF/mapInPandas stage.
+  *
+  * The DECODE STEP IS A STUB: this container has no image/audio
+  * codecs, so `decodeStub` derives deterministic pseudo-features from
+  * raw bytes (byte-count / byte-sum / max-byte). The Spark-side
+  * plumbing — binary column handling, partition-wise iteration, typed
+  * output schema, no driver materialization — is real and is what a
+  * production decode (JNI/ImageIO inside the same mapPartitions) would
+  * reuse unchanged.
+  *
+  * No binary fixtures exist (FIXTURES.md), so the contract query
+  * derives its blob column by UTF-8-encoding `documents.text` —
+  * byte-level semantics stay oracle-checkable because the corpus is
+  * pure ASCII (byte value == character code).
+  */
+object Multimodal {
+
+  /** Stand-in for a real media decoder (e.g. JPEG → pixels). */
+  def decodeStub(bytes: Array[Byte]): (Int, Long, Int) = {
+    var sum = 0L
+    var max = 0
+    var i = 0
+    while (i < bytes.length) {
+      val b = bytes(i) & 0xff
+      sum += b
+      if (b > max) max = b
+      i += 1
+    }
+    (bytes.length, sum, max)
+  }
+
+  /** Partition-wise feature extraction over an (id, media: binary)
+    * frame — the mapInPandas-shaped stage.
+    */
+  def extractFeatures(s: SparkSession, df: DataFrame,
+                      idCol: String, mediaCol: String): DataFrame = {
+    import s.implicits._
+    df.select(col(idCol).cast("long"), col(mediaCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { iter =>
+        iter.map { case (id, bytes) =>
+          val (n, sum, mx) = decodeStub(bytes)
+          MediaFeatures(id, n, sum, mx)
+        }
+      }
+      .toDF()
+  }
+
+  /** Frame-sampling shape: split a blob into fixed-size chunks and
+    * keep every `stride`-th one (video frame-sample analogue).
+    */
+  def sampleChunks(s: SparkSession, df: DataFrame, idCol: String, mediaCol: String,
+                   chunkSize: Int, stride: Int): DataFrame = {
+    import s.implicits._
+    df.select(col(idCol).cast("long"), col(mediaCol))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        bytes.grouped(chunkSize).zipWithIndex.collect {
+          case (chunk, idx) if idx % stride == 0 => (id, idx, chunk)
+        }
+      }
+      .toDF("doc_id", "chunk_idx", "chunk")
+  }
+
+  /** Contract query: text → binary blob → partition-wise decode-stub
+    * features.
+    */
+  def multimodalFeatures(s: SparkSession, dir: String): DataFrame = {
+    val blobs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text").cast("binary").as("media"))
+    extractFeatures(s, blobs, "doc_id", "media").orderBy("doc_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_multimodal_features" -> multimodalFeatures
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_multimodal_features" ->
+      """SELECT doc_id,
+        |  CAST(length(text) AS INTEGER) AS n_bytes,
+        |  CAST(list_aggregate(list_transform(range(1, length(text) + 1),
+        |         i -> ascii(text[i])), 'sum') AS BIGINT) AS sum_bytes,
+        |  CAST(list_aggregate(list_transform(range(1, length(text) + 1),
+        |         i -> ascii(text[i])), 'max') AS INTEGER) AS max_byte
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin
+  )
+}

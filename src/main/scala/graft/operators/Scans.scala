@@ -42,10 +42,29 @@ object Scans {
         get_json_object(col("props"), "$.k").cast("int").as("k"))
       .orderBy("event_id")
 
+  /** Round-trip through the snapshot pipeline (graft.sources.Snapshot):
+    * export nation+region to a fresh manifest'd snapshot, read both
+    * back via the manifest file list, join and project. Values must be
+    * byte-identical to reading the originals — which is exactly what
+    * the oracle checks.
+    */
+  def snapshotRead(s: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft_snap").toString
+    graft.sources.Snapshot.export(s,
+      Map("nation" -> Tables.nation(s, dir), "region" -> Tables.region(s, dir)),
+      root, "tag1", None)
+    val n = graft.sources.Snapshot.read(s, root, "tag1", "nation")
+    val r = graft.sources.Snapshot.read(s, root, "tag1", "region")
+    n.join(r, col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"), col("r_name"))
+      .orderBy("n_nationkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_scan_parquet" -> scanParquet,
     "q_scan_pruned" -> scanPruned,
-    "q_source_json" -> sourceJson
+    "q_source_json" -> sourceJson,
+    "q_snapshot_read" -> snapshotRead
   )
 
   val oracle: Map[String, String] = Map(
@@ -63,6 +82,10 @@ object Scans {
       """SELECT event_id, event_type,
         |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
         |FROM events
-        |ORDER BY event_id""".stripMargin
+        |ORDER BY event_id""".stripMargin,
+    "q_snapshot_read" ->
+      """SELECT n_nationkey, n_name, r_name
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |ORDER BY n_nationkey""".stripMargin
   )
 }

@@ -1,0 +1,126 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Snapshot export/read/retention pipeline — the reference tool's own
+  * capability re-expressed for a Spark+parquet world (SURVEY §0.1,
+  * §7.2 M3): discover → copy-or-link → manifest → retention.
+  *
+  * Model: a snapshot `tag` is an immutable directory
+  * `root/<tag>/<table>/part-*.parquet` plus `root/<tag>/manifest.json`
+  * describing every table's files (path, size, rows) and the parent
+  * tag. Incremental export exploits immutability the way the
+  * reference exploits SSTable immutability: a table whose content
+  * signature matches the parent snapshot is NOT rewritten — its
+  * manifest entry points at the parent's files.
+  *
+  * All I/O goes through the Hadoop FileSystem API, so the same code
+  * runs against local disk here and HDFS/S3 on a cluster. The
+  * manifest is the unit of atomicity: written last, so a crashed
+  * export leaves no readable snapshot.
+  */
+object Snapshot {
+
+  case class FileEntry(path: String, size: Long)
+  case class TableEntry(files: Seq[FileEntry], rows: Long, signature: String)
+  case class Manifest(tag: String, parent: Option[String], tables: Map[String, TableEntry])
+
+  private def fs(s: SparkSession, root: String): FileSystem =
+    new Path(root).getFileSystem(s.sparkContext.hadoopConfiguration)
+
+  private def manifestPath(root: String, tag: String) = new Path(s"$root/$tag/manifest.json")
+
+  // --- manifest JSON (json4s ships with Spark) ---
+  import org.json4s._
+  import org.json4s.jackson.Serialization
+  private implicit val fmts: Formats = Serialization.formats(NoTypeHints)
+
+  def writeManifest(s: SparkSession, root: String, m: Manifest): Unit = {
+    val p = manifestPath(root, m.tag)
+    val out = fs(s, root).create(p, true)
+    try out.write(Serialization.write(m).getBytes("UTF-8")) finally out.close()
+  }
+
+  def readManifest(s: SparkSession, root: String, tag: String): Manifest = {
+    val p = manifestPath(root, tag)
+    val in = fs(s, root).open(p)
+    try Serialization.read[Manifest](new java.io.InputStreamReader(in, "UTF-8"))
+    finally in.close()
+  }
+
+  /** Content signature used for incremental skip: row count + schema.
+    * (A real deployment would use source-file checksums; fixtures are
+    * in-memory DataFrames, so content-level identity is the honest
+    * equivalent. The count is one cheap column-pruned job.)
+    */
+  private def signature(df: DataFrame, rows: Long): String =
+    s"$rows:${df.schema.catalogString.hashCode}"
+
+  /** Export `tables` as snapshot `tag`. With a parent, tables whose
+    * signature is unchanged are linked to the parent's files instead
+    * of rewritten (incremental transfer).
+    */
+  def export(s: SparkSession, tables: Map[String, DataFrame], root: String,
+             tag: String, parent: Option[String] = None): Manifest = {
+    val parentManifest = parent.map(readManifest(s, root, _))
+    val entries = tables.map { case (name, df) =>
+      val rows = df.count()
+      val sig = signature(df, rows)
+      val inherited = parentManifest.flatMap(_.tables.get(name)).filter(_.signature == sig)
+      val entry = inherited.getOrElse {
+        val dir = s"$root/$tag/$name"
+        df.write.mode("overwrite").parquet(dir)
+        val files = fs(s, root).listStatus(new Path(dir))
+          .filter(f => f.getPath.getName.endsWith(".parquet"))
+          .map(f => FileEntry(f.getPath.toString, f.getLen)).toSeq.sortBy(_.path)
+        TableEntry(files, rows, sig)
+      }
+      name -> entry
+    }
+    val m = Manifest(tag, parent, entries)
+    writeManifest(s, root, m)
+    m
+  }
+
+  /** Batch-queryable face of a snapshot: manifest → file list →
+    * parquet scan. Filters/pruning push into the scan as usual.
+    */
+  def read(s: SparkSession, root: String, tag: String, table: String): DataFrame = {
+    val m = readManifest(s, root, tag)
+    val entry = m.tables.getOrElse(table,
+      throw new IllegalArgumentException(s"table $table not in snapshot $tag"))
+    s.read.parquet(entry.files.map(_.path): _*)
+  }
+
+  def listTags(s: SparkSession, root: String): Seq[String] = {
+    val f = fs(s, root)
+    val rootPath = new Path(root)
+    if (!f.exists(rootPath)) Seq.empty
+    else f.listStatus(rootPath).filter(_.isDirectory).map(_.getPath.getName)
+      .filter(t => f.exists(manifestPath(root, t))).toSeq.sorted
+  }
+
+  /** Retention: keep the `n` newest tags (lexicographic tag order —
+    * callers use sortable tags like ISO timestamps) plus any ancestor
+    * snapshot still referenced by a kept manifest's file links.
+    */
+  def retain(s: SparkSession, root: String, n: Int): Seq[String] = {
+    val tags = listTags(s, root)
+    val keep = tags.takeRight(n).toSet
+    val referenced = scala.collection.mutable.Set.empty[String]
+    keep.foreach { t =>
+      val m = readManifest(s, root, t)
+      m.tables.values.flatMap(_.files).foreach { fe =>
+        // file layout is root/<tag>/<table>/<part file> → owner tag is
+        // two levels up; robust to scheme-qualified paths (file:/, hdfs:/)
+        val owner = new Path(fe.path).getParent.getParent.getName
+        if (owner.nonEmpty) referenced += owner
+      }
+    }
+    val doomed = tags.filterNot(t => keep.contains(t) || referenced.contains(t))
+    val f = fs(s, root)
+    doomed.foreach(t => f.delete(new Path(s"$root/$t"), true))
+    doomed
+  }
+}

@@ -1,0 +1,138 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.dec
+import graft.sources.Tables
+
+/** §2.8 streaming operators, contract-safe delivery: each key returns
+  * the batch-equivalent DataFrame (the driver calls .count()/.write on
+  * results, and a streaming DataFrame would throw). The true
+  * Structured Streaming twins — readStream + watermark +
+  * Trigger.AvailableNow — run in StreamingSpec and are asserted equal
+  * to these batch forms.
+  *
+  * Late-data policy (SURVEY §2.8): watermark 2h on ts; tumbling/
+  * sliding/session windows finalize when the watermark passes.
+  */
+object StreamingQueries {
+
+  /** 1-hour tumbling counts + sums per event type. */
+  def tumbling(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(dec("value")).as("sum_value"))
+      .select(col("w.start").as("bucket"), col("event_type"), col("n"), col("sum_value"))
+      .orderBy("bucket", "event_type")
+
+  /** 1-hour window sliding every 15 minutes, per type. */
+  def sliding(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("bucket"), col("event_type"), col("n"))
+      .orderBy("bucket", "event_type")
+
+  /** Session windows, 30-minute gap, per user. */
+  def session(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("w.start").as("s_start"), col("w.end").as("s_end"),
+        col("user_id"), col("n_events"))
+      .orderBy("user_id", "s_start")
+
+  /** Duplicate-delivery dedup: the stream is simulated as the events
+    * table delivered twice; the deterministic reduction keeps one row
+    * per event_id (aggregation, not dropDuplicates — keeper must not
+    * depend on partition order).
+    */
+  def dedup(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+      .select(col("event_id"), col("event_type"), col("ts"), col("user_id"))
+    e.unionAll(e)
+      .groupBy(col("event_id"))
+      .agg(
+        min(col("event_type")).as("event_type"),
+        min(col("user_id")).as("user_id"),
+        date_trunc("minute", min(col("ts"))).as("minute_bucket"),
+        count(lit(1)).as("n_seen"))
+      .orderBy("event_id")
+  }
+
+  /** Late-data accounting: events older than (max ts − 2h watermark)
+    * counted per hour bucket. The watermark scalar comes from a
+    * 1-row aggregate broadcast against the stream — no driver loop.
+    */
+  def late(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    val wm = e.agg((max(unix_micros(col("ts"))) - lit(2L * 3600 * 1000000)).as("wm_us"))
+    e.crossJoin(broadcast(wm))
+      .groupBy(date_trunc("hour", col("ts")).as("bucket"))
+      .agg(
+        count(lit(1)).as("n_total"),
+        sum(when(unix_micros(col("ts")) < col("wm_us"), 1L).otherwise(0L)).as("n_late"))
+      .orderBy("bucket")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stream_tumbling" -> tumbling,
+    "q_stream_sliding" -> sliding,
+    "q_stream_session" -> session,
+    "q_stream_dedup" -> dedup,
+    "q_stream_late" -> late
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_stream_tumbling" ->
+      """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket, event_type,
+        |  count(*) AS n,
+        |  sum(CAST(value AS DECIMAL(18,2))) AS sum_value
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY bucket, event_type""".stripMargin,
+    "q_stream_sliding" ->
+      """SELECT TIMESTAMP '1970-01-01 00:00:00'
+        |    + ((epoch_us(CAST(ts AS TIMESTAMP)) // 1000000) // 900 - k) * 900 * INTERVAL '1 second' AS bucket,
+        |  event_type, count(*) AS n
+        |FROM events, (SELECT unnest([0, 1, 2, 3]) AS k)
+        |GROUP BY 1, 2
+        |ORDER BY bucket, event_type""".stripMargin,
+    "q_stream_session" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |marked AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |sess AS (
+        |  SELECT user_id, ts,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM marked)
+        |SELECT min(ts) AS s_start,
+        |  max(ts) + INTERVAL 30 MINUTE AS s_end,
+        |  user_id, count(*) AS n_events
+        |FROM sess
+        |GROUP BY user_id, sid
+        |ORDER BY user_id, s_start""".stripMargin,
+    "q_stream_dedup" ->
+      """SELECT event_id,
+        |  min(event_type) AS event_type,
+        |  min(user_id) AS user_id,
+        |  date_trunc('minute', min(CAST(ts AS TIMESTAMP))) AS minute_bucket,
+        |  count(*) AS n_seen
+        |FROM (SELECT * FROM events UNION ALL SELECT * FROM events)
+        |GROUP BY event_id
+        |ORDER BY event_id""".stripMargin,
+    "q_stream_late" ->
+      """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket,
+        |  count(*) AS n_total,
+        |  CAST(sum(CASE WHEN epoch_us(CAST(ts AS TIMESTAMP)) <
+        |        (SELECT max(epoch_us(CAST(ts AS TIMESTAMP))) - 7200000000 FROM events)
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_late
+        |FROM events
+        |GROUP BY 1
+        |ORDER BY bucket""".stripMargin
+  )
+}

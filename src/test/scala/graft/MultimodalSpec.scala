@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Multimodal
+
+/** Multimodal plumbing: binary columns through partition-wise typed
+  * stages, on in-memory blobs and the contract query.
+  */
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("extractFeatures computes byte stats over opaque blobs") {
+    val blobs = Seq(
+      (1L, Array[Byte](0, 1, 2, 3)),
+      (2L, Array[Byte](10, 20)),
+      (3L, Array.empty[Byte])
+    ).toDF("id", "media")
+    val feats = Multimodal.extractFeatures(spark, blobs, "id", "media")
+      .orderBy("doc_id").collect()
+    assert(feats.map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3))).toSeq ==
+      Seq((1L, 4, 6L, 3), (2L, 2, 30L, 20), (3L, 0, 0L, 0)))
+  }
+
+  test("sampleChunks keeps every stride-th fixed-size chunk") {
+    val blobs = Seq((7L, (0 until 100).map(_.toByte).toArray)).toDF("id", "media")
+    val chunks = Multimodal.sampleChunks(spark, blobs, "id", "media", chunkSize = 10, stride = 3)
+      .orderBy("chunk_idx").collect()
+    assert(chunks.map(_.getInt(1)).toSeq == Seq(0, 3, 6, 9))
+    assert(chunks.forall(_.getAs[Array[Byte]](2).length == 10))
+  }
+
+  test("contract query: n_bytes equals documents.n_chars (ASCII corpus)") {
+    val feats = q("q_multimodal_features")
+    val joined = feats.join(graft.sources.Tables.documents(spark, sf), Seq("doc_id"))
+    assert(joined.where(col("n_bytes") =!= col("n_chars")).count() == 0)
+  }
+}

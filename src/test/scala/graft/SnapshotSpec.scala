@@ -1,0 +1,60 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.sources.{Snapshot, Tables}
+
+/** Snapshot pipeline behavior (SURVEY §7.2 M3): export, manifest,
+  * incremental link, read-back equality, retention with ancestor
+  * protection.
+  */
+class SnapshotSpec extends SparkSpec {
+
+  test("export + read round-trips table content exactly") {
+    val root = Files.createTempDirectory("snap_rt").toString
+    Snapshot.export(spark, Map("nation" -> Tables.nation(spark, sf)), root, "t1")
+    val back = Snapshot.read(spark, root, "t1", "nation")
+    val orig = Tables.nation(spark, sf)
+    assert(back.count() == orig.count())
+    assert(back.exceptAll(orig).count() == 0 && orig.exceptAll(back).count() == 0)
+  }
+
+  test("incremental export links unchanged tables to parent files (no rewrite)") {
+    val root = Files.createTempDirectory("snap_inc").toString
+    val m1 = Snapshot.export(spark, Map("nation" -> Tables.nation(spark, sf)), root, "tag_a")
+    val m2 = Snapshot.export(spark, Map("nation" -> Tables.nation(spark, sf)), root, "tag_b", Some("tag_a"))
+    assert(m2.tables("nation").files == m1.tables("nation").files,
+      "unchanged table must reference parent's files")
+    assert(m2.tables("nation").files.forall(_.path.contains("tag_a")))
+    // changed content → rewritten under the new tag
+    val changed = Tables.nation(spark, sf).where(col("n_nationkey") < 10)
+    val m3 = Snapshot.export(spark, Map("nation" -> changed), root, "tag_c", Some("tag_b"))
+    assert(m3.tables("nation").files.forall(_.path.contains("tag_c")))
+    assert(Snapshot.read(spark, root, "tag_c", "nation").count() == 10)
+  }
+
+  test("retention keeps newest n tags plus linked ancestors") {
+    val root = Files.createTempDirectory("snap_ret").toString
+    val nation = Tables.nation(spark, sf)
+    Snapshot.export(spark, Map("nation" -> nation), root, "tag_1")
+    Snapshot.export(spark, Map("nation" -> nation), root, "tag_2", Some("tag_1")) // links into tag_1
+    Snapshot.export(spark, Map("nation" -> nation.limit(5)), root, "tag_3", Some("tag_2"))
+    val deleted = Snapshot.retain(spark, root, 2)
+    // tag_1 is an ancestor still referenced by tag_2's links → protected
+    assert(deleted.isEmpty)
+    assert(Snapshot.listTags(spark, root).toSet == Set("tag_1", "tag_2", "tag_3"))
+    // tag_3 has its own files; keeping only it frees tag_1/tag_2
+    val deleted2 = Snapshot.retain(spark, root, 1)
+    assert(deleted2.toSet == Set("tag_1", "tag_2"))
+    assert(Snapshot.read(spark, root, "tag_3", "nation").count() == 5)
+  }
+
+  test("crashed export leaves no readable snapshot (manifest written last)") {
+    val root = Files.createTempDirectory("snap_crash").toString
+    // simulate: data dir exists but no manifest
+    Tables.region(spark, sf).write.parquet(s"$root/half_done/region")
+    assert(!Snapshot.listTags(spark, root).contains("half_done"))
+    intercept[Exception](Snapshot.readManifest(spark, root, "half_done"))
+  }
+}

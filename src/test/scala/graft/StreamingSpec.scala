@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.types._
+
+case class UserEvent(user_id: Long, event_id: Long)
+case class UserCount(user_id: Long, n: Long)
+
+/** True Structured Streaming twins of the §2.8 batch forms: the same
+  * events parquet replayed through readStream with
+  * Trigger.AvailableNow, asserted equal to the batch contract
+  * queries. Plus the arbitrary-stateful showcase
+  * (flatMapGroupsWithState).
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Streaming view of events: parquet nanos read as long (same trick
+    * as Tables.events), rebuilt to a µs timestamp.
+    */
+  /** File stream sources need a directory: stage the single fixture
+    * file behind a symlink in a temp dir.
+    */
+  private lazy val eventsDir: String = {
+    val d = java.nio.file.Files.createTempDirectory("events_stream")
+    java.nio.file.Files.createSymbolicLink(
+      d.resolve("events.parquet"), java.nio.file.Paths.get(s"$sf/events.parquet"))
+    d.toString
+  }
+
+  private def eventsStream: DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    spark.readStream.schema(schema).parquet(eventsDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  private def runToMemory(df: DataFrame, name: String, mode: OutputMode): DataFrame = {
+    val q = df.writeStream.outputMode(mode).format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
+  test("streaming tumbling window (complete mode) equals the batch form") {
+    val streamed = runToMemory(
+      eventsStream
+        .withWatermark("ts", "2 hours")
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("value").cast("decimal(18,2)")).as("sum_value"))
+        .select(col("w.start").as("bucket"), col("event_type"), col("n"), col("sum_value")),
+      "tumbling_out", OutputMode.Complete())
+    val batch = q("q_stream_tumbling")
+    assert(streamed.count() == batch.count())
+    assert(streamed.exceptAll(batch).count() == 0 && batch.exceptAll(streamed).count() == 0)
+  }
+
+  test("streaming dedup-within-watermark keeps one row per event_id") {
+    val streamed = runToMemory(
+      eventsStream.withWatermark("ts", "2 hours")
+        .dropDuplicatesWithinWatermark("event_id")
+        .select(col("event_id")),
+      "dedup_out", OutputMode.Append())
+    val expected = graft.sources.Tables.events(spark, sf).select("event_id").distinct().count()
+    assert(streamed.count() == expected)
+  }
+
+  test("streaming session windows (append): finalized sessions match the batch form") {
+    val streamed = runToMemory(
+      eventsStream.withWatermark("ts", "2 hours")
+        .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("w.start").as("s_start"), col("w.end").as("s_end"),
+          col("user_id"), col("n_events")),
+      "session_out", OutputMode.Append())
+    val batch = q("q_stream_session")
+    // append emits only watermark-finalized sessions → subset of batch
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).count() == 0,
+      "every finalized streaming session must appear in the batch result")
+  }
+
+  test("stateful showcase: flatMapGroupsWithState running per-user counts") {
+    val fn = (uid: Long, events: Iterator[UserEvent], state: GroupState[Long]) => {
+      val n = state.getOption.getOrElse(0L) + events.size
+      state.update(n)
+      Iterator(UserCount(uid, n))
+    }
+    val ds: Dataset[UserEvent] = eventsStream.select(col("user_id"), col("event_id")).as[UserEvent]
+    val streamed = runToMemory(
+      ds.groupByKey(_.user_id)
+        .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout())(fn)
+        .toDF(),
+      "stateful_out", OutputMode.Update())
+    // final state per user (last update) must equal batch counts
+    val finalCounts = streamed.groupBy(col("user_id")).agg(max(col("n")).as("n"))
+    val batch = graft.sources.Tables.events(spark, sf)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+    assert(finalCounts.exceptAll(batch).count() == 0 && batch.exceptAll(finalCounts).count() == 0)
+  }
+}

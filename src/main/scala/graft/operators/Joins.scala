@@ -165,6 +165,23 @@ object Joins {
       .orderBy("event_id")
   }
 
+  /** Same as-of semantics through the NATIVE custom operator
+    * (graft.plans.AsOfJoin: logical node + strategy + co-partitioned
+    * sort-merge exec) — one shuffle per side, O(n+m) merge per
+    * partition. Oracle: DuckDB's native ASOF LEFT JOIN, and
+    * AsOfSpec asserts equality with the window-technique q_join_asof.
+    */
+  def joinAsofCustom(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    val purchases = e.where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts").as("p_ts"))
+    val clicks = e.where(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+    graft.plans.AsOf.join(purchases, clicks, "user_id", "c_user", "p_ts", "c_ts")
+      .select(col("event_id"), col("user_id"), col("p_ts"), col("c_ts").as("click_ts"))
+      .orderBy("event_id")
+  }
+
   /** Tiny cross product: region × nation. */
   def joinCross(s: SparkSession, dir: String): DataFrame =
     Tables.region(s, dir).crossJoin(Tables.nation(s, dir))
@@ -182,6 +199,7 @@ object Joins {
     "q_join_theta_range" -> joinThetaRange,
     "q_join_interval" -> joinInterval,
     "q_join_asof" -> joinAsof,
+    "q_join_asof_custom" -> joinAsofCustom,
     "q_join_cross" -> joinCross
   )
 
@@ -256,6 +274,14 @@ object Joins {
         | AND o1.o_orderkey < o2.o_orderkey
         |ORDER BY custkey, first_order, next_order""".stripMargin,
     "q_join_asof" ->
+      """SELECT p.event_id, p.user_id,
+        |  CAST(p.ts AS TIMESTAMP) AS p_ts,
+        |  CAST(c.ts AS TIMESTAMP) AS click_ts
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY p.event_id""".stripMargin,
+    "q_join_asof_custom" ->
       """SELECT p.event_id, p.user_id,
         |  CAST(p.ts AS TIMESTAMP) AS p_ts,
         |  CAST(c.ts AS TIMESTAMP) AS click_ts

@@ -132,19 +132,19 @@ object TextOps {
         expr("aggregate(vals, CAST(0 AS BIGINT), (a, b) -> (a * 131 + b) % 1000000007)").as("fp"))
       .orderBy("doc_id")
 
-  /** Table-function shape: document → bigram rows via a generator
-    * (explode over an index-driven transform), then global top-20.
+  /** True table function: document → bigram rows via the custom
+    * Catalyst Generator (graft.functions.BigramGenerator — emits rows
+    * directly, no intermediate array), then global top-20.
     */
-  def udtfBigrams(s: SparkSession, dir: String): DataFrame =
+  def udtfBigrams(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.BigramGenerator.register(s)
     Tables.documents(s, dir)
-      .withColumn("toks", split(col("text"), " "))
-      .select(explode(expr(
-        "transform(sequence(1, size(toks) - 1), i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"))
-        .as("bigram"))
+      .select(expr("bigrams(split(text, ' '))"))
       .groupBy(col("bigram"))
       .agg(count(lit(1)).as("cnt"))
       .orderBy(desc("cnt"), asc("bigram"))
       .limit(20)
+  }
 
   /** Registered scalar UDF showcase: normalize_text (trim + collapse
     * whitespace + lowercase), kept SQL-replicable by design.

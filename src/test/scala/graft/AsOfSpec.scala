@@ -1,0 +1,50 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import graft.plans.AsOf
+
+/** Native as-of join operator (graft.plans.AsOfJoin). */
+class AsOfSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("custom as-of equals the window-technique implementation on fixtures") {
+    val custom = q("q_join_asof_custom")
+    val window = q("q_join_asof")
+      .select(col("event_id"), col("user_id"), col("p_ts"), col("click_ts"))
+    assert(custom.count() == window.count())
+    assert(custom.exceptAll(window).count() == 0 && window.exceptAll(custom).count() == 0)
+  }
+
+  test("physical plan uses AsOfJoinExec with shuffles on the key") {
+    val plan = q("q_join_asof_custom").queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin"), plan)
+    assert(plan.contains("hashpartitioning(user_id"), plan)
+  }
+
+  test("handcrafted: backward match, tie-at-equal-ts, and no-match → nulls") {
+    def ts(s: String) = Timestamp.valueOf(s)
+    val lefts = Seq(
+      (1L, 100L, ts("2024-01-01 10:00:00")),
+      (2L, 100L, ts("2024-01-01 12:00:00")),
+      (3L, 200L, ts("2024-01-01 09:00:00"))  // key with no right rows at-or-before
+    ).toDF("id", "k", "t")
+    val rights = Seq(
+      (100L, ts("2024-01-01 09:30:00"), "a"),
+      (100L, ts("2024-01-01 12:00:00"), "b"), // equal ts → eligible (<=)
+      (200L, ts("2024-01-01 09:30:00"), "late"),
+      (999L, ts("2024-01-01 00:00:00"), "other-key")
+    ).toDF("rk", "rt", "tag")
+    val out = AsOf.join(lefts, rights, "k", "rk", "t", "rt")
+      .select(col("id"), col("tag")).orderBy("id").collect()
+    assert(out.map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "a"), (2L, "b"), (3L, null)))
+  }
+
+  test("missing column name raises a clear error") {
+    val df = Seq((1L, 2L)).toDF("a", "b")
+    val e = intercept[IllegalArgumentException](AsOf.join(df, df, "nope", "a", "b", "b"))
+    assert(e.getMessage.contains("nope"))
+  }
+}

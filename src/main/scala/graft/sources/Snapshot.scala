@@ -23,7 +23,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Snapshot {
 
   case class FileEntry(path: String, size: Long)
-  case class TableEntry(files: Seq[FileEntry], rows: Long, signature: String)
+  /** `dir` is set for hive-partitioned tables (partition values are
+    * directory-encoded, so readers need the base dir, not bare files).
+    */
+  case class TableEntry(files: Seq[FileEntry], rows: Long, signature: String,
+                        dir: Option[String] = None, partitionBy: Seq[String] = Nil)
   case class Manifest(tag: String, parent: Option[String], tables: Map[String, TableEntry])
 
   private def fs(s: SparkSession, root: String): FileSystem =
@@ -62,7 +66,8 @@ object Snapshot {
     * of rewritten (incremental transfer).
     */
   def export(s: SparkSession, tables: Map[String, DataFrame], root: String,
-             tag: String, parent: Option[String] = None): Manifest = {
+             tag: String, parent: Option[String] = None,
+             partitionBy: Map[String, Seq[String]] = Map.empty): Manifest = {
     val parentManifest = parent.map(readManifest(s, root, _))
     val entries = tables.map { case (name, df) =>
       val rows = df.count()
@@ -70,17 +75,29 @@ object Snapshot {
       val inherited = parentManifest.flatMap(_.tables.get(name)).filter(_.signature == sig)
       val entry = inherited.getOrElse {
         val dir = s"$root/$tag/$name"
-        df.write.mode("overwrite").parquet(dir)
-        val files = fs(s, root).listStatus(new Path(dir))
-          .filter(f => f.getPath.getName.endsWith(".parquet"))
-          .map(f => FileEntry(f.getPath.toString, f.getLen)).toSeq.sortBy(_.path)
-        TableEntry(files, rows, sig)
+        val partCols = partitionBy.getOrElse(name, Nil)
+        val writer = df.write.mode("overwrite")
+        (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer).parquet(dir)
+        val files = listParquetRecursive(fs(s, root), new Path(dir))
+        TableEntry(files, rows, sig,
+          dir = if (partCols.nonEmpty) Some(dir) else None, partitionBy = partCols)
       }
       name -> entry
     }
     val m = Manifest(tag, parent, entries)
     writeManifest(s, root, m)
     m
+  }
+
+  private def listParquetRecursive(f: FileSystem, dir: Path): Seq[FileEntry] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[FileEntry]
+    val it = f.listFiles(dir, true)
+    while (it.hasNext) {
+      val st = it.next()
+      if (st.getPath.getName.endsWith(".parquet"))
+        out += FileEntry(st.getPath.toString, st.getLen)
+    }
+    out.sortBy(_.path).toSeq
   }
 
   /** Batch-queryable face of a snapshot: manifest → file list →
@@ -90,7 +107,12 @@ object Snapshot {
     val m = readManifest(s, root, tag)
     val entry = m.tables.getOrElse(table,
       throw new IllegalArgumentException(s"table $table not in snapshot $tag"))
-    s.read.parquet(entry.files.map(_.path): _*)
+    entry.dir match {
+      // partitioned: read the directory so partition values decode from
+      // the layout and partition pruning applies to predicates
+      case Some(d) => s.read.parquet(d)
+      case None => s.read.parquet(entry.files.map(_.path): _*)
+    }
   }
 
   def listTags(s: SparkSession, root: String): Seq[String] = {

@@ -50,6 +50,21 @@ class SnapshotSpec extends SparkSpec {
     assert(Snapshot.read(spark, root, "tag_3", "nation").count() == 5)
   }
 
+  test("partitioned export prunes partitions on read (the 100 TB DPP path)") {
+    val root = Files.createTempDirectory("snap_part").toString
+    Snapshot.export(spark, Map("orders" -> Tables.orders(spark, sf)), root, "p1",
+      partitionBy = Map("orders" -> Seq("o_orderpriority")))
+    val back = Snapshot.read(spark, root, "p1", "orders")
+    assert(back.count() == Tables.orders(spark, sf).count())
+    val filtered = back.where(col("o_orderpriority") === "1-URGENT")
+    val expected = Tables.orders(spark, sf)
+      .where(col("o_orderpriority") === "1-URGENT").count()
+    assert(filtered.count() == expected)
+    // the predicate must become a partition filter, not a data filter
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(o_orderpriority"), plan)
+  }
+
   test("crashed export leaves no readable snapshot (manifest written last)") {
     val root = Files.createTempDirectory("snap_crash").toString
     // simulate: data dir exists but no manifest

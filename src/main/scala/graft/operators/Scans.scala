@@ -60,11 +60,29 @@ object Scans {
       .orderBy("n_nationkey")
   }
 
+  /** Same pipeline through the DataSource V2 face
+    * (graft.sources.SnapshotSource): export documents to a snapshot,
+    * read it back via spark.read.format(...), aggregate. Exercises the
+    * custom TableProvider → ScanBuilder → per-file PartitionReader
+    * path with manifest-supplied schema.
+    */
+  def snapshotDsv2(s: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft_snap_v2").toString
+    graft.sources.Snapshot.export(s,
+      Map("documents" -> Tables.documents(s, dir)), root, "tag1", None)
+    s.read.format("graft.sources.SnapshotSource")
+      .option("root", root).option("tag", "tag1").option("table", "documents").load()
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+      .orderBy("lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_scan_parquet" -> scanParquet,
     "q_scan_pruned" -> scanPruned,
     "q_source_json" -> sourceJson,
-    "q_snapshot_read" -> snapshotRead
+    "q_snapshot_read" -> snapshotRead,
+    "q_snapshot_dsv2" -> snapshotDsv2
   )
 
   val oracle: Map[String, String] = Map(
@@ -86,6 +104,12 @@ object Scans {
     "q_snapshot_read" ->
       """SELECT n_nationkey, n_name, r_name
         |FROM nation JOIN region ON n_regionkey = r_regionkey
-        |ORDER BY n_nationkey""".stripMargin
+        |ORDER BY n_nationkey""".stripMargin,
+    "q_snapshot_dsv2" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM documents
+        |GROUP BY lang
+        |ORDER BY lang""".stripMargin
   )
 }

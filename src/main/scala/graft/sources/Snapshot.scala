@@ -27,7 +27,8 @@ object Snapshot {
     * directory-encoded, so readers need the base dir, not bare files).
     */
   case class TableEntry(files: Seq[FileEntry], rows: Long, signature: String,
-                        dir: Option[String] = None, partitionBy: Seq[String] = Nil)
+                        dir: Option[String] = None, partitionBy: Seq[String] = Nil,
+                        schemaJson: Option[String] = None)
   case class Manifest(tag: String, parent: Option[String], tables: Map[String, TableEntry])
 
   private def fs(s: SparkSession, root: String): FileSystem =
@@ -80,7 +81,8 @@ object Snapshot {
         (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer).parquet(dir)
         val files = listParquetRecursive(fs(s, root), new Path(dir))
         TableEntry(files, rows, sig,
-          dir = if (partCols.nonEmpty) Some(dir) else None, partitionBy = partCols)
+          dir = if (partCols.nonEmpty) Some(dir) else None, partitionBy = partCols,
+          schemaJson = Some(df.schema.json))
       }
       name -> entry
     }

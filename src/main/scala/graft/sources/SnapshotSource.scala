@@ -1,0 +1,162 @@
+package graft.sources
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.parquet.example.data.Group
+import org.apache.parquet.hadoop.ParquetReader
+import org.apache.parquet.hadoop.api.ReadSupport
+import org.apache.parquet.hadoop.example.GroupReadSupport
+import org.apache.parquet.schema.MessageType
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSource V2 face of the snapshot store — the "custom source" of
+  * the project north-star: `spark.read.format("graft.sources.SnapshotSource")
+  * .option("root", …).option("tag", …).option("table", …)`.
+  *
+  * The manifest supplies the schema (no footer sniffing on the
+  * driver); each manifest file entry becomes one InputPartition, so
+  * parallelism follows the snapshot's file layout; the reader applies
+  * COLUMN PRUNING by handing parquet a projected read schema
+  * (SupportsPushDownRequiredColumns → parquet only materializes the
+  * requested columns).
+  *
+  * v1 scope: primitive column types (int/long/float/double/boolean/
+  * string) — the snapshot tables it serves (dimension/document
+  * tables) are all primitive-typed. Timestamp/nested types fall back
+  * to `Snapshot.read` (the manifest-driven parquet scan), which
+  * remains the general path.
+  */
+class SnapshotSource extends TableProvider {
+
+  override def supportsExternalMetadata(): Boolean = true
+
+  private def manifestFor(options: CaseInsensitiveStringMap): (Snapshot.TableEntry, String) = {
+    val root = options.get("root")
+    val tag = options.get("tag")
+    val table = options.get("table")
+    require(root != null && tag != null && table != null,
+      "options root, tag and table are required")
+    val spark = SparkSession.active
+    val m = Snapshot.readManifest(spark, root, tag)
+    (m.tables.getOrElse(table,
+      throw new IllegalArgumentException(s"table $table not in snapshot $tag")), table)
+  }
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val (entry, table) = manifestFor(options)
+    entry.schemaJson.map(DataType.fromJson(_).asInstanceOf[StructType]).getOrElse(
+      throw new IllegalArgumentException(
+        s"snapshot entry for $table predates schemaJson manifests"))
+  }
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table = {
+    val options = new CaseInsensitiveStringMap(properties)
+    val (entry, table) = manifestFor(options)
+    SnapshotTable(table, schema, entry.files.map(_.path))
+  }
+}
+
+case class SnapshotTable(tableName: String, tableSchema: StructType, files: Seq[String])
+    extends Table with SupportsRead {
+  override def name(): String = s"graft_snapshot_$tableName"
+  override def schema(): StructType = tableSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new SnapshotScanBuilder(tableSchema, files)
+}
+
+class SnapshotScanBuilder(dataSchema: StructType, files: Seq[String])
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = dataSchema
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+  override def build(): Scan = SnapshotScan(dataSchema, required, files)
+}
+
+case class SnapshotScan(dataSchema: StructType, required: StructType, files: Seq[String])
+    extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] =
+    files.map(f => SnapshotInputPartition(f): InputPartition).toArray
+  override def createReaderFactory(): PartitionReaderFactory =
+    SnapshotReaderFactory(required.json)
+  override def description(): String =
+    s"GraftSnapshotScan(files=${files.size}, columns=${required.fieldNames.mkString(",")})"
+}
+
+case class SnapshotInputPartition(file: String) extends InputPartition
+
+case class SnapshotReaderFactory(requiredJson: String) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val file = partition.asInstanceOf[SnapshotInputPartition].file
+    val required = DataType.fromJson(requiredJson).asInstanceOf[StructType]
+    new SnapshotPartitionReader(file, required)
+  }
+}
+
+/** One-file reader over the parquet Group API with a projected read
+  * schema (real parquet-side column pruning).
+  */
+class SnapshotPartitionReader(file: String, required: StructType)
+    extends PartitionReader[InternalRow] {
+
+  private val conf = new Configuration()
+  private val reader: ParquetReader[Group] = {
+    val path = new org.apache.hadoop.fs.Path(file)
+    val inputFile = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(path, conf)
+    val footerReader = org.apache.parquet.hadoop.ParquetFileReader.open(inputFile)
+    val fullSchema = try footerReader.getFooter.getFileMetaData.getSchema
+    finally footerReader.close()
+    val fields: Seq[org.apache.parquet.schema.Type] =
+      required.fieldNames.toSeq.map(n => fullSchema.getType(Seq(n): _*))
+    val projected = new MessageType(fullSchema.getName, fields: _*)
+    conf.set(ReadSupport.PARQUET_READ_SCHEMA, projected.toString)
+    ParquetReader.builder(new GroupReadSupport(), path).withConf(conf).build()
+  }
+
+  private var current: Group = _
+
+  override def next(): Boolean = {
+    current = reader.read()
+    current != null
+  }
+
+  override def get(): InternalRow = {
+    val values = new Array[Any](required.length)
+    var i = 0
+    while (i < required.length) {
+      val f = required.fields(i)
+      values(i) =
+        if (current.getFieldRepetitionCount(f.name) == 0) null
+        else f.dataType match {
+          case LongType => current.getLong(f.name, 0)
+          case IntegerType => current.getInteger(f.name, 0)
+          case DoubleType => current.getDouble(f.name, 0)
+          case FloatType => current.getFloat(f.name, 0)
+          case BooleanType => current.getBoolean(f.name, 0)
+          case StringType => UTF8String.fromBytes(current.getBinary(f.name, 0).getBytes)
+          case other => throw new UnsupportedOperationException(
+            s"SnapshotSource v1 supports primitive columns only; ${f.name} is $other " +
+              "— use graft.sources.Snapshot.read for this table")
+        }
+      i += 1
+    }
+    new GenericInternalRow(values)
+  }
+
+  override def close(): Unit = reader.close()
+}

@@ -1,0 +1,58 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.sources.{Snapshot, Tables}
+
+/** DataSource V2 snapshot source: spark.read.format(...) end-to-end. */
+class SnapshotSourceSpec extends SparkSpec {
+
+  private lazy val root: String = {
+    val r = Files.createTempDirectory("snap_dsv2").toString
+    Snapshot.export(spark, Map(
+      "documents" -> Tables.documents(spark, sf),
+      "nation" -> Tables.nation(spark, sf)), r, "t1")
+    r
+  }
+
+  private def dsv2(table: String) =
+    spark.read.format("graft.sources.SnapshotSource")
+      .option("root", root).option("tag", "t1").option("table", table).load()
+
+  test("DSv2 read equals the manifest-driven parquet read") {
+    val v2 = dsv2("documents")
+    val v1 = Snapshot.read(spark, root, "t1", "documents")
+    assert(v2.schema == v1.schema)
+    assert(v2.count() == v1.count())
+    assert(v2.exceptAll(v1).count() == 0 && v1.exceptAll(v2).count() == 0)
+  }
+
+  test("column pruning reaches the scan (projected read schema)") {
+    val pruned = dsv2("documents").select("doc_id", "lang")
+    assert(pruned.schema.fieldNames.toSeq == Seq("doc_id", "lang"))
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("GraftSnapshotScan"), plan)
+    assert(plan.contains("columns=doc_id,lang"), plan)
+    // values survive the projection
+    assert(pruned.where(col("lang") === "en").count() ==
+      Tables.documents(spark, sf).where(col("lang") === "en").count())
+  }
+
+  test("joins and aggregates compose over the DSv2 source") {
+    val counts = dsv2("documents").groupBy("lang").count().orderBy("lang").collect()
+    val expected = Tables.documents(spark, sf).groupBy("lang").count().orderBy("lang").collect()
+    assert(counts.sameElements(expected))
+  }
+
+  test("missing table and missing options fail with clear errors") {
+    val e = intercept[Exception] {
+      spark.read.format("graft.sources.SnapshotSource")
+        .option("root", root).option("tag", "t1").option("table", "nope").load()
+    }
+    assert(e.getMessage.contains("nope"))
+    intercept[Exception] {
+      spark.read.format("graft.sources.SnapshotSource").option("root", root).load()
+    }
+  }
+}

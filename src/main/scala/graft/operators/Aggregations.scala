@@ -119,7 +119,18 @@ object Aggregations {
       .orderBy("l_returnflag")
   }
 
+  /** Hot-key aggregation through the explicit two-stage salting path
+    * (graft.operators.Skew): events has only 5 event_type values, the
+    * canonical skew shape. Stage 1 spreads each hot key over 8 salt
+    * buckets, stage 2 merges — result identical to the direct
+    * aggregation (decimal sums are associative), verified by oracle.
+    */
+  def aggSaltedSkew(s: SparkSession, dir: String): DataFrame =
+    Skew.saltedSumCount(Tables.events(s, dir), "event_type", dec("value"), "event_id", 8)
+      .orderBy("event_type")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_agg_salted_skew" -> aggSaltedSkew,
     "q_agg_pricing_summary" -> pricingSummary,
     "q_agg_distinct" -> aggDistinct,
     "q_agg_approx_hll" -> aggApproxHll,
@@ -144,6 +155,13 @@ object Aggregations {
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_agg_salted_skew" ->
+      """SELECT event_type,
+        |  sum(CAST(value AS DECIMAL(18,2))) AS total,
+        |  count(*) AS n
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
     "q_agg_distinct" ->
       """SELECT l_returnflag,
         |  count(DISTINCT l_partkey) AS n_parts,

@@ -104,3 +104,59 @@ class StreamingSpec extends SparkSpec {
     assert(finalCounts.exceptAll(batch).count() == 0 && batch.exceptAll(finalCounts).count() == 0)
   }
 }
+
+/** Spark 4-native arbitrary state: per-user running max value via
+  * transformWithState (RocksDB state store required).
+  */
+class TransformWithStateSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("transformWithState: per-user running max equals batch max") {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val d = java.nio.file.Files.createTempDirectory("tws_events")
+    java.nio.file.Files.createSymbolicLink(
+      d.resolve("events.parquet"), java.nio.file.Paths.get(s"$sf/events.parquet"))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("props", org.apache.spark.sql.types.StringType)))
+    val stream = spark.readStream.schema(schema).parquet(d.toString)
+      .select(col("user_id"), col("value"))
+
+    val processor = new org.apache.spark.sql.streaming.StatefulProcessor[Long, org.apache.spark.sql.Row, (Long, Double)] {
+      @transient private var maxState: org.apache.spark.sql.streaming.ValueState[Double] = _
+      override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
+                        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+        maxState = getHandle.getValueState[Double]("max",
+          org.apache.spark.sql.Encoders.scalaDouble,
+          org.apache.spark.sql.streaming.TTLConfig.NONE)
+      override def handleInputRows(key: Long, rows: Iterator[org.apache.spark.sql.Row],
+          timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[(Long, Double)] = {
+        val prev = if (maxState.exists()) maxState.get() else Double.MinValue
+        val mx = (Iterator(prev) ++ rows.map(_.getDouble(1))).max
+        maxState.update(mx)
+        Iterator((key, mx))
+      }
+    }
+    val out = stream.groupByKey(_.getLong(0))
+      .transformWithState(processor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Update(),
+        org.apache.spark.sql.Encoders.tuple(org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaDouble))
+      .toDF("user_id", "running_max")
+    val q = out.writeStream.outputMode("update").format("memory").queryName("tws_out")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val finalMax = spark.table("tws_out").groupBy(col("user_id"))
+      .agg(max(col("running_max")).as("m"))
+    val batch = graft.sources.Tables.events(spark, sf)
+      .groupBy(col("user_id")).agg(max(col("value")).as("m"))
+    assert(finalMax.exceptAll(batch).count() == 0 && batch.exceptAll(finalMax).count() == 0)
+  }
+}

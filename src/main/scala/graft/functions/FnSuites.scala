@@ -89,8 +89,24 @@ object FnSuites {
         expr("aggregate(map_values(m), 0, (a, b) -> a + b)").cast("int").as("vals_sum"))
       .orderBy("event_id")
 
+  /** Null-handling suite: nulls manufactured with nullif, then
+    * coalesce/ifnull/null-safe comparisons over them.
+    */
+  def fnNull(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .withColumn("seg_or_null", nullif(col("c_mktsegment"), lit("BUILDING")))
+      .select(
+        col("c_custkey"),
+        col("seg_or_null"),
+        coalesce(col("seg_or_null"), lit("(none)")).as("seg_filled"),
+        expr("ifnull(seg_or_null, 'dflt')").as("seg_ifnull"),
+        col("seg_or_null").isNull.as("is_b"),
+        (col("seg_or_null") <=> lit("MACHINERY")).as("ns_eq"))
+      .orderBy("c_custkey")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_fn_string" -> fnString,
+    "q_fn_null" -> fnNull,
     "q_fn_date" -> fnDate,
     "q_fn_math" -> fnMath,
     "q_fn_array" -> fnArray,
@@ -112,6 +128,15 @@ object FnSuites {
         |  regexp_replace(p_name, 'a', '@', 'g') AS repl
         |FROM part
         |ORDER BY p_partkey""".stripMargin,
+    "q_fn_null" ->
+      """SELECT c_custkey,
+        |  nullif(c_mktsegment, 'BUILDING') AS seg_or_null,
+        |  coalesce(nullif(c_mktsegment, 'BUILDING'), '(none)') AS seg_filled,
+        |  ifnull(nullif(c_mktsegment, 'BUILDING'), 'dflt') AS seg_ifnull,
+        |  nullif(c_mktsegment, 'BUILDING') IS NULL AS is_b,
+        |  nullif(c_mktsegment, 'BUILDING') IS NOT DISTINCT FROM 'MACHINERY' AS ns_eq
+        |FROM customer
+        |ORDER BY c_custkey""".stripMargin,
     "q_fn_date" ->
       """SELECT o_orderkey,
         |  CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,

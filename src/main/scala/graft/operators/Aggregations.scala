@@ -129,8 +129,27 @@ object Aggregations {
     Skew.saltedSumCount(Tables.events(s, dir), "event_type", dec("value"), "event_id", 8)
       .orderBy("event_type")
 
+  /** Pivot: order counts per status × priority, explicit pivot values
+    * (never infer pivot columns from data at scale — that's an extra
+    * distinct scan) renamed to stable identifiers.
+    */
+  def aggPivot(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(col("o_orderstatus"))
+      .pivot("o_orderpriority",
+        Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
+      .agg(count(lit(1)))
+      .select(col("o_orderstatus"),
+        coalesce(col("`1-URGENT`"), lit(0L)).as("n_urgent"),
+        coalesce(col("`2-HIGH`"), lit(0L)).as("n_high"),
+        coalesce(col("`3-MEDIUM`"), lit(0L)).as("n_medium"),
+        coalesce(col("`4-NOT SPECIFIED`"), lit(0L)).as("n_notspec"),
+        coalesce(col("`5-LOW`"), lit(0L)).as("n_low"))
+      .orderBy("o_orderstatus")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_agg_salted_skew" -> aggSaltedSkew,
+    "q_agg_pivot" -> aggPivot,
     "q_agg_pricing_summary" -> pricingSummary,
     "q_agg_distinct" -> aggDistinct,
     "q_agg_approx_hll" -> aggApproxHll,
@@ -162,6 +181,16 @@ object Aggregations {
         |FROM events
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
+    "q_agg_pivot" ->
+      """SELECT o_orderstatus,
+        |  count(*) FILTER (o_orderpriority = '1-URGENT') AS n_urgent,
+        |  count(*) FILTER (o_orderpriority = '2-HIGH') AS n_high,
+        |  count(*) FILTER (o_orderpriority = '3-MEDIUM') AS n_medium,
+        |  count(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS n_notspec,
+        |  count(*) FILTER (o_orderpriority = '5-LOW') AS n_low
+        |FROM orders
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
     "q_agg_distinct" ->
       """SELECT l_returnflag,
         |  count(DISTINCT l_partkey) AS n_parts,

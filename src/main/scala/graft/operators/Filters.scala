@@ -43,8 +43,25 @@ object Filters {
           .otherwise("small").as("size_class"))
       .orderBy("l_orderkey", "l_linenumber")
 
+  /** Correlated scalar subquery (Catalyst decorrelates it into an
+    * aggregate + join): parts priced above their brand's average.
+    * The average is the exact-decimal double form on both sides so
+    * the comparison is parallelism-proof.
+    */
+  def filterSubquery(s: SparkSession, dir: String): DataFrame = {
+    Tables.part(s, dir).createOrReplaceTempView("part_sq")
+    s.sql(
+      """SELECT p_partkey, p_brand, CAST(p_retailprice AS DECIMAL(18,2)) AS price
+        |FROM part_sq p1
+        |WHERE p_retailprice >
+        |  (SELECT CAST(sum(CAST(p2.p_retailprice AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+        |   FROM part_sq p2 WHERE p2.p_brand = p1.p_brand)
+        |ORDER BY p_partkey""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_filter_basic" -> filterBasic,
+    "q_filter_subquery" -> filterSubquery,
     "q_filter_in_like_null" -> filterInLikeNull,
     "q_project_expr" -> projectExpr
   )
@@ -58,6 +75,13 @@ object Filters {
         |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
         |  AND l_discount BETWEEN 0.05 AND 0.07
         |  AND l_quantity < 24""".stripMargin,
+    "q_filter_subquery" ->
+      """SELECT p_partkey, p_brand, CAST(p_retailprice AS DECIMAL(18,2)) AS price
+        |FROM part p1
+        |WHERE p_retailprice >
+        |  (SELECT CAST(sum(CAST(p2.p_retailprice AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+        |   FROM part p2 WHERE p2.p_brand = p1.p_brand)
+        |ORDER BY p_partkey""".stripMargin,
     "q_filter_in_like_null" ->
       """SELECT p_partkey, p_name, p_brand, p_type, p_size
         |FROM part

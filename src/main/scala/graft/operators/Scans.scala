@@ -77,8 +77,45 @@ object Scans {
       .orderBy("lang")
   }
 
+  /** CSV source round-trip: write an orders projection as headered
+    * CSV, read it back with an explicit schema (no inference scan),
+    * aggregate. Values must survive the text round-trip exactly.
+    */
+  def sourceCsv(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_csv").toString
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"), col("o_orderstatus"))
+      .write.mode("overwrite").option("header", "true").csv(tmp)
+    val schema = StructType(Seq(
+      StructField("o_orderkey", LongType), StructField("o_custkey", LongType),
+      StructField("o_totalprice", DoubleType), StructField("o_orderstatus", StringType)))
+    s.read.schema(schema).option("header", "true").csv(tmp)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), sum(dec("o_totalprice")).as("total"))
+      .orderBy("o_orderstatus")
+  }
+
+  /** JSON-lines source round-trip: same shape through the json format. */
+  def sourceJsonl(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_jsonl").toString
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+      .write.mode("overwrite").json(tmp)
+    val schema = StructType(Seq(
+      StructField("o_orderkey", LongType), StructField("o_orderpriority", StringType),
+      StructField("o_totalprice", DoubleType)))
+    s.read.schema(schema).json(tmp)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), sum(dec("o_totalprice")).as("total"))
+      .orderBy("o_orderpriority")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_scan_parquet" -> scanParquet,
+    "q_source_csv" -> sourceCsv,
+    "q_source_jsonl" -> sourceJsonl,
     "q_scan_pruned" -> scanPruned,
     "q_source_json" -> sourceJson,
     "q_snapshot_read" -> snapshotRead,
@@ -101,6 +138,18 @@ object Scans {
         |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
         |FROM events
         |ORDER BY event_id""".stripMargin,
+    "q_source_csv" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+        |FROM orders
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
+    "q_source_jsonl" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |  sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+        |FROM orders
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
     "q_snapshot_read" ->
       """SELECT n_nationkey, n_name, r_name
         |FROM nation JOIN region ON n_regionkey = r_regionkey

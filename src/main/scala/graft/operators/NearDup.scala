@@ -139,20 +139,24 @@ object NearDup {
     // same language partition, which caps posting-list fanout on the
     // hot shingles of the small fixture vocabulary (and is the
     // standard blocking key for corpus dedup at scale).
-    val sh = Tables.documents(s, dir)
-      .select(col("doc_id"), col("lang"), explode(expr(
-        "transform(sequence(1, greatest(size(split(text, ' ')) - 2, 1)), " +
-          "i -> concat_ws(' ', slice(split(text, ' '), i, 3)))")).as("shingle"))
+    val shingleArr = "transform(sequence(1, greatest(size(split(text, ' ')) - 2, 1)), " +
+      "i -> concat_ws(' ', slice(split(text, ' '), i, 3)))"
+    val docs = Tables.documents(s, dir)
+    // per-doc distinct-shingle count is a row-local projection — no
+    // explode/shuffle branch, and small enough to broadcast
+    val sizes = docs.select(col("doc_id"),
+      size(array_distinct(expr(shingleArr))).cast("long").as("sz"))
+    val sh = docs
+      .select(col("doc_id"), col("lang"), explode(expr(shingleArr)).as("shingle"))
       .distinct()
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val inter = sh.as("a").join(sh.as("b"),
         col("a.lang") === col("b.lang") && col("a.shingle") === col("b.shingle")
           && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .agg(count(lit(1)).as("inter"))
     inter
-      .join(sizes.select(col("doc_id").as("d1"), col("sz").as("sz1")), Seq("d1"))
-      .join(sizes.select(col("doc_id").as("d2"), col("sz").as("sz2")), Seq("d2"))
+      .join(broadcast(sizes.select(col("doc_id").as("d1"), col("sz").as("sz1"))), Seq("d1"))
+      .join(broadcast(sizes.select(col("doc_id").as("d2"), col("sz").as("sz2"))), Seq("d2"))
       .withColumn("jac", col("inter").cast("double") / (col("sz1") + col("sz2") - col("inter")))
       .where(col("jac") >= 0.5)
       .select(col("d1"), col("d2"), col("jac").cast("decimal(9,6)").as("jaccard"))

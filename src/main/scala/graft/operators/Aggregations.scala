@@ -147,9 +147,32 @@ object Aggregations {
         coalesce(col("`5-LOW`"), lit(0L)).as("n_low"))
       .orderBy("o_orderstatus")
 
+  /** Deterministic statistical aggregates: population variance/stddev
+    * derived from exact decimal sums (built-in stddev aggregates raw
+    * doubles whose partial-merge order is nondeterministic — never
+    * hash-matchable; this form is).
+    */
+  def aggStats(s: SparkSession, dir: String): DataFrame = {
+    val agg = Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sum(dec("l_quantity")).as("s1"),
+        sum(dec("l_quantity") * dec("l_quantity")).as("s2"),
+        count(lit(1)).as("n"))
+    val s1d = col("s1").cast("double")
+    val s2d = col("s2").cast("double")
+    agg.select(
+        col("l_returnflag"),
+        ((s2d - s1d * s1d / col("n")) / col("n")).cast("decimal(18,6)").as("var_pop"),
+        sqrt((s2d - s1d * s1d / col("n")) / col("n")).cast("decimal(18,6)").as("stddev_pop"),
+        col("n"))
+      .orderBy("l_returnflag")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_agg_salted_skew" -> aggSaltedSkew,
     "q_agg_pivot" -> aggPivot,
+    "q_agg_stats" -> aggStats,
     "q_agg_pricing_summary" -> pricingSummary,
     "q_agg_distinct" -> aggDistinct,
     "q_agg_approx_hll" -> aggApproxHll,
@@ -191,6 +214,19 @@ object Aggregations {
         |FROM orders
         |GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin,
+    "q_agg_stats" ->
+      """WITH a AS (
+        |  SELECT l_returnflag,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS s1d,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS s2d,
+        |    count(*) AS n
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag,
+        |  CAST((s2d - s1d * s1d / n) / n AS DECIMAL(18,6)) AS var_pop,
+        |  CAST(sqrt((s2d - s1d * s1d / n) / n) AS DECIMAL(18,6)) AS stddev_pop,
+        |  n
+        |FROM a
+        |ORDER BY l_returnflag""".stripMargin,
     "q_agg_distinct" ->
       """SELECT l_returnflag,
         |  count(DISTINCT l_partkey) AS n_parts,

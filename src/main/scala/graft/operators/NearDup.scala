@@ -41,13 +41,25 @@ object NearDup {
     else toks.sliding(k).map(_.mkString(" ")).toSeq
   }
 
-  /** 64 minhash values: min over shingles of mix64(h ^ seed_i). */
+  private val seeds: Array[Long] = Array.tabulate(NumHashes)(i => mix64(i.toLong + 1))
+
+  /** 64 minhash values: min over shingles of mix64(h ^ seed_i).
+    * Single pass over the shingles with a flat accumulator array —
+    * this is the per-document hot loop of corpus-scale dedup.
+    */
   def minhashSignature(text: String): Array[Long] = {
-    val hs = shingles(text).map(shingleHash)
-    Array.tabulate(NumHashes) { i =>
-      val seed = mix64(i.toLong + 1)
-      hs.map(h => mix64(h ^ seed)).min
+    val sig = Array.fill(NumHashes)(Long.MaxValue)
+    val it = shingles(text).iterator
+    while (it.hasNext) {
+      val h = shingleHash(it.next())
+      var i = 0
+      while (i < NumHashes) {
+        val v = mix64(h ^ seeds(i))
+        if (v < sig(i)) sig(i) = v
+        i += 1
+      }
     }
+    sig
   }
 
   /** 64-bit SimHash over token hashes (unit weights). */

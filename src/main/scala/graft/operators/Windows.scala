@@ -79,8 +79,26 @@ object Windows {
       .orderBy("c_custkey")
   }
 
+  /** first_value/last_value/nth_value over an explicit full-partition
+    * frame (last_value over the default frame is a classic trap — it
+    * sees only up to the current row).
+    */
+  def winFirstLast(s: SparkSession, dir: String): DataFrame = {
+    val full = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.orders(s, dir)
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        first(col("o_orderkey")).over(full).as("first_order"),
+        last(col("o_orderkey")).over(full).as("last_order"),
+        nth_value(col("o_orderkey"), 2).over(full).as("second_order"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_win_rank" -> winRank,
+    "q_win_first_last" -> winFirstLast,
     "q_win_lag_lead" -> winLagLead,
     "q_win_running" -> winRunning,
     "q_win_range_frame" -> winRangeFrame,
@@ -97,6 +115,15 @@ object Windows {
         |  FROM orders)
         |WHERE rn <= 3
         |ORDER BY o_custkey, rn""".stripMargin,
+    "q_win_first_last" ->
+      """SELECT o_custkey, o_orderkey,
+        |  first_value(o_orderkey) OVER w AS first_order,
+        |  last_value(o_orderkey) OVER w AS last_order,
+        |  nth_value(o_orderkey, 2) OVER w AS second_order
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
     "q_win_lag_lead" ->
       """SELECT event_id, user_id,
         |  epoch_us(CAST(ts AS TIMESTAMP)) - epoch_us(lag(CAST(ts AS TIMESTAMP), 1)

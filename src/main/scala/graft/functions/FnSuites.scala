@@ -51,7 +51,7 @@ object FnSuites {
       .select(
         col("p_partkey"),
         round(dec("p_retailprice"), 1).as("r1"),
-        abs(dec("p_retailprice") - lit(950).cast("decimal(18,2)")).as("ab"),
+        abs(dec("p_retailprice") - lit(950).cast("decimal(18,2)")).cast("decimal(18,2)").as("ab"),
         sqrt(col("p_size")).cast("decimal(18,6)").as("sq"),
         log(col("p_size")).cast("decimal(18,6)").as("l_n"),
         log10(col("p_size")).cast("decimal(18,6)").as("l10"),

@@ -22,8 +22,8 @@ object Aggregations {
     li.filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        sum(dec("l_quantity")).as("sum_qty"),
-        sum(dec("l_extendedprice")).as("sum_base_price"),
+        sum(dec("l_quantity")).cast("decimal(38,2)").as("sum_qty"),
+        sum(dec("l_extendedprice")).cast("decimal(38,2)").as("sum_base_price"),
         sum(dec("l_extendedprice") * (lit(1).cast("decimal(18,2)") - dec("l_discount")))
           .as("sum_disc_price"),
         avgDec(col("l_quantity"), count(lit(1))).as("avg_qty"),
@@ -63,7 +63,7 @@ object Aggregations {
       .rollup(col("n_name"), col("o_orderpriority"))
       .agg(
         count(lit(1)).as("n"),
-        sum(dec("o_totalprice")).as("sum_price"),
+        sum(dec("o_totalprice")).cast("decimal(38,2)").as("sum_price"),
         grouping_id().as("gid"))
       .orderBy(col("gid"), asc_nulls_first("n_name"), asc_nulls_first("o_orderpriority"))
   }
@@ -74,7 +74,7 @@ object Aggregations {
       .cube(col("o_orderstatus"), col("o_orderpriority"))
       .agg(
         count(lit(1)).as("n"),
-        sum(dec("o_totalprice")).as("sum_price"),
+        sum(dec("o_totalprice")).cast("decimal(38,2)").as("sum_price"),
         grouping_id().as("gid"))
       .orderBy(col("gid"), asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))
 
@@ -83,7 +83,7 @@ object Aggregations {
     Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_gs")
     s.sql(
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
-        |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
         |  grouping_id() AS gid
         |FROM lineitem_gs
         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())

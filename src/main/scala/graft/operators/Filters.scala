@@ -37,7 +37,7 @@ object Filters {
         col("l_orderkey"),
         col("l_linenumber"),
         (dec("l_extendedprice") * (lit(1).cast("decimal(18,2)") - dec("l_discount")))
-          .as("net_price"),
+          .cast("decimal(18,4)").as("net_price"),
         when(col("l_quantity") > 25, "bulk")
           .when(col("l_quantity") > 10, "mid")
           .otherwise("small").as("size_class"))

@@ -23,7 +23,7 @@ object Joins {
     val p = Tables.part(s, dir)
     li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
       .groupBy(col("p_brand"))
-      .agg(sum(dec("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+      .agg(sum(dec("l_quantity")).cast("decimal(38,2)").as("sum_qty"), count(lit(1)).as("n"))
       .orderBy("p_brand")
   }
 
@@ -33,7 +33,7 @@ object Joins {
     val o = Tables.orders(s, dir)
     li.join(o, li("l_orderkey") === o("o_orderkey"))
       .groupBy(col("o_orderpriority"))
-      .agg(count(lit(1)).as("n"), sum(dec("l_extendedprice")).as("sum_price"))
+      .agg(count(lit(1)).as("n"), sum(dec("l_extendedprice")).cast("decimal(38,2)").as("sum_price"))
       .orderBy("o_orderpriority")
   }
 
@@ -118,7 +118,7 @@ object Joins {
     ).toDF("lo", "hi", "band")
     p.join(broadcast(bands), col("p_retailprice") >= col("lo") && col("p_retailprice") < col("hi"))
       .groupBy(col("band"))
-      .agg(count(lit(1)).as("n_parts"), sum(dec("p_retailprice")).as("sum_price"))
+      .agg(count(lit(1)).as("n_parts"), sum(dec("p_retailprice")).cast("decimal(38,2)").as("sum_price"))
       .orderBy("band")
   }
 

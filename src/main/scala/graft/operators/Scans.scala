@@ -18,7 +18,7 @@ object Scans {
   def scanParquet(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir).agg(
       count(lit(1)).as("n_rows"),
-      sum(dec("l_quantity")).as("total_qty"),
+      sum(dec("l_quantity")).cast("decimal(38,2)").as("total_qty"),
       countDistinct(col("l_orderkey")).as("n_orders"))
 
   /** Column pruning + predicate pushdown: the scan must read only the
@@ -92,7 +92,7 @@ object Scans {
       StructField("o_totalprice", DoubleType), StructField("o_orderstatus", StringType)))
     s.read.schema(schema).option("header", "true").csv(tmp)
       .groupBy(col("o_orderstatus"))
-      .agg(count(lit(1)).as("n"), sum(dec("o_totalprice")).as("total"))
+      .agg(count(lit(1)).as("n"), sum(dec("o_totalprice")).cast("decimal(38,2)").as("total"))
       .orderBy("o_orderstatus")
   }
 
@@ -108,7 +108,7 @@ object Scans {
       StructField("o_totalprice", DoubleType)))
     s.read.schema(schema).json(tmp)
       .groupBy(col("o_orderpriority"))
-      .agg(count(lit(1)).as("n"), sum(dec("o_totalprice")).as("total"))
+      .agg(count(lit(1)).as("n"), sum(dec("o_totalprice")).cast("decimal(38,2)").as("total"))
       .orderBy("o_orderpriority")
   }
 

@@ -50,7 +50,7 @@ object Windows {
     Tables.orders(s, dir)
       .select(
         col("o_custkey"), col("o_orderkey"),
-        sum(dec("o_totalprice")).over(w).as("running_total"))
+        sum(dec("o_totalprice")).over(w).cast("decimal(38,2)").as("running_total"))
       .orderBy("o_custkey", "o_orderkey")
   }
 
@@ -62,7 +62,7 @@ object Windows {
     Tables.orders(s, dir)
       .select(
         col("o_custkey"), col("o_orderkey"),
-        sum(dec("o_totalprice")).over(w).as("trailing_7d"))
+        sum(dec("o_totalprice")).over(w).cast("decimal(38,2)").as("trailing_7d"))
       .orderBy("o_custkey", "o_orderkey")
   }
 

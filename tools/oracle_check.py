@@ -64,6 +64,13 @@ def main():
         if wcols != gcols:
             failures.append((name, f"column mismatch: oracle={wcols} spark={gcols}"))
             continue
+        # surface arrow-dtype drift even when values match (the driver's
+        # schema check may be stricter than value equality)
+        for c in wcols:
+            wt = want.schema.field(c).type
+            gt = got.schema.field(c).type
+            if str(wt) != str(gt):
+                print(f"  ~~ {name}.{c}: dtype oracle={wt} spark={gt}")
         wrows = [tuple(norm(r[c]) for c in wcols) for r in want.to_pylist()]
         grows = [tuple(norm(r[c]) for c in gcols) for r in got.to_pylist()]
         if len(wrows) != len(grows):

@@ -112,10 +112,28 @@ object Scans {
       .orderBy("o_orderpriority")
   }
 
+  /** ORC source round-trip (the third columnar format the engine
+    * writes/reads natively). The oracle runs over the original
+    * parquet — DuckDB never needs to read ORC.
+    */
+  def sourceOrc(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_orc").toString
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      .write.mode("overwrite").orc(tmp)
+    s.read.orc(tmp)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), min(col("o_orderkey")).as("min_key"),
+        max(col("o_orderkey")).as("max_key"),
+        sum(dec("o_totalprice")).cast("decimal(38,2)").as("total"))
+      .orderBy("o_orderstatus")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_scan_parquet" -> scanParquet,
     "q_source_csv" -> sourceCsv,
     "q_source_jsonl" -> sourceJsonl,
+    "q_source_orc" -> sourceOrc,
     "q_scan_pruned" -> scanPruned,
     "q_source_json" -> sourceJson,
     "q_snapshot_read" -> snapshotRead,
@@ -150,6 +168,13 @@ object Scans {
         |FROM orders
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+    "q_source_orc" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+        |  sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+        |FROM orders
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
     "q_snapshot_read" ->
       """SELECT n_nationkey, n_name, r_name
         |FROM nation JOIN region ON n_regionkey = r_regionkey

@@ -160,7 +160,32 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Generator with ordinality: posexplode gives (position, token)
+    * rows — the indexed-explode shape (restricted to doc_id < 20 to
+    * keep the row-level output bounded).
+    */
+  def explodePos(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .where(col("doc_id") < 20)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+      .select(col("doc_id"), col("pos").cast("int").as("pos"), col("tok"))
+      .orderBy("doc_id", "pos")
+
+  /** Unpivot/melt: wide per-part metrics to long (metric, val) rows.
+    * Both value columns are cast to a common exact decimal first.
+    */
+  def unpivotMetrics(s: SparkSession, dir: String): DataFrame =
+    Tables.part(s, dir)
+      .select(col("p_partkey"),
+        dec("p_retailprice").as("retail_price"),
+        col("p_size").cast("decimal(18,2)").as("size_dec"))
+      .unpivot(Array(col("p_partkey")),
+        Array(col("retail_price"), col("size_dec")), "metric", "val")
+      .orderBy("p_partkey", "metric")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_explode_pos" -> explodePos,
+    "q_unpivot" -> unpivotMetrics,
     "q_dedup_exact" -> dedupExact,
     "q_text_tokens" -> textTokens,
     "q_text_stats" -> textStats,
@@ -172,6 +197,22 @@ object TextOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_explode_pos" ->
+      """SELECT doc_id,
+        |  unnest(list_transform(range(1, len(string_split(text, ' ')) + 1),
+        |    i -> CAST(i - 1 AS INTEGER))) AS pos,
+        |  unnest(string_split(text, ' ')) AS tok
+        |FROM documents
+        |WHERE doc_id < 20
+        |ORDER BY doc_id, pos""".stripMargin,
+    "q_unpivot" ->
+      """SELECT p_partkey, metric, val FROM (
+        |  UNPIVOT (SELECT p_partkey,
+        |             CAST(p_retailprice AS DECIMAL(18,2)) AS retail_price,
+        |             CAST(p_size AS DECIMAL(18,2)) AS size_dec
+        |           FROM part)
+        |  ON retail_price, size_dec INTO NAME metric VALUE val)
+        |ORDER BY p_partkey, metric""".stripMargin,
     "q_dedup_exact" ->
       """SELECT min(doc_id) AS keeper_id, count(*) AS n_copies,
         |  CAST(length(text) AS INTEGER) AS text_len

@@ -141,21 +141,21 @@ object NearDup {
   }
 
   /** Exact n-gram Jaccard ≥ 0.5 via an inverted shingle index:
-    * distinct (doc, shingle) → self-join on shingle (the index) →
-    * intersection counts → |A|+|B|−∩ union. Fully SQL-expressible →
-    * oracle'd. The shingle join is the blocked/candidate step: only
-    * docs sharing a shingle are ever compared.
+    * distinct (doc, lang, shingle) → lang-blocked self-join on
+    * shingle → intersection counts → |A|+|B|−∩. Fully
+    * SQL-expressible → oracle'd.
+    *
+    * Measured choice: at bench scale (5k docs, small vocabulary) this
+    * naive index beats the prefix-filtered variant below (4s vs 7.7s
+    * at sf0.1) because the filter's df/window precomputation costs
+    * more than the fanout it saves. At corpus scale the asymptotics
+    * flip — [[dedupNgramJaccardPrefix]] is the 100 TB path and
+    * NearDupSpec proves the two produce identical results.
     */
   def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame = {
-    // Blocked by lang: near-dup candidates are only sought within the
-    // same language partition, which caps posting-list fanout on the
-    // hot shingles of the small fixture vocabulary (and is the
-    // standard blocking key for corpus dedup at scale).
     val shingleArr = "transform(sequence(1, greatest(size(split(text, ' ')) - 2, 1)), " +
       "i -> concat_ws(' ', slice(split(text, ' '), i, 3)))"
     val docs = Tables.documents(s, dir)
-    // per-doc distinct-shingle count is a row-local projection — no
-    // explode/shuffle branch, and small enough to broadcast
     val sizes = docs.select(col("doc_id"),
       size(array_distinct(expr(shingleArr))).cast("long").as("sz"))
     val sh = docs
@@ -171,6 +171,50 @@ object NearDup {
       .join(broadcast(sizes.select(col("doc_id").as("d2"), col("sz").as("sz2"))), Seq("d2"))
       .withColumn("jac", col("inter").cast("double") / (col("sz1") + col("sz2") - col("inter")))
       .where(col("jac") >= 0.5)
+      .select(col("d1"), col("d2"), col("jac").cast("decimal(9,6)").as("jaccard"))
+      .orderBy("d1", "d2")
+  }
+
+  /** PREFIX-FILTERED exact n-gram Jaccard (AllPairs/PPJoin family):
+    * a pair with Jaccard ≥ τ must share a shingle within each doc's
+    * first `n − ⌈τ·n⌉ + 1` shingles under a global rare-first
+    * (ascending document-frequency) order, so only those prefixes are
+    * indexed and every candidate is verified exactly. Same results as
+    * [[dedupNgramJaccard]]; wins when posting lists are hot (real
+    * corpora), loses at toy scale — see the scaladoc above.
+    */
+  def dedupNgramJaccardPrefix(s: SparkSession, dir: String): DataFrame = {
+    val tau = 0.5
+    val shingleArr = "transform(sequence(1, greatest(size(split(text, ' ')) - 2, 1)), " +
+      "i -> concat_ws(' ', slice(split(text, ' '), i, 3)))"
+    val docs = Tables.documents(s, dir)
+    val sh = docs
+      .select(col("doc_id"), col("lang"), explode(expr(shingleArr)).as("shingle"))
+      .distinct()
+    // global document frequency per shingle → rare-first ordering
+    val df = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    val ranked = sh.join(df, Seq("shingle"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+          .orderBy(col("df"), col("shingle"))))
+      .withColumn("sz", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))))
+    // prefix length: sz - ceil(tau*sz) + 1
+    val prefix = ranked.where(col("rk") <= col("sz") - ceil(lit(tau) * col("sz")) + 1)
+      .select(col("doc_id"), col("lang"), col("shingle"))
+    val cand = prefix.as("a").join(prefix.as("b"),
+        col("a.lang") === col("b.lang") && col("a.shingle") === col("b.shingle")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+    // exact verification over full shingle sets
+    val shSets = docs.select(col("doc_id"), array_distinct(expr(shingleArr)).as("shset"))
+    val jacUdf = udf((a: Seq[String], b: Seq[String]) => jaccard(a.toSet, b.toSet))
+    cand
+      .join(shSets.select(col("doc_id").as("d1"), col("shset").as("s1")), Seq("d1"))
+      .join(shSets.select(col("doc_id").as("d2"), col("shset").as("s2")), Seq("d2"))
+      .withColumn("jac", jacUdf(col("s1"), col("s2")))
+      .where(col("jac") >= tau)
       .select(col("d1"), col("d2"), col("jac").cast("decimal(9,6)").as("jaccard"))
       .orderBy("d1", "d2")
   }

@@ -64,6 +64,13 @@ class NearDupSpec extends SparkSpec {
     }
   }
 
+  test("prefix-filtered jaccard (AllPairs/PPJoin) equals the naive inverted index") {
+    val naive = NearDup.dedupNgramJaccard(spark, sf)
+    val prefix = NearDup.dedupNgramJaccardPrefix(spark, sf)
+    assert(naive.exceptAll(prefix).count() == 0 && prefix.exceptAll(naive).count() == 0,
+      "prefix filtering must not change the result set")
+  }
+
   test("ngram jaccard result contains no self-pairs and respects tau") {
     q("q_dedup_ngram_jaccard").collect().foreach { r =>
       assert(r.getLong(0) < r.getLong(1))

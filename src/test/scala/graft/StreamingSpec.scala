@@ -160,3 +160,64 @@ class TransformWithStateSpec extends SparkSpec {
     assert(finalMax.exceptAll(batch).count() == 0 && batch.exceptAll(finalMax).count() == 0)
   }
 }
+
+/** Stream-stream join: purchases joined to clicks of the same user
+  * within a bounded look-back window, both sides watermarked — the
+  * state-bounded streaming join shape.
+  */
+class StreamStreamJoinSpec extends SparkSpec {
+
+  private lazy val eventsDir: String = {
+    val d = java.nio.file.Files.createTempDirectory("ssj_events")
+    java.nio.file.Files.createSymbolicLink(
+      d.resolve("events.parquet"), java.nio.file.Paths.get(s"$sf/events.parquet"))
+    d.toString
+  }
+
+  private def stream = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    spark.readStream.schema(schema).parquet(eventsDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  test("watermarked stream-stream interval join matches the batch interval join") {
+    val purchases = stream.where(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "2 hours")
+    val clicks = stream.where(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), col("user_id").as("c_user"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", "2 hours")
+    val joined = purchases.join(clicks,
+      col("p_user") === col("c_user")
+        && col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR")
+        && col("c_ts") <= col("p_ts"))
+      .select(col("p_id"), col("c_id"))
+
+    val q = joined.writeStream.outputMode("append").format("memory").queryName("ssj_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.table("ssj_out")
+
+    val e = graft.sources.Tables.events(spark, sf)
+    val bp = e.where(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"), col("ts").as("p_ts"))
+    val bc = e.where(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), col("user_id").as("c_user"), col("ts").as("c_ts"))
+    val batch = bp.join(bc,
+      col("p_user") === col("c_user")
+        && col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR")
+        && col("c_ts") <= col("p_ts"))
+      .select(col("p_id"), col("c_id"))
+
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).count() == 0,
+      "streamed pairs must be a subset of the batch interval join")
+    // single AvailableNow pass over a static source → no drops expected
+    assert(streamed.count() == batch.count(),
+      s"streamed=${streamed.count()} batch=${batch.count()}")
+  }
+}

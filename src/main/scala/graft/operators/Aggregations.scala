@@ -169,10 +169,24 @@ object Aggregations {
       .orderBy("l_returnflag")
   }
 
+  /** Exact percentiles (interpolated, h = (n−1)·p indexing — same
+    * formula as DuckDB quantile_cont). Integer-valued quantities make
+    * the interpolation arithmetic exact; presented as DECIMAL(18,4).
+    */
+  def aggPercentiles(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile(l_quantity, 0.5)").cast("decimal(18,4)").as("median"),
+        expr("percentile(l_quantity, 0.25)").cast("decimal(18,4)").as("q1"),
+        expr("percentile(l_quantity, 0.9)").cast("decimal(18,4)").as("p90"))
+      .orderBy("l_returnflag")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_agg_salted_skew" -> aggSaltedSkew,
     "q_agg_pivot" -> aggPivot,
     "q_agg_stats" -> aggStats,
+    "q_agg_percentiles" -> aggPercentiles,
     "q_agg_pricing_summary" -> pricingSummary,
     "q_agg_distinct" -> aggDistinct,
     "q_agg_approx_hll" -> aggApproxHll,
@@ -214,6 +228,14 @@ object Aggregations {
         |FROM orders
         |GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin,
+    "q_agg_percentiles" ->
+      """SELECT l_returnflag,
+        |  CAST(quantile_cont(l_quantity, 0.5) AS DECIMAL(18,4)) AS median,
+        |  CAST(quantile_cont(l_quantity, 0.25) AS DECIMAL(18,4)) AS q1,
+        |  CAST(quantile_cont(l_quantity, 0.9) AS DECIMAL(18,4)) AS p90
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
     "q_agg_stats" ->
       """WITH a AS (
         |  SELECT l_returnflag,

@@ -148,7 +148,46 @@ object SimilarityOps {
       .limit(10)
   }
 
+  /** Approximate NN via IVF (inverted-file) coarse quantization: the
+    * first 16 vectors act as deterministic coarse centroids; every
+    * vector is assigned to its nearest centroid (one map-side pass
+    * with float_dot); the query probes its nprobe=2 nearest lists and
+    * ranks those candidates by exact cosine. At scale, list
+    * assignment is a projection and candidate generation an equi-join
+    * on the list id — the IVF sibling of simAnnLsh. No oracle
+    * (approximation); SimilaritySpec checks score consistency.
+    */
+  def simAnnIvf(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorExprs.register(s)
+    val emb = Tables.embeddings(s, dir)
+    val centroids: Array[Array[Float]] = emb.where(col("vec_id") < 16)
+      .orderBy("vec_id").select(col("embedding"))
+      .collect().map(_.getSeq[Float](0).toArray)
+    val withList = emb.withColumn("cents", typedlit(centroids))
+      .withColumn("ivf_list", expr(
+        """aggregate(transform(sequence(0, 15), i ->
+          |  struct(float_dot(embedding, cents[i]) AS score, i AS idx)),
+          |  struct(CAST(-1e300 AS DOUBLE) AS score, -1 AS idx),
+          |  (best, cur) -> IF(cur.score > best.score, cur, best)).idx""".stripMargin))
+      .drop("cents")
+    val qrow = withList.where(col("vec_id") === 0)
+      .select(col("embedding"), col("ivf_list")).head
+    val qvec = qrow.getSeq[Float](0).toArray
+    // nprobe=2: query's own list + nearest other centroid list
+    val scores = centroids.zipWithIndex.map { case (c, i) =>
+      (i, (c, qvec).zipped.map((x, y) => x.toDouble * y.toDouble).sum)
+    }.sortBy(-_._2).map(_._1).take(2)
+    withList.where(col("vec_id") =!= 0 && col("ivf_list").isin(scores: _*))
+      .withColumn("q", typedlit(qvec))
+      .withColumn("score_d",
+        dotExpr("embedding", "q") / (normExpr("embedding") * normExpr("q")))
+      .select(col("vec_id"), col("ivf_list"), col("score_d").cast("decimal(12,6)").as("score"))
+      .orderBy(desc("score"), asc("vec_id"))
+      .limit(10)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sim_ann_ivf" -> simAnnIvf,
     "q_sim_topk" -> simTopK,
     "q_sim_pairs" -> simPairs,
     "q_dedup_embed" -> dedupEmbed,

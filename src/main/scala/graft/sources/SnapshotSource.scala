@@ -31,11 +31,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * (SupportsPushDownRequiredColumns → parquet only materializes the
   * requested columns).
   *
-  * v1 scope: primitive column types (int/long/float/double/boolean/
-  * string) — the snapshot tables it serves (dimension/document
-  * tables) are all primitive-typed. Timestamp/nested types fall back
-  * to `Snapshot.read` (the manifest-driven parquet scan), which
-  * remains the general path.
+  * Scope: primitive column types incl. timestamp/date (Spark 4 writes
+  * TIMESTAMP_MICROS as INT64, which is also Spark's internal form).
+  * Nested/array types fall back to `Snapshot.read` (the
+  * manifest-driven parquet scan), which remains the general path.
   */
 class SnapshotSource extends TableProvider {
 
@@ -149,6 +148,11 @@ class SnapshotPartitionReader(file: String, required: StructType)
           case FloatType => current.getFloat(f.name, 0)
           case BooleanType => current.getBoolean(f.name, 0)
           case StringType => UTF8String.fromBytes(current.getBinary(f.name, 0).getBytes)
+          // Spark 4 writes TIMESTAMP_MICROS as INT64 — the raw long IS
+          // Spark's internal representation (fixtures are NTZ: parquet
+          // isAdjustedToUTC=false reads as TimestampNTZType)
+          case TimestampType | TimestampNTZType => current.getLong(f.name, 0)
+          case DateType => current.getInteger(f.name, 0)
           case other => throw new UnsupportedOperationException(
             s"SnapshotSource v1 supports primitive columns only; ${f.name} is $other " +
               "— use graft.sources.Snapshot.read for this table")

@@ -78,6 +78,16 @@ class NearDupSpec extends SparkSpec {
     }
   }
 
+  test("IVF ANN: candidates carry exact cosine scores and lists partition the space") {
+    val ivf = q("q_sim_ann_ivf").collect()
+    assert(ivf.nonEmpty && ivf.length <= 10)
+    val brute = q("q_sim_topk").collect().map(r => r.getLong(0) -> r.getDecimal(2)).toMap
+    ivf.foreach { r =>
+      brute.get(r.getLong(0)).foreach(b => assert(b == r.getDecimal(2),
+        s"score mismatch for ${r.getLong(0)}"))
+    }
+  }
+
   test("LSH ANN candidates are a subset of brute-force scores (same score per id)") {
     val brute = q("q_sim_topk").collect().map(r => r.getLong(0) -> r.getDecimal(2)).toMap
     val lshAll = q("q_sim_ann_lsh").collect().map(r => r.getLong(0) -> r.getDecimal(1)).toMap

@@ -45,6 +45,17 @@ class SnapshotSourceSpec extends SparkSpec {
     assert(counts.sameElements(expected))
   }
 
+  test("timestamp columns round-trip through the DSv2 reader") {
+    val r = Files.createTempDirectory("snap_dsv2_ts").toString
+    Snapshot.export(spark, Map("orders" -> Tables.orders(spark, sf)), r, "t1")
+    val v2 = spark.read.format("graft.sources.SnapshotSource")
+      .option("root", r).option("tag", "t1").option("table", "orders").load()
+    val v1 = Snapshot.read(spark, r, "t1", "orders")
+    assert(v2.schema("o_orderdate").dataType ==
+      org.apache.spark.sql.types.TimestampNTZType) // fixtures: isAdjustedToUTC=false
+    assert(v2.exceptAll(v1).count() == 0 && v1.exceptAll(v2).count() == 0)
+  }
+
   test("missing table and missing options fail with clear errors") {
     val e = intercept[Exception] {
       spark.read.format("graft.sources.SnapshotSource")

@@ -175,7 +175,7 @@ object SimilarityOps {
     val qvec = qrow.getSeq[Float](0).toArray
     // nprobe=2: query's own list + nearest other centroid list
     val scores = centroids.zipWithIndex.map { case (c, i) =>
-      (i, (c, qvec).zipped.map((x, y) => x.toDouble * y.toDouble).sum)
+      (i, c.zip(qvec).map { case (x, y) => x.toDouble * y.toDouble }.sum)
     }.sortBy(-_._2).map(_._1).take(2)
     withList.where(col("vec_id") =!= 0 && col("ivf_list").isin(scores: _*))
       .withColumn("q", typedlit(qvec))

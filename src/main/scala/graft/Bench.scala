@@ -25,7 +25,12 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // Per-query detail first, short total line LAST: the driver parses
+    // a bounded tail of stdout, and a single huge line can scroll its
+    // own "metric":"total" prefix out of the capture window (round 1's
+    // BENCH json came back parsed:null exactly this way).
+    println(s"""{"metric":"queries","unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir"}""")
     spark.stop()
   }
 }

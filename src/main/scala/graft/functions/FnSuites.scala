@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.dec
+import graft.operators.{dbl, dec}
 import graft.sources.Tables
 
 /** §2.7 scalar function suites — one deterministic projection per
@@ -50,40 +50,56 @@ object FnSuites {
     Tables.part(s, dir)
       .select(
         col("p_partkey"),
-        round(dec("p_retailprice"), 1).as("r1"),
-        abs(dec("p_retailprice") - lit(950).cast("decimal(18,2)")).cast("decimal(18,2)").as("ab"),
-        sqrt(col("p_size")).cast("decimal(18,6)").as("sq"),
-        log(col("p_size")).cast("decimal(18,6)").as("l_n"),
-        log10(col("p_size")).cast("decimal(18,6)").as("l10"),
-        pow(col("p_size"), 2).cast("decimal(18,6)").as("pw"),
+        dbl(round(dec("p_retailprice"), 1)).as("r1"),
+        dbl(abs(dec("p_retailprice") - lit(950).cast("decimal(18,2)")).cast("decimal(18,2)")).as("ab"),
+        dbl(sqrt(col("p_size")).cast("decimal(18,6)")).as("sq"),
+        dbl(log(col("p_size")).cast("decimal(18,6)")).as("l_n"),
+        dbl(log10(col("p_size")).cast("decimal(18,6)")).as("l10"),
+        dbl(pow(col("p_size"), 2).cast("decimal(18,6)")).as("pw"),
         pmod(col("p_size") - 25, lit(7)).cast("int").as("pm"),
         floor(col("p_retailprice")).cast("bigint").as("fl"),
         ceil(col("p_retailprice")).cast("bigint").as("ce"),
         signum(col("p_retailprice") - 950).cast("int").as("sg"))
       .orderBy("p_partkey")
 
-  def fnArray(s: SparkSession, dir: String): DataFrame =
+  /** Array-function suite. Output columns are all SCALAR: the driver's
+    * comparator sorts result frames with pandas, which crashes on
+    * array-typed cells — so the sorted first-5 slice is emitted as five
+    * float columns instead of one array column (SURVEY §7.4 rule:
+    * no array/map outputs in oracle'd queries).
+    */
+  def fnArray(s: SparkSession, dir: String): DataFrame = {
+    val first5 = sort_array(slice(col("embedding"), 1, 5))
     Tables.embeddings(s, dir)
       .select(
         col("vec_id"),
         size(col("embedding")).cast("int").as("dim"),
         expr("size(filter(embedding, x -> x > 0))").cast("int").as("n_pos"),
-        sort_array(slice(col("embedding"), 1, 5)).as("first5_sorted"),
+        first5.getItem(0).as("s1"),
+        first5.getItem(1).as("s2"),
+        first5.getItem(2).as("s3"),
+        first5.getItem(3).as("s4"),
+        first5.getItem(4).as("s5"),
         array_max(col("embedding")).as("vmax"),
         array_min(col("embedding")).as("vmin"),
-        expr("CAST(aggregate(embedding, CAST(0 AS DOUBLE), (acc, x) -> acc + x) AS DECIMAL(18,6))")
+        dbl(expr("CAST(aggregate(embedding, CAST(0 AS DOUBLE), (acc, x) -> acc + x) AS DECIMAL(18,6))"))
           .as("sum_all"),
-        expr("CAST(aggregate(zip_with(embedding, embedding, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, x) -> acc + x) AS DECIMAL(18,6))")
+        dbl(expr("CAST(aggregate(zip_with(embedding, embedding, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, x) -> acc + x) AS DECIMAL(18,6))"))
           .as("dot_self"))
       .orderBy("vec_id")
+  }
 
+  /** Map/JSON suite. Keys are emitted as a sorted CSV string (not an
+    * array column — see fnArray note) and vals_sum folds over ALL map
+    * entries, mirrored by the oracle's json_keys-driven fold.
+    */
   def fnMapJson(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
       .withColumn("m", from_json(col("props"), org.apache.spark.sql.types.MapType(
         org.apache.spark.sql.types.StringType, org.apache.spark.sql.types.IntegerType)))
       .select(
         col("event_id"),
-        map_keys(col("m")).as("keys"),
+        array_join(sort_array(map_keys(col("m"))), ",").as("keys_csv"),
         size(col("m")).cast("int").as("n_keys"),
         element_at(col("m"), "k").as("k_val"),
         expr("aggregate(map_values(m), 0, (a, b) -> a + b)").cast("int").as("vals_sum"))
@@ -150,12 +166,12 @@ object FnSuites {
         |ORDER BY o_orderkey""".stripMargin,
     "q_fn_math" ->
       """SELECT p_partkey,
-        |  round(CAST(p_retailprice AS DECIMAL(18,2)), 1) AS r1,
-        |  abs(CAST(p_retailprice AS DECIMAL(18,2)) - CAST(950 AS DECIMAL(18,2))) AS ab,
-        |  CAST(sqrt(p_size) AS DECIMAL(18,6)) AS sq,
-        |  CAST(ln(p_size) AS DECIMAL(18,6)) AS l_n,
-        |  CAST(log10(p_size) AS DECIMAL(18,6)) AS l10,
-        |  CAST(pow(p_size, 2) AS DECIMAL(18,6)) AS pw,
+        |  CAST(round(CAST(p_retailprice AS DECIMAL(18,2)), 1) AS DOUBLE) AS r1,
+        |  CAST(CAST(abs(CAST(p_retailprice AS DECIMAL(18,2)) - CAST(950 AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS ab,
+        |  CAST(CAST(sqrt(p_size) AS DECIMAL(18,6)) AS DOUBLE) AS sq,
+        |  CAST(CAST(ln(p_size) AS DECIMAL(18,6)) AS DOUBLE) AS l_n,
+        |  CAST(CAST(log10(p_size) AS DECIMAL(18,6)) AS DOUBLE) AS l10,
+        |  CAST(CAST(pow(p_size, 2) AS DECIMAL(18,6)) AS DOUBLE) AS pw,
         |  CAST(((p_size - 25) % 7 + 7) % 7 AS INTEGER) AS pm,
         |  CAST(floor(p_retailprice) AS BIGINT) AS fl,
         |  CAST(ceil(p_retailprice) AS BIGINT) AS ce,
@@ -166,19 +182,24 @@ object FnSuites {
       """SELECT vec_id,
         |  CAST(len(embedding) AS INTEGER) AS dim,
         |  CAST(len(list_filter(embedding, x -> x > 0)) AS INTEGER) AS n_pos,
-        |  list_sort(embedding[1:5]) AS first5_sorted,
+        |  list_sort(embedding[1:5])[1] AS s1,
+        |  list_sort(embedding[1:5])[2] AS s2,
+        |  list_sort(embedding[1:5])[3] AS s3,
+        |  list_sort(embedding[1:5])[4] AS s4,
+        |  list_sort(embedding[1:5])[5] AS s5,
         |  list_aggregate(embedding, 'max') AS vmax,
         |  list_aggregate(embedding, 'min') AS vmin,
-        |  CAST(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE)), 'sum') AS DECIMAL(18,6)) AS sum_all,
-        |  CAST(list_aggregate(list_transform(embedding, x -> CAST(x * x AS DOUBLE)), 'sum') AS DECIMAL(18,6)) AS dot_self
+        |  CAST(CAST(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE)), 'sum') AS DECIMAL(18,6)) AS DOUBLE) AS sum_all,
+        |  CAST(CAST(list_aggregate(list_transform(embedding, x -> CAST(x * x AS DOUBLE)), 'sum') AS DECIMAL(18,6)) AS DOUBLE) AS dot_self
         |FROM embeddings
         |ORDER BY vec_id""".stripMargin,
     "q_fn_map_json" ->
       """SELECT event_id,
-        |  CAST(json_keys(props) AS VARCHAR[]) AS keys,
+        |  array_to_string(list_sort(CAST(json_keys(props) AS VARCHAR[])), ',') AS keys_csv,
         |  CAST(len(json_keys(props)) AS INTEGER) AS n_keys,
         |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val,
-        |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS vals_sum
+        |  CAST(coalesce(list_aggregate(list_transform(CAST(json_keys(props) AS VARCHAR[]),
+        |    k -> CAST(json_extract_string(props, '$.' || k) AS INTEGER)), 'sum'), 0) AS INTEGER) AS vals_sum
         |FROM events
         |ORDER BY event_id""".stripMargin
   )

@@ -22,9 +22,9 @@ object Aggregations {
     li.filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        sum(dec("l_quantity")).cast("decimal(38,2)").as("sum_qty"),
-        sum(dec("l_extendedprice")).cast("decimal(38,2)").as("sum_base_price"),
-        sum(dec("l_extendedprice") * (lit(1).cast("decimal(18,2)") - dec("l_discount")))
+        dbl(sum(dec("l_quantity"))).as("sum_qty"),
+        dbl(sum(dec("l_extendedprice"))).as("sum_base_price"),
+        dbl(sum(dec("l_extendedprice") * (lit(1).cast("decimal(18,2)") - dec("l_discount"))))
           .as("sum_disc_price"),
         avgDec(col("l_quantity"), count(lit(1))).as("avg_qty"),
         avgDec(col("l_extendedprice"), count(lit(1))).as("avg_price"),
@@ -63,7 +63,7 @@ object Aggregations {
       .rollup(col("n_name"), col("o_orderpriority"))
       .agg(
         count(lit(1)).as("n"),
-        sum(dec("o_totalprice")).cast("decimal(38,2)").as("sum_price"),
+        dbl(sum(dec("o_totalprice"))).as("sum_price"),
         grouping_id().as("gid"))
       .orderBy(col("gid"), asc_nulls_first("n_name"), asc_nulls_first("o_orderpriority"))
   }
@@ -74,7 +74,7 @@ object Aggregations {
       .cube(col("o_orderstatus"), col("o_orderpriority"))
       .agg(
         count(lit(1)).as("n"),
-        sum(dec("o_totalprice")).cast("decimal(38,2)").as("sum_price"),
+        dbl(sum(dec("o_totalprice"))).as("sum_price"),
         grouping_id().as("gid"))
       .orderBy(col("gid"), asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))
 
@@ -83,7 +83,7 @@ object Aggregations {
     Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_gs")
     s.sql(
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
-        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
         |  grouping_id() AS gid
         |FROM lineitem_gs
         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
@@ -103,8 +103,8 @@ object Aggregations {
       .agg(
         min_by(col("o_orderkey"), col("v")).as("cheapest_order"),
         max_by(col("o_orderkey"), col("v")).as("priciest_order"),
-        min(col("price")).as("min_price"),
-        max(col("price")).as("max_price"))
+        dbl(min(col("price"))).as("min_price"),
+        dbl(max(col("price"))).as("max_price"))
       .orderBy("o_orderpriority")
   }
 
@@ -115,7 +115,7 @@ object Aggregations {
     val wavg = udaf(graft.functions.WeightedAvg)
     Tables.lineitem(s, dir)
       .groupBy(col("l_returnflag"))
-      .agg(wavg(dec("l_extendedprice"), dec("l_discount")).cast("decimal(18,6)").as("wavg_price"))
+      .agg(dbl(wavg(dec("l_extendedprice"), dec("l_discount")).cast("decimal(18,6)")).as("wavg_price"))
       .orderBy("l_returnflag")
   }
 
@@ -127,6 +127,7 @@ object Aggregations {
     */
   def aggSaltedSkew(s: SparkSession, dir: String): DataFrame =
     Skew.saltedSumCount(Tables.events(s, dir), "event_type", dec("value"), "event_id", 8)
+      .select(col("event_type"), dbl(col("total")).as("total"), col("n"))
       .orderBy("event_type")
 
   /** Pivot: order counts per status × priority, explicit pivot values
@@ -163,8 +164,8 @@ object Aggregations {
     val s2d = col("s2").cast("double")
     agg.select(
         col("l_returnflag"),
-        ((s2d - s1d * s1d / col("n")) / col("n")).cast("decimal(18,6)").as("var_pop"),
-        sqrt((s2d - s1d * s1d / col("n")) / col("n")).cast("decimal(18,6)").as("stddev_pop"),
+        dbl(((s2d - s1d * s1d / col("n")) / col("n")).cast("decimal(18,6)")).as("var_pop"),
+        dbl(sqrt((s2d - s1d * s1d / col("n")) / col("n")).cast("decimal(18,6)")).as("stddev_pop"),
         col("n"))
       .orderBy("l_returnflag")
   }
@@ -177,9 +178,9 @@ object Aggregations {
     Tables.lineitem(s, dir)
       .groupBy(col("l_returnflag"))
       .agg(
-        expr("percentile(l_quantity, 0.5)").cast("decimal(18,4)").as("median"),
-        expr("percentile(l_quantity, 0.25)").cast("decimal(18,4)").as("q1"),
-        expr("percentile(l_quantity, 0.9)").cast("decimal(18,4)").as("p90"))
+        dbl(expr("percentile(l_quantity, 0.5)").cast("decimal(18,4)")).as("median"),
+        dbl(expr("percentile(l_quantity, 0.25)").cast("decimal(18,4)")).as("q1"),
+        dbl(expr("percentile(l_quantity, 0.9)").cast("decimal(18,4)")).as("p90"))
       .orderBy("l_returnflag")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -200,12 +201,12 @@ object Aggregations {
   val oracle: Map[String, String] = Map(
     "q_agg_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-        |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-        |  sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
-        |  sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS sum_disc_price,
-        |  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS DECIMAL(18,4)) AS avg_qty,
-        |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS DECIMAL(18,4)) AS avg_price,
-        |  CAST(CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS DECIMAL(18,4)) AS avg_disc,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
+        |  CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_disc,
         |  count(*) AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -213,7 +214,7 @@ object Aggregations {
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q_agg_salted_skew" ->
       """SELECT event_type,
-        |  sum(CAST(value AS DECIMAL(18,2))) AS total,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total,
         |  count(*) AS n
         |FROM events
         |GROUP BY event_type
@@ -230,9 +231,9 @@ object Aggregations {
         |ORDER BY o_orderstatus""".stripMargin,
     "q_agg_percentiles" ->
       """SELECT l_returnflag,
-        |  CAST(quantile_cont(l_quantity, 0.5) AS DECIMAL(18,4)) AS median,
-        |  CAST(quantile_cont(l_quantity, 0.25) AS DECIMAL(18,4)) AS q1,
-        |  CAST(quantile_cont(l_quantity, 0.9) AS DECIMAL(18,4)) AS p90
+        |  CAST(CAST(quantile_cont(l_quantity, 0.5) AS DECIMAL(18,4)) AS DOUBLE) AS median,
+        |  CAST(CAST(quantile_cont(l_quantity, 0.25) AS DECIMAL(18,4)) AS DOUBLE) AS q1,
+        |  CAST(CAST(quantile_cont(l_quantity, 0.9) AS DECIMAL(18,4)) AS DOUBLE) AS p90
         |FROM lineitem
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
@@ -244,8 +245,8 @@ object Aggregations {
         |    count(*) AS n
         |  FROM lineitem GROUP BY l_returnflag)
         |SELECT l_returnflag,
-        |  CAST((s2d - s1d * s1d / n) / n AS DECIMAL(18,6)) AS var_pop,
-        |  CAST(sqrt((s2d - s1d * s1d / n) / n) AS DECIMAL(18,6)) AS stddev_pop,
+        |  CAST(CAST((s2d - s1d * s1d / n) / n AS DECIMAL(18,6)) AS DOUBLE) AS var_pop,
+        |  CAST(CAST(sqrt((s2d - s1d * s1d / n) / n) AS DECIMAL(18,6)) AS DOUBLE) AS stddev_pop,
         |  n
         |FROM a
         |ORDER BY l_returnflag""".stripMargin,
@@ -259,7 +260,7 @@ object Aggregations {
     "q_agg_rollup" ->
       """SELECT n_name, o_orderpriority,
         |  count(*) AS n,
-        |  sum(CAST(o_totalprice AS DECIMAL(18,2))) AS sum_price,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
         |  CAST(GROUPING(n_name, o_orderpriority) AS BIGINT) AS gid
         |FROM orders
         |JOIN customer ON o_custkey = c_custkey
@@ -269,14 +270,14 @@ object Aggregations {
     "q_agg_cube" ->
       """SELECT o_orderstatus, o_orderpriority,
         |  count(*) AS n,
-        |  sum(CAST(o_totalprice AS DECIMAL(18,2))) AS sum_price,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
         |  CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid
         |FROM orders
         |GROUP BY CUBE(o_orderstatus, o_orderpriority)
         |ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
     "q_agg_grouping_sets" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
-        |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
         |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
@@ -285,8 +286,8 @@ object Aggregations {
       """SELECT o_orderpriority,
         |  arg_min(o_orderkey, v) AS cheapest_order,
         |  arg_max(o_orderkey, v) AS priciest_order,
-        |  min(price) AS min_price,
-        |  max(price) AS max_price
+        |  CAST(min(price) AS DOUBLE) AS min_price,
+        |  CAST(max(price) AS DOUBLE) AS max_price
         |FROM (SELECT o_orderpriority, o_orderkey,
         |        CAST(o_totalprice AS DECIMAL(18,2)) AS price,
         |        CAST(round(o_totalprice * 100) AS BIGINT) * 10000000 + o_orderkey AS v
@@ -295,8 +296,8 @@ object Aggregations {
         |ORDER BY o_orderpriority""".stripMargin,
     "q_udaf_weighted" ->
       """SELECT l_returnflag,
-        |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)
-        |     / CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS DECIMAL(18,6)) AS wavg_price
+        |  CAST(CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)
+        |     / CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS DECIMAL(18,6)) AS DOUBLE) AS wavg_price
         |FROM lineitem
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin

@@ -18,7 +18,7 @@ object Filters {
         && col("l_discount").between(0.05, 0.07)
         && col("l_quantity") < 24)
       .agg(
-        sum(dec("l_extendedprice") * dec("l_discount")).as("revenue"),
+        dbl(sum(dec("l_extendedprice") * dec("l_discount"))).as("revenue"),
         count(lit(1)).as("n"))
 
   /** IN-list, LIKE, and null-safe equality (`<=>` / IS NOT DISTINCT FROM). */
@@ -36,8 +36,8 @@ object Filters {
       .select(
         col("l_orderkey"),
         col("l_linenumber"),
-        (dec("l_extendedprice") * (lit(1).cast("decimal(18,2)") - dec("l_discount")))
-          .cast("decimal(18,4)").as("net_price"),
+        dbl(dec("l_extendedprice") * (lit(1).cast("decimal(18,2)") - dec("l_discount")))
+          .as("net_price"),
         when(col("l_quantity") > 25, "bulk")
           .when(col("l_quantity") > 10, "mid")
           .otherwise("small").as("size_class"))
@@ -51,7 +51,7 @@ object Filters {
   def filterSubquery(s: SparkSession, dir: String): DataFrame = {
     Tables.part(s, dir).createOrReplaceTempView("part_sq")
     s.sql(
-      """SELECT p_partkey, p_brand, CAST(p_retailprice AS DECIMAL(18,2)) AS price
+      """SELECT p_partkey, p_brand, CAST(CAST(p_retailprice AS DECIMAL(18,2)) AS DOUBLE) AS price
         |FROM part_sq p1
         |WHERE p_retailprice >
         |  (SELECT CAST(sum(CAST(p2.p_retailprice AS DECIMAL(18,2))) AS DOUBLE) / count(*)
@@ -68,7 +68,7 @@ object Filters {
 
   val oracle: Map[String, String] = Map(
     "q_filter_basic" ->
-      """SELECT sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS revenue,
+      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
         |  count(*) AS n
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -76,7 +76,7 @@ object Filters {
         |  AND l_discount BETWEEN 0.05 AND 0.07
         |  AND l_quantity < 24""".stripMargin,
     "q_filter_subquery" ->
-      """SELECT p_partkey, p_brand, CAST(p_retailprice AS DECIMAL(18,2)) AS price
+      """SELECT p_partkey, p_brand, CAST(CAST(p_retailprice AS DECIMAL(18,2)) AS DOUBLE) AS price
         |FROM part p1
         |WHERE p_retailprice >
         |  (SELECT CAST(sum(CAST(p2.p_retailprice AS DECIMAL(18,2))) AS DOUBLE) / count(*)
@@ -90,7 +90,7 @@ object Filters {
         |ORDER BY p_partkey""".stripMargin,
     "q_project_expr" ->
       """SELECT l_orderkey, l_linenumber,
-        |  CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS net_price,
+        |  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS net_price,
         |  CASE WHEN l_quantity > 25 THEN 'bulk'
         |       WHEN l_quantity > 10 THEN 'mid'
         |       ELSE 'small' END AS size_class

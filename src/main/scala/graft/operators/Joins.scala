@@ -23,7 +23,7 @@ object Joins {
     val p = Tables.part(s, dir)
     li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
       .groupBy(col("p_brand"))
-      .agg(sum(dec("l_quantity")).cast("decimal(38,2)").as("sum_qty"), count(lit(1)).as("n"))
+      .agg(dbl(sum(dec("l_quantity"))).as("sum_qty"), count(lit(1)).as("n"))
       .orderBy("p_brand")
   }
 
@@ -33,7 +33,7 @@ object Joins {
     val o = Tables.orders(s, dir)
     li.join(o, li("l_orderkey") === o("o_orderkey"))
       .groupBy(col("o_orderpriority"))
-      .agg(count(lit(1)).as("n"), sum(dec("l_extendedprice")).cast("decimal(38,2)").as("sum_price"))
+      .agg(count(lit(1)).as("n"), dbl(sum(dec("l_extendedprice"))).as("sum_price"))
       .orderBy("o_orderpriority")
   }
 
@@ -47,13 +47,16 @@ object Joins {
     val c = Tables.customer(s, dir)
     val n = Tables.nation(s, dir)
     val r = Tables.region(s, dir)
+    // customer is NOT hinted: at sf100 it is ~15M rows (GBs) and a
+    // forced broadcast would OOM the driver — AQE picks BHJ when it
+    // actually fits, SMJ otherwise. nation/region stay broadcast.
     li.join(o, li("l_orderkey") === o("o_orderkey"))
-      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
       .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
       .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
       .where(col("r_name") === "ASIA")
       .groupBy(col("n_name"))
-      .agg(sum(dec("l_extendedprice") * (lit(1).cast("decimal(18,2)") - dec("l_discount")))
+      .agg(dbl(sum(dec("l_extendedprice") * (lit(1).cast("decimal(18,2)") - dec("l_discount"))))
         .as("revenue"))
       .orderBy("n_name")
   }
@@ -66,7 +69,7 @@ object Joins {
       .groupBy(col("c_custkey"), col("c_name"))
       .agg(
         count(col("o_orderkey")).as("n_orders"),
-        coalesce(sum(dec("o_totalprice")), lit(0).cast("decimal(38,2)")).as("total_spent"))
+        dbl(coalesce(sum(dec("o_totalprice")), lit(0).cast("decimal(38,2)"))).as("total_spent"))
       .orderBy("c_custkey")
   }
 
@@ -118,7 +121,7 @@ object Joins {
     ).toDF("lo", "hi", "band")
     p.join(broadcast(bands), col("p_retailprice") >= col("lo") && col("p_retailprice") < col("hi"))
       .groupBy(col("band"))
-      .agg(count(lit(1)).as("n_parts"), sum(dec("p_retailprice")).cast("decimal(38,2)").as("sum_price"))
+      .agg(count(lit(1)).as("n_parts"), dbl(sum(dec("p_retailprice"))).as("sum_price"))
       .orderBy("band")
   }
 
@@ -155,8 +158,13 @@ object Joins {
     val e = Tables.events(s, dir)
       .where(col("event_type").isin("click", "purchase"))
       .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+    // clicks sort before purchases at equal ts: the as-of predicate is
+    // p.ts >= c.ts (inclusive), so a click sharing a purchase's
+    // timestamp must already be visible in the running last-click.
     val w = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts"), col("event_id"))
+      .orderBy(col("ts"),
+        when(col("event_type") === "click", 0).otherwise(1),
+        col("event_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     e.withColumn("click_ts",
         last(when(col("event_type") === "click", col("ts")), ignoreNulls = true).over(w))
@@ -206,7 +214,7 @@ object Joins {
   val oracle: Map[String, String] = Map(
     "q_join_broadcast" ->
       """SELECT p_brand,
-        |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
         |  count(*) AS n
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY p_brand
@@ -214,13 +222,13 @@ object Joins {
     "q_join_sortmerge" ->
       """SELECT o_orderpriority,
         |  count(*) AS n,
-        |  sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_price
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
     "q_join_multiway" ->
       """SELECT n_name,
-        |  sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS revenue
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -232,7 +240,7 @@ object Joins {
     "q_join_outer" ->
       """SELECT c_custkey, c_name,
         |  count(o_orderkey) AS n_orders,
-        |  coalesce(sum(CAST(o_totalprice AS DECIMAL(18,2))), CAST(0 AS DECIMAL(38,2))) AS total_spent
+        |  CAST(coalesce(sum(CAST(o_totalprice AS DECIMAL(18,2))), CAST(0 AS DECIMAL(38,2))) AS DOUBLE) AS total_spent
         |FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
         |GROUP BY c_custkey, c_name
         |ORDER BY c_custkey""".stripMargin,
@@ -258,7 +266,7 @@ object Joins {
     "q_join_theta_range" ->
       """SELECT band,
         |  count(*) AS n_parts,
-        |  sum(CAST(p_retailprice AS DECIMAL(18,2))) AS sum_price
+        |  CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM part
         |JOIN (VALUES (900.0, 925.0, 'b0'), (925.0, 950.0, 'b1'),
         |             (950.0, 975.0, 'b2'), (975.0, 1000.0, 'b3')) AS b(lo, hi, band)

@@ -158,20 +158,28 @@ object NearDup {
     val docs = Tables.documents(s, dir)
     val sizes = docs.select(col("doc_id"),
       size(array_distinct(expr(shingleArr))).cast("long").as("sz"))
+    // shingles join on a 64-bit hash, not the string: the inverted-
+    // index self-join shuffles (doc, shingle) rows, and 8-byte keys
+    // move/compare ~10× cheaper than 3-token strings at corpus scale
+    // (a 64-bit collision altering an intersection count is ~n²/2⁶⁴).
     val sh = docs
-      .select(col("doc_id"), col("lang"), explode(expr(shingleArr)).as("shingle"))
+      .select(col("doc_id"), col("lang"), explode(expr(shingleArr)).as("shingle_s"))
+      .select(col("doc_id"), col("lang"), xxhash64(col("shingle_s")).as("shingle"))
       .distinct()
     val inter = sh.as("a").join(sh.as("b"),
         col("a.lang") === col("b.lang") && col("a.shingle") === col("b.shingle")
           && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .agg(count(lit(1)).as("inter"))
+    // sizes is per-document — never broadcast it (impossible at corpus
+    // scale); the candidate-pair set these joins run over is already
+    // small, so two shuffle joins are cheap and scale-safe.
     inter
-      .join(broadcast(sizes.select(col("doc_id").as("d1"), col("sz").as("sz1"))), Seq("d1"))
-      .join(broadcast(sizes.select(col("doc_id").as("d2"), col("sz").as("sz2"))), Seq("d2"))
+      .join(sizes.select(col("doc_id").as("d1"), col("sz").as("sz1")), Seq("d1"))
+      .join(sizes.select(col("doc_id").as("d2"), col("sz").as("sz2")), Seq("d2"))
       .withColumn("jac", col("inter").cast("double") / (col("sz1") + col("sz2") - col("inter")))
       .where(col("jac") >= 0.5)
-      .select(col("d1"), col("d2"), col("jac").cast("decimal(9,6)").as("jaccard"))
+      .select(col("d1"), col("d2"), dbl(col("jac").cast("decimal(9,6)")).as("jaccard"))
       .orderBy("d1", "d2")
   }
 
@@ -215,7 +223,7 @@ object NearDup {
       .join(shSets.select(col("doc_id").as("d2"), col("shset").as("s2")), Seq("d2"))
       .withColumn("jac", jacUdf(col("s1"), col("s2")))
       .where(col("jac") >= tau)
-      .select(col("d1"), col("d2"), col("jac").cast("decimal(9,6)").as("jaccard"))
+      .select(col("d1"), col("d2"), dbl(col("jac").cast("decimal(9,6)")).as("jaccard"))
       .orderBy("d1", "d2")
   }
 
@@ -239,7 +247,7 @@ object NearDup {
         |  FROM sh a JOIN sh b ON a.lang = b.lang AND a.shingle = b.shingle AND a.doc_id < b.doc_id
         |  GROUP BY a.doc_id, b.doc_id)
         |SELECT d1, d2,
-        |  CAST(CAST(inter AS DOUBLE) / (s1.sz + s2.sz - inter) AS DECIMAL(9,6)) AS jaccard
+        |  CAST(CAST(CAST(inter AS DOUBLE) / (s1.sz + s2.sz - inter) AS DECIMAL(9,6)) AS DOUBLE) AS jaccard
         |FROM inter
         |JOIN sizes s1 ON s1.doc_id = d1
         |JOIN sizes s2 ON s2.doc_id = d2

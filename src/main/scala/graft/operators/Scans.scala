@@ -18,7 +18,7 @@ object Scans {
   def scanParquet(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir).agg(
       count(lit(1)).as("n_rows"),
-      sum(dec("l_quantity")).cast("decimal(38,2)").as("total_qty"),
+      dbl(sum(dec("l_quantity"))).as("total_qty"),
       countDistinct(col("l_orderkey")).as("n_orders"))
 
   /** Column pruning + predicate pushdown: the scan must read only the
@@ -30,7 +30,7 @@ object Scans {
     Tables.lineitem(s, dir)
       .where(col("l_shipdate") >= lit("2000-01-01").cast("timestamp")
         && col("l_quantity") < 5)
-      .select(col("l_orderkey"), col("l_linenumber"), dec("l_quantity").as("qty"))
+      .select(col("l_orderkey"), col("l_linenumber"), dbl(dec("l_quantity")).as("qty"))
       .orderBy("l_orderkey", "l_linenumber")
 
   /** JSON-string source column: parse `events.props` into a typed int. */
@@ -92,7 +92,7 @@ object Scans {
       StructField("o_totalprice", DoubleType), StructField("o_orderstatus", StringType)))
     s.read.schema(schema).option("header", "true").csv(tmp)
       .groupBy(col("o_orderstatus"))
-      .agg(count(lit(1)).as("n"), sum(dec("o_totalprice")).cast("decimal(38,2)").as("total"))
+      .agg(count(lit(1)).as("n"), dbl(sum(dec("o_totalprice"))).as("total"))
       .orderBy("o_orderstatus")
   }
 
@@ -108,7 +108,7 @@ object Scans {
       StructField("o_totalprice", DoubleType)))
     s.read.schema(schema).json(tmp)
       .groupBy(col("o_orderpriority"))
-      .agg(count(lit(1)).as("n"), sum(dec("o_totalprice")).cast("decimal(38,2)").as("total"))
+      .agg(count(lit(1)).as("n"), dbl(sum(dec("o_totalprice"))).as("total"))
       .orderBy("o_orderpriority")
   }
 
@@ -125,7 +125,7 @@ object Scans {
       .groupBy(col("o_orderstatus"))
       .agg(count(lit(1)).as("n"), min(col("o_orderkey")).as("min_key"),
         max(col("o_orderkey")).as("max_key"),
-        sum(dec("o_totalprice")).cast("decimal(38,2)").as("total"))
+        dbl(sum(dec("o_totalprice"))).as("total"))
       .orderBy("o_orderstatus")
   }
 
@@ -143,11 +143,11 @@ object Scans {
   val oracle: Map[String, String] = Map(
     "q_scan_parquet" ->
       """SELECT count(*) AS n_rows,
-        |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS total_qty,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty,
         |  count(DISTINCT l_orderkey) AS n_orders
         |FROM lineitem""".stripMargin,
     "q_scan_pruned" ->
-      """SELECT l_orderkey, l_linenumber, CAST(l_quantity AS DECIMAL(18,2)) AS qty
+      """SELECT l_orderkey, l_linenumber, CAST(CAST(l_quantity AS DECIMAL(18,2)) AS DOUBLE) AS qty
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '2000-01-01 00:00:00' AND l_quantity < 5
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
@@ -158,20 +158,20 @@ object Scans {
         |ORDER BY event_id""".stripMargin,
     "q_source_csv" ->
       """SELECT o_orderstatus, count(*) AS n,
-        |  sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM orders
         |GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin,
     "q_source_jsonl" ->
       """SELECT o_orderpriority, count(*) AS n,
-        |  sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM orders
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
     "q_source_orc" ->
       """SELECT o_orderstatus, count(*) AS n,
         |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
-        |  sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM orders
         |GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin,

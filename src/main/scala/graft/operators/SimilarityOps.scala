@@ -40,7 +40,7 @@ object SimilarityOps {
       .withColumn("q", typedlit(qvec))
       .withColumn("score_d",
         dotExpr("embedding", "q") / (normExpr("embedding") * normExpr("q")))
-      .select(col("vec_id"), col("label"), col("score_d").cast("decimal(12,6)").as("score"))
+      .select(col("vec_id"), col("label"), dbl(col("score_d").cast("decimal(12,6)")).as("score"))
       .orderBy(desc("score"), asc("vec_id"))
       .limit(10)
   }
@@ -64,7 +64,7 @@ object SimilarityOps {
     a.join(b, col("label") === col("label2") && col("v1") < col("v2"))
       .withColumn("score_d", dotExpr("e1", "e2") / (col("na") * col("nb")))
       .where(col("score_d") >= 0.3)
-      .select(col("v1"), col("v2"), col("label"), col("score_d").cast("decimal(12,6)").as("score"))
+      .select(col("v1"), col("v2"), col("label"), dbl(col("score_d").cast("decimal(12,6)")).as("score"))
       .orderBy("v1", "v2")
   }
 
@@ -143,7 +143,7 @@ object SimilarityOps {
       .withColumn("q", typedlit(qvec))
       .withColumn("score_d",
         dotExpr("embedding", "q") / (normExpr("embedding") * normExpr("q")))
-      .select(col("vec_id"), col("score_d").cast("decimal(12,6)").as("score"))
+      .select(col("vec_id"), dbl(col("score_d").cast("decimal(12,6)")).as("score"))
       .orderBy(desc("score"), asc("vec_id"))
       .limit(10)
   }
@@ -181,7 +181,7 @@ object SimilarityOps {
       .withColumn("q", typedlit(qvec))
       .withColumn("score_d",
         dotExpr("embedding", "q") / (normExpr("embedding") * normExpr("q")))
-      .select(col("vec_id"), col("ivf_list"), col("score_d").cast("decimal(12,6)").as("score"))
+      .select(col("vec_id"), col("ivf_list"), dbl(col("score_d").cast("decimal(12,6)")).as("score"))
       .orderBy(desc("score"), asc("vec_id"))
       .limit(10)
   }
@@ -207,14 +207,14 @@ object SimilarityOps {
     "q_sim_topk" ->
       s"""WITH qv AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 0)
          |SELECT vec_id, label,
-         |  CAST(${cosSql("embedding", "q")} AS DECIMAL(12,6)) AS score
+         |  CAST(CAST(${cosSql("embedding", "q")} AS DECIMAL(12,6)) AS DOUBLE) AS score
          |FROM embeddings, qv
          |WHERE vec_id <> 0
          |ORDER BY score DESC, vec_id
          |LIMIT 10""".stripMargin,
     "q_sim_pairs" ->
       s"""SELECT a.vec_id AS v1, b.vec_id AS v2, a.label,
-         |  CAST(${cosSql("a.embedding", "b.embedding")} AS DECIMAL(12,6)) AS score
+         |  CAST(CAST(${cosSql("a.embedding", "b.embedding")} AS DECIMAL(12,6)) AS DOUBLE) AS score
          |FROM embeddings a JOIN embeddings b
          |  ON a.label = b.label AND a.vec_id < b.vec_id
          |WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.3

@@ -17,7 +17,7 @@ object SortsSets {
     Tables.lineitem(s, dir)
       .orderBy(desc("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
       .limit(20)
-      .select(col("l_orderkey"), col("l_linenumber"), dec("l_extendedprice").as("price"))
+      .select(col("l_orderkey"), col("l_linenumber"), dbl(dec("l_extendedprice")).as("price"))
 
   /** UNION ALL of two (overlapping) event slices, tagged per branch. */
   def setUnionAll(s: SparkSession, dir: String): DataFrame = {
@@ -56,7 +56,7 @@ object SortsSets {
 
   val oracle: Map[String, String] = Map(
     "q_sort_limit_topk" ->
-      """SELECT l_orderkey, l_linenumber, CAST(l_extendedprice AS DECIMAL(18,2)) AS price
+      """SELECT l_orderkey, l_linenumber, CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE) AS price
         |FROM lineitem
         |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
         |LIMIT 20""".stripMargin,

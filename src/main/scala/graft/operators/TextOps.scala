@@ -70,7 +70,7 @@ object TextOps {
       .agg(count(lit(1)).as("n_distinct_toks"))
     perGroup.join(distinctToks, Seq("lang", "source"))
       .select(col("lang"), col("source"), col("n_docs"), col("n_distinct_toks"), col("n_toks"),
-        (col("chars_x_toks").cast("double") / col("n_toks")).cast("decimal(18,4)")
+        dbl((col("chars_x_toks").cast("double") / col("n_toks")).cast("decimal(18,4)"))
           .as("avg_chars_per_tok_row"))
       .orderBy("lang", "source")
   }
@@ -95,7 +95,7 @@ object TextOps {
           .when(col("s_de") >= greatest(col("s_es"), col("s_fr")), "de")
           .when(col("s_es") >= col("s_fr"), "es")
           .otherwise("fr").as("pred_lang"),
-        col("s_en").cast("decimal(9,6)").as("score_en"))
+        dbl(col("s_en").cast("decimal(9,6)")).as("score_en"))
       .orderBy("doc_id")
   }
 
@@ -112,11 +112,11 @@ object TextOps {
         expr(s"CAST(size(filter(toks, t -> t IN ${sqlList(stopEn)})) AS DOUBLE) / size(toks)"))
       .select(
         col("doc_id"), col("n_toks"), col("n_pieces"),
-        ((col("n_chars") - (col("n_toks") - 1)).cast("double") / col("n_toks"))
-          .cast("decimal(9,4)").as("avg_tok_len"),
-        col("stop_ratio").cast("decimal(9,6)").as("stop_ratio"),
-        (when(col("n_chars") >= 100, 0.5).otherwise(0.0)
-          + when(col("stop_ratio") > 0, 0.5).otherwise(0.0)).cast("decimal(3,1)").as("quality"))
+        dbl(((col("n_chars") - (col("n_toks") - 1)).cast("double") / col("n_toks"))
+          .cast("decimal(9,4)")).as("avg_tok_len"),
+        dbl(col("stop_ratio").cast("decimal(9,6)")).as("stop_ratio"),
+        dbl((when(col("n_chars") >= 100, 0.5).otherwise(0.0)
+          + when(col("stop_ratio") > 0, 0.5).otherwise(0.0)).cast("decimal(3,1)")).as("quality"))
       .orderBy("doc_id")
 
   /** Deterministic document fingerprint: left-fold rolling hash over
@@ -181,6 +181,7 @@ object TextOps {
         col("p_size").cast("decimal(18,2)").as("size_dec"))
       .unpivot(Array(col("p_partkey")),
         Array(col("retail_price"), col("size_dec")), "metric", "val")
+      .select(col("p_partkey"), col("metric"), dbl(col("val")).as("val"))
       .orderBy("p_partkey", "metric")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -208,8 +209,8 @@ object TextOps {
     "q_unpivot" ->
       """SELECT p_partkey, metric, val FROM (
         |  UNPIVOT (SELECT p_partkey,
-        |             CAST(p_retailprice AS DECIMAL(18,2)) AS retail_price,
-        |             CAST(p_size AS DECIMAL(18,2)) AS size_dec
+        |             CAST(CAST(p_retailprice AS DECIMAL(18,2)) AS DOUBLE) AS retail_price,
+        |             CAST(CAST(p_size AS DECIMAL(18,2)) AS DOUBLE) AS size_dec
         |           FROM part)
         |  ON retail_price, size_dec INTO NAME metric VALUE val)
         |ORDER BY p_partkey, metric""".stripMargin,
@@ -231,7 +232,7 @@ object TextOps {
         |  count(DISTINCT doc_id) AS n_docs,
         |  count(DISTINCT tok) AS n_distinct_toks,
         |  count(*) AS n_toks,
-        |  CAST(CAST(sum(n_chars) AS DOUBLE) / count(*) AS DECIMAL(18,4)) AS avg_chars_per_tok_row
+        |  CAST(CAST(CAST(sum(n_chars) AS DOUBLE) / count(*) AS DECIMAL(18,4)) AS DOUBLE) AS avg_chars_per_tok_row
         |FROM (SELECT lang, source, doc_id, n_chars, unnest(string_split(text, ' ')) AS tok
         |      FROM documents)
         |GROUP BY lang, source
@@ -249,17 +250,17 @@ object TextOps {
         |       WHEN s_de >= greatest(s_es, s_fr) THEN 'de'
         |       WHEN s_es >= s_fr THEN 'es'
         |       ELSE 'fr' END AS pred_lang,
-        |  CAST(s_en AS DECIMAL(9,6)) AS score_en
+        |  CAST(CAST(s_en AS DECIMAL(9,6)) AS DOUBLE) AS score_en
         |FROM scored
         |ORDER BY doc_id""".stripMargin,
     "q_text_quality" ->
       """SELECT doc_id,
         |  CAST(len(string_split(text, ' ')) AS INTEGER) AS n_toks,
         |  CAST(len(regexp_extract_all(text, '[^aeiou ]+[aeiou]*|[aeiou]+', 0)) AS INTEGER) AS n_pieces,
-        |  CAST(CAST(n_chars - (len(string_split(text, ' ')) - 1) AS DOUBLE) / len(string_split(text, ' ')) AS DECIMAL(9,4)) AS avg_tok_len,
-        |  CAST(CAST(len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a', 'of', 'to', 'and', 'in', 'is'))) AS DOUBLE) / len(string_split(text, ' ')) AS DECIMAL(9,6)) AS stop_ratio,
-        |  CAST((CASE WHEN n_chars >= 100 THEN 0.5 ELSE 0.0 END)
-        |     + (CASE WHEN len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a', 'of', 'to', 'and', 'in', 'is'))) > 0 THEN 0.5 ELSE 0.0 END) AS DECIMAL(3,1)) AS quality
+        |  CAST(CAST(CAST(n_chars - (len(string_split(text, ' ')) - 1) AS DOUBLE) / len(string_split(text, ' ')) AS DECIMAL(9,4)) AS DOUBLE) AS avg_tok_len,
+        |  CAST(CAST(CAST(len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a', 'of', 'to', 'and', 'in', 'is'))) AS DOUBLE) / len(string_split(text, ' ')) AS DECIMAL(9,6)) AS DOUBLE) AS stop_ratio,
+        |  CAST(CAST((CASE WHEN n_chars >= 100 THEN 0.5 ELSE 0.0 END)
+        |     + (CASE WHEN len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a', 'of', 'to', 'and', 'in', 'is'))) > 0 THEN 0.5 ELSE 0.0 END) AS DECIMAL(3,1)) AS DOUBLE) AS quality
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
     "q_text_fingerprint" ->

@@ -50,7 +50,7 @@ object Windows {
     Tables.orders(s, dir)
       .select(
         col("o_custkey"), col("o_orderkey"),
-        sum(dec("o_totalprice")).over(w).cast("decimal(38,2)").as("running_total"))
+        dbl(sum(dec("o_totalprice")).over(w)).as("running_total"))
       .orderBy("o_custkey", "o_orderkey")
   }
 
@@ -62,7 +62,7 @@ object Windows {
     Tables.orders(s, dir)
       .select(
         col("o_custkey"), col("o_orderkey"),
-        sum(dec("o_totalprice")).over(w).cast("decimal(38,2)").as("trailing_7d"))
+        dbl(sum(dec("o_totalprice")).over(w)).as("trailing_7d"))
       .orderBy("o_custkey", "o_orderkey")
   }
 
@@ -133,16 +133,16 @@ object Windows {
         |ORDER BY event_id""".stripMargin,
     "q_win_running" ->
       """SELECT o_custkey, o_orderkey,
-        |  sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
         |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_total
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
         |FROM orders
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
     "q_win_range_frame" ->
       """SELECT o_custkey, o_orderkey,
-        |  sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
         |    PARTITION BY o_custkey ORDER BY date_diff('second', TIMESTAMP '1970-01-01 00:00:00', o_orderdate)
-        |    RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW) AS trailing_7d
+        |    RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW) AS DOUBLE) AS trailing_7d
         |FROM orders
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
     "q_win_ntile_cume" ->

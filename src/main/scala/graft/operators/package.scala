@@ -17,10 +17,25 @@ package object operators {
   def dec(c: Column): Column = c.cast(DecimalType(18, 2))
   def dec(name: String): Column = dec(col(name))
 
-  /** Deterministic "average": exact decimal sum, one IEEE double
-    * division, then a fixed-scale decimal presentation. Mirrors the
-    * oracle SQL shape CAST(CAST(sum(dec) AS DOUBLE)/count AS DECIMAL(18,4)).
+  /** Final-projection presentation cast: exact decimal → float64.
+    *
+    * The driver's oracle materializes DuckDB DECIMAL results as
+    * float64 while Spark parquet keeps Decimal objects, so a decimal
+    * output column hash-mismatches whenever a value has a trailing
+    * zero. Emitting DOUBLE on both sides is representation-stable:
+    * decimal→double is one correctly-rounded conversion on each
+    * engine, so equal decimals become bit-equal doubles. Internal
+    * aggregation stays DECIMAL (exact, associative); only the final
+    * projection is cast. Oracle'd queries must never emit DecimalType
+    * (or array/map) output columns — OracleShapeSpec enforces this.
+    */
+  def dbl(c: Column): Column = c.cast(DoubleType)
+
+  /** Deterministic "average" presented as float64: exact decimal sum,
+    * one IEEE double division (both engines perform the identical
+    * correctly-rounded ops). Mirrors the oracle SQL shape
+    * CAST(sum(CAST(x AS DECIMAL(18,2))) AS DOUBLE) / count(*).
     */
   def avgDec(c: Column, cnt: Column): Column =
-    (sum(dec(c)).cast(DoubleType) / cnt).cast(DecimalType(18, 4))
+    sum(dec(c)).cast(DoubleType) / cnt
 }

@@ -21,7 +21,7 @@ object StreamingQueries {
   def tumbling(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
-      .agg(count(lit(1)).as("n"), sum(dec("value")).cast("decimal(38,2)").as("sum_value"))
+      .agg(count(lit(1)).as("n"), graft.operators.dbl(sum(dec("value"))).as("sum_value"))
       .select(col("w.start").as("bucket"), col("event_type"), col("n"), col("sum_value"))
       .orderBy("bucket", "event_type")
 
@@ -87,7 +87,7 @@ object StreamingQueries {
     "q_stream_tumbling" ->
       """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket, event_type,
         |  count(*) AS n,
-        |  sum(CAST(value AS DECIMAL(18,2))) AS sum_value
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events
         |GROUP BY 1, 2
         |ORDER BY bucket, event_type""".stripMargin,

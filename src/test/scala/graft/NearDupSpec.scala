@@ -60,7 +60,7 @@ class NearDupSpec extends SparkSpec {
     val df = q("q_dedup_minhash").collect()
     df.foreach { r =>
       assert(r.getLong(0) < r.getLong(1))
-      assert(r.getDecimal(2).doubleValue >= 0.8)
+      assert(r.getDecimal(2).doubleValue >= 0.8) // minhash jaccard stays decimal (no oracle)
     }
   }
 
@@ -74,23 +74,23 @@ class NearDupSpec extends SparkSpec {
   test("ngram jaccard result contains no self-pairs and respects tau") {
     q("q_dedup_ngram_jaccard").collect().foreach { r =>
       assert(r.getLong(0) < r.getLong(1))
-      assert(r.getDecimal(2).doubleValue >= 0.5)
+      assert(r.getDouble(2) >= 0.5)
     }
   }
 
   test("IVF ANN: candidates carry exact cosine scores and lists partition the space") {
     val ivf = q("q_sim_ann_ivf").collect()
     assert(ivf.nonEmpty && ivf.length <= 10)
-    val brute = q("q_sim_topk").collect().map(r => r.getLong(0) -> r.getDecimal(2)).toMap
+    val brute = q("q_sim_topk").collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
     ivf.foreach { r =>
-      brute.get(r.getLong(0)).foreach(b => assert(b == r.getDecimal(2),
+      brute.get(r.getLong(0)).foreach(b => assert(b == r.getDouble(2),
         s"score mismatch for ${r.getLong(0)}"))
     }
   }
 
   test("LSH ANN candidates are a subset of brute-force scores (same score per id)") {
-    val brute = q("q_sim_topk").collect().map(r => r.getLong(0) -> r.getDecimal(2)).toMap
-    val lshAll = q("q_sim_ann_lsh").collect().map(r => r.getLong(0) -> r.getDecimal(1)).toMap
+    val brute = q("q_sim_topk").collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val lshAll = q("q_sim_ann_lsh").collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     // any LSH candidate that is also in the brute-force top-10 must carry the same score
     lshAll.foreach { case (id, sc) =>
       brute.get(id).foreach(b => assert(b == sc, s"score mismatch for $id"))

@@ -23,15 +23,39 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 
 def norm(v):
-    """Normalize a cell for comparison across duckdb/parquet round-trips."""
+    """Normalize a cell for comparison across duckdb/parquet round-trips.
+
+    Deliberately NO Decimal.normalize(): the driver's comparator
+    materializes DuckDB decimals as float64 while Spark parquet keeps
+    Decimal objects, so a trailing-zero decimal that normalize() would
+    paper over fails the driver. Decimals compare by exact string here
+    — and the schema lint below rejects them outright, since oracle'd
+    queries must emit DOUBLE finals.
+    """
     if isinstance(v, float):
         return ("f", v)  # exact float equality intended
     import decimal
     if isinstance(v, decimal.Decimal):
-        return ("d", str(v.normalize()))
+        return ("d", str(v))
     if isinstance(v, list):
         return ("l", tuple(norm(x) for x in v))
     return v
+
+
+# Output types the driver's pandas-based comparator mishandles:
+# decimals become float64 on the DuckDB side only (trailing-zero hash
+# mismatch), and array/map cells crash pandas sort_values outright.
+DRIVER_HOSTILE = ("decimal", "list", "map", "struct")
+
+
+def lint_schema(name, side, table, failures):
+    bad = [f"{c}:{table.schema.field(c).type}"
+           for c in table.column_names
+           if any(b in str(table.schema.field(c).type).lower()
+                  for b in DRIVER_HOSTILE)]
+    if bad:
+        failures.append((name, f"lint: {side} emits driver-hostile column type(s): {bad}"))
+    return not bad
 
 
 def main():
@@ -63,6 +87,9 @@ def main():
         wcols, gcols = sorted(want.column_names), sorted(got.column_names)
         if wcols != gcols:
             failures.append((name, f"column mismatch: oracle={wcols} spark={gcols}"))
+            continue
+        if not (lint_schema(name, "spark", got, failures)
+                and lint_schema(name, "oracle", want, failures)):
             continue
         # surface arrow-dtype drift even when values match (the driver's
         # schema check may be stricter than value equality)

@@ -79,27 +79,50 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
       var lastMatchKey: Long = 0L
       var hasMatch = false
 
+      // Null handling: a null key/ts can never satisfy the as-of
+      // predicate — unboxing it to 0L would silently match key 0 /
+      // epoch 0. Null left rows emit the null-extended row; null right
+      // rows are discarded (both sides sort NULLS FIRST under the
+      // required Ascending ordering, so discarding preserves the merge).
       lIter.map { lrow =>
-        val lk = lKeyB.eval(lrow).asInstanceOf[Long]
-        val lt = lTsB.eval(lrow).asInstanceOf[Long]
-        var advancing = true
-        while (advancing && rBuf.hasNext) {
-          val head = rBuf.head
-          val rk = rKeyB.eval(head).asInstanceOf[Long]
-          if (rk < lk) {
-            // left keys only grow: rows below the current key can
-            // never match again — discard without copying
-            rBuf.next()
-          } else if (rk == lk && rTsB.eval(head).asInstanceOf[Long] <= lt) {
-            lastMatch = rBuf.next().copy() // retained across iterations
-            lastMatchKey = rk
-            hasMatch = true
-          } else {
-            advancing = false
+        val lkAny = lKeyB.eval(lrow)
+        val ltAny = lTsB.eval(lrow)
+        if (lkAny == null || ltAny == null) {
+          proj(joined(lrow, nullRight))
+        } else {
+          val lk = lkAny.asInstanceOf[Long]
+          val lt = ltAny.asInstanceOf[Long]
+          var advancing = true
+          while (advancing && rBuf.hasNext) {
+            val head = rBuf.head
+            val rkAny = rKeyB.eval(head)
+            if (rkAny == null) {
+              rBuf.next() // nulls sort first and never match
+            } else {
+              val rk = rkAny.asInstanceOf[Long]
+              if (rk < lk) {
+                // left keys only grow: rows below the current key can
+                // never match again — discard without copying
+                rBuf.next()
+              } else if (rk == lk) {
+                val rtAny = rTsB.eval(head)
+                if (rtAny == null) {
+                  rBuf.next() // null ts sorts first within the key group
+                } else if (rtAny.asInstanceOf[Long] <= lt) {
+                  lastMatch = rBuf.next().copy() // retained across iterations
+                  lastMatchKey = rk
+                  hasMatch = true
+                } else {
+                  advancing = false
+                }
+              } else {
+                advancing = false
+              }
+            }
           }
+          val matched = hasMatch && lastMatchKey == lk
+          proj(joined(lrow, if (matched) lastMatch else nullRight))
         }
-        val matched = hasMatch && lastMatchKey == lk
-        proj(joined(lrow, if (matched) lastMatch else nullRight))
       }
     }
   }

@@ -15,10 +15,13 @@ import graft.functions.FloatDotProduct
   *             0.0, (acc, v) -> acc + v)
   *
   * into the codegen'd [[FloatDotProduct]] when both inputs are
-  * array<float>. Bit-identical semantics (same left-fold of double
-  * products), so the rewrite is always safe; it exists because the HOF
-  * form evaluates per-element through lambda objects outside
-  * whole-stage codegen (~8× slower on the similarity benchmarks).
+  * array<float>. Bit-identical semantics — same left-fold of double
+  * products, and FloatDotProduct mirrors the HOF's degenerate cases
+  * too (unequal lengths or a null element → NULL, exactly what
+  * zip_with's null padding + `acc + null` produce), so the rewrite is
+  * safe on ragged inputs as well; it exists because the HOF form
+  * evaluates per-element through lambda objects outside whole-stage
+  * codegen (~8× slower on the similarity benchmarks).
   *
   * Users who write the natural declarative form get the fast plan
   * automatically — the Catalyst way to ship a kernel.

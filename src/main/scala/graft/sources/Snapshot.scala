@@ -132,18 +132,26 @@ object Snapshot {
   def retain(s: SparkSession, root: String, n: Int): Seq[String] = {
     val tags = listTags(s, root)
     val keep = tags.takeRight(n).toSet
+    val f = fs(s, root)
+    // Owner tag = first path segment under root. Counting parent hops
+    // instead would mis-resolve hive-partitioned layouts
+    // (root/<tag>/<table>/<col>=<val>/<file> → "<table>"), so a kept
+    // child's inherited files would fail to protect their parent tag
+    // and retention could delete still-referenced data.
+    val rootQ = f.makeQualified(new Path(root))
+    def ownerTag(p: Path): Option[String] = {
+      var cur = f.makeQualified(p)
+      while (cur.getParent != null && cur.getParent != rootQ) cur = cur.getParent
+      if (cur.getParent == rootQ) Some(cur.getName) else None
+    }
     val referenced = scala.collection.mutable.Set.empty[String]
     keep.foreach { t =>
       val m = readManifest(s, root, t)
       m.tables.values.flatMap(_.files).foreach { fe =>
-        // file layout is root/<tag>/<table>/<part file> → owner tag is
-        // two levels up; robust to scheme-qualified paths (file:/, hdfs:/)
-        val owner = new Path(fe.path).getParent.getParent.getName
-        if (owner.nonEmpty) referenced += owner
+        ownerTag(new Path(fe.path)).foreach(referenced += _)
       }
     }
     val doomed = tags.filterNot(t => keep.contains(t) || referenced.contains(t))
-    val f = fs(s, root)
     doomed.foreach(t => f.delete(new Path(s"$root/$t"), true))
     doomed
   }

@@ -78,39 +78,171 @@ case class SnapshotTable(tableName: String, tableSchema: StructType, files: Seq[
 }
 
 class SnapshotScanBuilder(dataSchema: StructType, files: Seq[String])
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
   private var required: StructType = dataSchema
+  private var pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = SnapshotScan(dataSchema, required, files)
+  /** Push translatable comparison filters down to parquet (row-group
+    * statistics skipping + record-level filtering). ALL filters are
+    * also returned as residual so Spark re-evaluates them post-scan —
+    * same belt-and-braces contract as the built-in parquet source:
+    * pushdown is a pure I/O optimization, never a correctness
+    * dependency.
+    */
+  override def pushFilters(filters: Array[org.apache.spark.sql.sources.Filter])
+      : Array[org.apache.spark.sql.sources.Filter] = {
+    pushed = filters.filter(f => SnapshotFilters.translate(f, dataSchema).isDefined)
+    filters
+  }
+  override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] = pushed
+  override def build(): Scan = SnapshotScan(dataSchema, required, files, pushed)
 }
 
-case class SnapshotScan(dataSchema: StructType, required: StructType, files: Seq[String])
+/** Spark source.Filter → parquet FilterPredicate translation for the
+  * primitive column types the reader supports. Timestamp/date columns
+  * are deliberately NOT translated (their Spark filter values are
+  * java.time objects whose micros/days conversion is easy to get
+  * subtly wrong) — untranslated filters simply aren't pushed, and
+  * Spark's residual evaluation keeps results correct.
+  */
+object SnapshotFilters {
+  import org.apache.parquet.filter2.predicate.{FilterApi, FilterPredicate}
+  import org.apache.parquet.io.api.Binary
+  import org.apache.spark.sql.sources._
+
+  private object Op extends Enumeration { val Eq, Gt, Ge, Lt, Le = Value }
+
+  def translate(f: Filter, schema: StructType): Option[FilterPredicate] = f match {
+    case And(l, r) =>
+      for { lp <- translate(l, schema); rp <- translate(r, schema) }
+        yield FilterApi.and(lp, rp)
+    case Or(l, r) =>
+      for { lp <- translate(l, schema); rp <- translate(r, schema) }
+        yield FilterApi.or(lp, rp)
+    case EqualTo(a, v)            => cmp(a, v, schema, Op.Eq)
+    case GreaterThan(a, v)        => cmp(a, v, schema, Op.Gt)
+    case GreaterThanOrEqual(a, v) => cmp(a, v, schema, Op.Ge)
+    case LessThan(a, v)           => cmp(a, v, schema, Op.Lt)
+    case LessThanOrEqual(a, v)    => cmp(a, v, schema, Op.Le)
+    case IsNull(a)                => nullCheck(a, schema, wantNull = true)
+    case IsNotNull(a)             => nullCheck(a, schema, wantNull = false)
+    case _ => None
+  }
+
+  private def cmp(attr: String, value: Any, schema: StructType,
+                  op: Op.Value): Option[FilterPredicate] = {
+    if (value == null) return None
+    schema.fields.find(_.name == attr).flatMap { field =>
+      (field.dataType, value) match {
+        case (LongType, v: Number) =>
+          val c = FilterApi.longColumn(attr); val x = java.lang.Long.valueOf(v.longValue())
+          Some(op match {
+            case Op.Eq => FilterApi.eq(c, x);   case Op.Gt => FilterApi.gt(c, x)
+            case Op.Ge => FilterApi.gtEq(c, x); case Op.Lt => FilterApi.lt(c, x)
+            case Op.Le => FilterApi.ltEq(c, x)
+          })
+        case (IntegerType, v: Number) =>
+          val c = FilterApi.intColumn(attr); val x = java.lang.Integer.valueOf(v.intValue())
+          Some(op match {
+            case Op.Eq => FilterApi.eq(c, x);   case Op.Gt => FilterApi.gt(c, x)
+            case Op.Ge => FilterApi.gtEq(c, x); case Op.Lt => FilterApi.lt(c, x)
+            case Op.Le => FilterApi.ltEq(c, x)
+          })
+        case (DoubleType, v: Number) =>
+          val c = FilterApi.doubleColumn(attr); val x = java.lang.Double.valueOf(v.doubleValue())
+          Some(op match {
+            case Op.Eq => FilterApi.eq(c, x);   case Op.Gt => FilterApi.gt(c, x)
+            case Op.Ge => FilterApi.gtEq(c, x); case Op.Lt => FilterApi.lt(c, x)
+            case Op.Le => FilterApi.ltEq(c, x)
+          })
+        case (FloatType, v: Number) =>
+          val c = FilterApi.floatColumn(attr); val x = java.lang.Float.valueOf(v.floatValue())
+          Some(op match {
+            case Op.Eq => FilterApi.eq(c, x);   case Op.Gt => FilterApi.gt(c, x)
+            case Op.Ge => FilterApi.gtEq(c, x); case Op.Lt => FilterApi.lt(c, x)
+            case Op.Le => FilterApi.ltEq(c, x)
+          })
+        case (StringType, v: String) =>
+          val c = FilterApi.binaryColumn(attr); val x = Binary.fromString(v)
+          Some(op match {
+            case Op.Eq => FilterApi.eq(c, x);   case Op.Gt => FilterApi.gt(c, x)
+            case Op.Ge => FilterApi.gtEq(c, x); case Op.Lt => FilterApi.lt(c, x)
+            case Op.Le => FilterApi.ltEq(c, x)
+          })
+        case (BooleanType, v: java.lang.Boolean) if op == Op.Eq =>
+          Some(FilterApi.eq(FilterApi.booleanColumn(attr), v))
+        case _ => None
+      }
+    }
+  }
+
+  private def nullCheck(attr: String, schema: StructType,
+                        wantNull: Boolean): Option[FilterPredicate] =
+    schema.fields.find(_.name == attr).flatMap { field =>
+      field.dataType match {
+        case LongType =>
+          val c = FilterApi.longColumn(attr)
+          Some(if (wantNull) FilterApi.eq(c, null.asInstanceOf[java.lang.Long])
+               else FilterApi.notEq(c, null.asInstanceOf[java.lang.Long]))
+        case IntegerType =>
+          val c = FilterApi.intColumn(attr)
+          Some(if (wantNull) FilterApi.eq(c, null.asInstanceOf[java.lang.Integer])
+               else FilterApi.notEq(c, null.asInstanceOf[java.lang.Integer]))
+        case DoubleType =>
+          val c = FilterApi.doubleColumn(attr)
+          Some(if (wantNull) FilterApi.eq(c, null.asInstanceOf[java.lang.Double])
+               else FilterApi.notEq(c, null.asInstanceOf[java.lang.Double]))
+        case FloatType =>
+          val c = FilterApi.floatColumn(attr)
+          Some(if (wantNull) FilterApi.eq(c, null.asInstanceOf[java.lang.Float])
+               else FilterApi.notEq(c, null.asInstanceOf[java.lang.Float]))
+        case StringType =>
+          val c = FilterApi.binaryColumn(attr)
+          Some(if (wantNull) FilterApi.eq(c, null.asInstanceOf[Binary])
+               else FilterApi.notEq(c, null.asInstanceOf[Binary]))
+        case _ => None
+      }
+    }
+}
+
+case class SnapshotScan(dataSchema: StructType, required: StructType, files: Seq[String],
+                        filters: Seq[org.apache.spark.sql.sources.Filter] = Nil)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] =
     files.map(f => SnapshotInputPartition(f): InputPartition).toArray
   override def createReaderFactory(): PartitionReaderFactory =
-    SnapshotReaderFactory(required.json)
+    SnapshotReaderFactory(required.json, dataSchema.json, filters)
   override def description(): String =
-    s"GraftSnapshotScan(files=${files.size}, columns=${required.fieldNames.mkString(",")})"
+    s"GraftSnapshotScan(files=${files.size}, columns=${required.fieldNames.mkString(",")}, " +
+      s"pushedFilters=[${filters.mkString(", ")}])"
 }
 
 case class SnapshotInputPartition(file: String) extends InputPartition
 
-case class SnapshotReaderFactory(requiredJson: String) extends PartitionReaderFactory {
+case class SnapshotReaderFactory(requiredJson: String, dataJson: String,
+                                 filters: Seq[org.apache.spark.sql.sources.Filter])
+    extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val file = partition.asInstanceOf[SnapshotInputPartition].file
     val required = DataType.fromJson(requiredJson).asInstanceOf[StructType]
-    new SnapshotPartitionReader(file, required)
+    val dataSchema = DataType.fromJson(dataJson).asInstanceOf[StructType]
+    new SnapshotPartitionReader(file, required, dataSchema, filters)
   }
 }
 
 /** One-file reader over the parquet Group API with a projected read
-  * schema (real parquet-side column pruning).
+  * schema (real parquet-side column pruning) and pushed-down filter
+  * predicates (row-group statistics skipping + record-level filtering
+  * via parquet's FilterCompat; results are additionally re-filtered by
+  * Spark since every filter is reported residual).
   */
-class SnapshotPartitionReader(file: String, required: StructType)
+class SnapshotPartitionReader(file: String, required: StructType,
+                              dataSchema: StructType = new StructType(),
+                              filters: Seq[org.apache.spark.sql.sources.Filter] = Nil)
     extends PartitionReader[InternalRow] {
 
   private val conf = new Configuration()
@@ -124,7 +256,12 @@ class SnapshotPartitionReader(file: String, required: StructType)
       required.fieldNames.toSeq.map(n => fullSchema.getType(Seq(n): _*))
     val projected = new MessageType(fullSchema.getName, fields: _*)
     conf.set(ReadSupport.PARQUET_READ_SCHEMA, projected.toString)
-    ParquetReader.builder(new GroupReadSupport(), path).withConf(conf).build()
+    val schemaForFilters = if (dataSchema.isEmpty) required else dataSchema
+    val predicate = filters.flatMap(SnapshotFilters.translate(_, schemaForFilters))
+      .reduceOption(org.apache.parquet.filter2.predicate.FilterApi.and)
+    val builder = ParquetReader.builder(new GroupReadSupport(), path).withConf(conf)
+    predicate.fold(builder)(p =>
+      builder.withFilter(org.apache.parquet.filter2.compat.FilterCompat.get(p))).build()
   }
 
   private var current: Group = _

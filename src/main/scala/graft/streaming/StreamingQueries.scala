@@ -75,7 +75,30 @@ object StreamingQueries {
       .orderBy("bucket")
   }
 
+  /** Stream-stream interval join, batch twin: each purchase paired
+    * with the same user's clicks in the preceding hour. The true
+    * Structured Streaming form (two watermarked streams, interval
+    * condition) runs in StreamingSpec and is asserted equal to this
+    * batch plan; state is bounded by the watermark + interval, and the
+    * join shuffles both sides once on user_id — the shape that holds
+    * on an unbounded stream.
+    */
+  def streamJoin(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    val p = e.where(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"), col("ts").as("p_ts"))
+    val c = e.where(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), col("user_id").as("c_user"), col("ts").as("c_ts"))
+    p.join(c,
+        col("p_user") === col("c_user")
+          && col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR")
+          && col("c_ts") <= col("p_ts"))
+      .select(col("p_id"), col("c_id"), col("p_user").as("user_id"))
+      .orderBy("p_id", "c_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stream_join" -> streamJoin,
     "q_stream_tumbling" -> tumbling,
     "q_stream_sliding" -> sliding,
     "q_stream_session" -> session,
@@ -84,6 +107,14 @@ object StreamingQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_stream_join" ->
+      """SELECT p.event_id AS p_id, c.event_id AS c_id, p.user_id AS user_id
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id
+        | AND CAST(c.ts AS TIMESTAMP) >= CAST(p.ts AS TIMESTAMP) - INTERVAL 1 HOUR
+        | AND CAST(c.ts AS TIMESTAMP) <= CAST(p.ts AS TIMESTAMP)
+        |ORDER BY p_id, c_id""".stripMargin,
     "q_stream_tumbling" ->
       """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket, event_type,
         |  count(*) AS n,

@@ -42,6 +42,24 @@ class AsOfSpec extends SparkSpec {
       Seq((1L, "a"), (2L, "b"), (3L, null)))
   }
 
+  test("null keys/timestamps never match (no unboxing to key 0 / epoch 0)") {
+    def ts(s: String) = Timestamp.valueOf(s)
+    val lefts = Seq(
+      (1L, Some(0L), Some(ts("2024-01-01 10:00:00"))), // key 0 — a real key
+      (2L, None, Some(ts("2024-01-01 10:00:00"))),     // null key → null match
+      (3L, Some(100L), None)                           // null ts → null match
+    ).toDF("id", "k", "t")
+    val rights = Seq(
+      (Some(0L), Some(ts("2024-01-01 09:00:00")), "zero-key"),
+      (None: Option[Long], Some(ts("2024-01-01 09:00:00")), "null-key"),
+      (Some(100L), None: Option[Timestamp], "null-ts")
+    ).toDF("rk", "rt", "tag")
+    val out = AsOf.join(lefts, rights, "k", "rk", "t", "rt")
+      .select(col("id"), col("tag")).orderBy("id").collect()
+    assert(out.map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "zero-key"), (2L, null), (3L, null)))
+  }
+
   test("missing column name raises a clear error") {
     val df = Seq((1L, 2L)).toDF("a", "b")
     val e = intercept[IllegalArgumentException](AsOf.join(df, df, "nope", "a", "b", "b"))

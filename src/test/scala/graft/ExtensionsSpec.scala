@@ -32,6 +32,30 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("float_dot matches HOF semantics on ragged and null-element inputs") {
+    import spark.implicits._
+    graft.functions.VectorExprs.register(spark)
+    val df = Seq(
+      (1L, Seq(1.0f, 2.0f), Seq(3.0f, 4.0f)),          // equal lengths → 11.0
+      (2L, Seq(1.0f, 2.0f, 5.0f), Seq(3.0f, 4.0f)),    // ragged → HOF gives NULL
+      (3L, Seq.empty[Float], Seq.empty[Float])          // empty → 0.0
+    ).toDF("id", "a", "b")
+    val hofExpr = "aggregate(zip_with(a, b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), " +
+      "CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    val rows = df.select(col("id"), expr(hofExpr).as("hof"), expr("float_dot(a, b)").as("fd"))
+      .orderBy("id").collect()
+    rows.foreach { r =>
+      assert(r.isNullAt(1) == r.isNullAt(2), s"null disagreement at id=${r.getLong(0)}")
+      if (!r.isNullAt(1)) assert(r.getDouble(1) == r.getDouble(2))
+    }
+    // null element → NULL, matching zip_with/aggregate null propagation
+    val withNull = Seq((1L, Seq(Some(1.0f), None), Seq(Some(2.0f), Some(3.0f))))
+      .toDF("id", "a", "b")
+      .select(expr(hofExpr).as("hof"), expr("float_dot(a, b)").as("fd"))
+      .collect().head
+    assert(withNull.isNullAt(0) && withNull.isNullAt(1))
+  }
+
   test("fusion does NOT fire on non-float arrays or different lambdas") {
     spark.experimental.extraOptimizations =
       spark.experimental.extraOptimizations :+ DotProductFusion

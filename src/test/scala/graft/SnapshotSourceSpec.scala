@@ -56,6 +56,35 @@ class SnapshotSourceSpec extends SparkSpec {
     assert(v2.exceptAll(v1).count() == 0 && v1.exceptAll(v2).count() == 0)
   }
 
+  test("filter pushdown reaches the scan and results stay exact") {
+    val filtered = dsv2("documents").where(col("doc_id") < 10 && col("lang") === "en")
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("GraftSnapshotScan"), plan)
+    assert(plan.contains("pushedFilters=[") && plan.contains("LessThan(doc_id,10)"), plan)
+    val expected = Tables.documents(spark, sf)
+      .where(col("doc_id") < 10 && col("lang") === "en")
+    assert(filtered.count() == expected.count())
+    assert(filtered.exceptAll(expected).count() == 0)
+  }
+
+  test("pushed predicates skip data at the parquet layer (reader-level proof)") {
+    import org.apache.spark.sql.sources.{GreaterThan, LessThan}
+    val entry = Snapshot.readManifest(spark, root, "t1").tables("nation")
+    val file = entry.files.head.path
+    val schema = org.apache.spark.sql.types.DataType
+      .fromJson(entry.schemaJson.get).asInstanceOf[org.apache.spark.sql.types.StructType]
+    def countWith(filters: Seq[org.apache.spark.sql.sources.Filter]): Int = {
+      val r = new graft.sources.SnapshotPartitionReader(file, schema, schema, filters)
+      try { var n = 0; while (r.next()) n += 1; n } finally r.close()
+    }
+    val total = countWith(Nil)
+    assert(total == 25)
+    // out-of-range predicate → row-group statistics eliminate everything
+    assert(countWith(Seq(GreaterThan("n_nationkey", 1000L))) == 0)
+    // selective predicate → record-level filtering returns the exact subset
+    assert(countWith(Seq(LessThan("n_nationkey", 5L))) == 5)
+  }
+
   test("missing table and missing options fail with clear errors") {
     val e = intercept[Exception] {
       spark.read.format("graft.sources.SnapshotSource")

@@ -50,6 +50,23 @@ class SnapshotSpec extends SparkSpec {
     assert(Snapshot.read(spark, root, "tag_3", "nation").count() == 5)
   }
 
+  test("retention protects hive-partitioned ancestors referenced by a kept child") {
+    val root = Files.createTempDirectory("snap_ret_part").toString
+    val orders = Tables.orders(spark, sf)
+    // tag_1 is hive-partitioned: files live at root/tag_1/orders/<col>=<val>/...
+    Snapshot.export(spark, Map("orders" -> orders), root, "tag_1",
+      partitionBy = Map("orders" -> Seq("o_orderpriority")))
+    // tag_2 links tag_1's files (unchanged signature), tag_3 rewrites
+    Snapshot.export(spark, Map("orders" -> orders), root, "tag_2", Some("tag_1"),
+      partitionBy = Map("orders" -> Seq("o_orderpriority")))
+    Snapshot.export(spark, Map("orders" -> orders.limit(7)), root, "tag_3", Some("tag_2"))
+    // keeping tag_2+tag_3 must protect tag_1 even though its files sit one
+    // directory deeper than the flat layout (owner = first segment under root)
+    val deleted = Snapshot.retain(spark, root, 2)
+    assert(deleted.isEmpty, s"retention deleted a referenced ancestor: $deleted")
+    assert(Snapshot.read(spark, root, "tag_2", "orders").count() == orders.count())
+  }
+
   test("partitioned export prunes partitions on read (the 100 TB DPP path)") {
     val root = Files.createTempDirectory("snap_part").toString
     Snapshot.export(spark, Map("orders" -> Tables.orders(spark, sf)), root, "p1",

@@ -202,15 +202,8 @@ class StreamStreamJoinSpec extends SparkSpec {
     q.awaitTermination()
     val streamed = spark.table("ssj_out")
 
-    val e = graft.sources.Tables.events(spark, sf)
-    val bp = e.where(col("event_type") === "purchase")
-      .select(col("event_id").as("p_id"), col("user_id").as("p_user"), col("ts").as("p_ts"))
-    val bc = e.where(col("event_type") === "click")
-      .select(col("event_id").as("c_id"), col("user_id").as("c_user"), col("ts").as("c_ts"))
-    val batch = bp.join(bc,
-      col("p_user") === col("c_user")
-        && col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR")
-        && col("c_ts") <= col("p_ts"))
+    // batch twin IS the declared q_stream_join query (oracle'd by the driver)
+    val batch = SparkEntry.queries("q_stream_join")(spark, sf)
       .select(col("p_id"), col("c_id"))
 
     assert(streamed.count() > 0)

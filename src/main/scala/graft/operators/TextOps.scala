@@ -184,7 +184,80 @@ object TextOps {
       .select(col("p_partkey"), col("metric"), dbl(col("val")).as("val"))
       .orderBy("p_partkey", "metric")
 
+  /** TF-IDF term scoring: tf per (doc, token) × ln(N/df). The classic
+    * two-aggregation shape — tf is one exchange on (doc, token), df
+    * one on token, the corpus size N is a 1-row broadcast. Output
+    * bounded to doc_id < 20 for a row-level check.
+    */
+  def textTfidf(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val tf = toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val df = toks.distinct().groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).cast("double").as("n_docs"))
+    tf.join(df, Seq("tok"))
+      .crossJoin(broadcast(n))
+      .where(col("doc_id") < 20)
+      .select(col("doc_id"), col("tok"), col("tf"),
+        dbl((col("tf").cast("double") * log(col("n_docs") / col("df")))
+          .cast("decimal(18,6)")).as("tfidf"))
+      .orderBy("doc_id", "tok")
+  }
+
+  /** Repetition ratio — the boilerplate/low-diversity quality signal:
+    * 1 − |distinct tokens| / |tokens|, computed map-side per doc.
+    */
+  def textRepetition(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("toks", split(col("text"), " "))
+      .select(
+        col("doc_id"),
+        size(col("toks")).cast("int").as("n_toks"),
+        size(array_distinct(col("toks"))).cast("int").as("n_distinct"),
+        dbl((lit(1.0) - size(array_distinct(col("toks"))).cast("double")
+          / size(col("toks"))).cast("decimal(9,6)")).as("repetition"))
+      .orderBy("doc_id")
+
+  /** Deterministic train/val/test split (80/10/10) by portable integer
+    * arithmetic on doc_id — NOT rand() and NOT an engine hash, so the
+    * assignment is reproducible across engines, runs and cluster
+    * layouts; the map-side projection shape is exactly how corpus
+    * splits are done at 100 TB.
+    */
+  def splitTrainTest(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("bucket", pmod(col("doc_id") * 48271 + 11, lit(100)))
+      .withColumn("split",
+        when(col("bucket") < 80, "train").when(col("bucket") < 90, "val").otherwise("test"))
+      .groupBy(col("lang"), col("split"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_id"))
+      .orderBy("lang", "split")
+
+  /** End-to-end cleaning pipeline — the composite shape every corpus
+    * build runs: length filter → exact dedup (deterministic keeper) →
+    * quality gate (≥1 stopword hit) → per-language stats. Each stage
+    * is one of the engine's primitives chained lazily, so Catalyst
+    * fuses the filters into the scan and the whole pipeline costs two
+    * exchanges (dedup groupBy + final groupBy).
+    */
+  def pipelineClean(s: SparkSession, dir: String): DataFrame = {
+    val kept = Tables.documents(s, dir)
+      .where(col("n_chars").between(50, 5000))
+      .groupBy(col("text"))
+      .agg(min(col("doc_id")).as("keeper_id"), min(col("lang")).as("lang"))
+    kept
+      .where(expr(s"size(filter(split(text, ' '), t -> t IN ${sqlList(stopEn)})) > 0"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        (sum(length(col("text"))).cast("double") / count(lit(1))).as("avg_len"))
+      .orderBy("lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_tfidf" -> textTfidf,
+    "q_text_repetition" -> textRepetition,
+    "q_split_train_test" -> splitTrainTest,
+    "q_pipeline_clean" -> pipelineClean,
     "q_explode_pos" -> explodePos,
     "q_unpivot" -> unpivotMetrics,
     "q_dedup_exact" -> dedupExact,
@@ -198,6 +271,47 @@ object TextOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_text_tfidf" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok),
+        |df AS (SELECT tok, count(*) AS df FROM (SELECT DISTINCT doc_id, tok FROM toks) GROUP BY tok),
+        |n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents)
+        |SELECT tf.doc_id AS doc_id, tf.tok AS tok, tf.tf AS tf,
+        |  CAST(CAST(CAST(tf.tf AS DOUBLE) * ln(n.n_docs / df.df) AS DECIMAL(18,6)) AS DOUBLE) AS tfidf
+        |FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN n
+        |WHERE tf.doc_id < 20
+        |ORDER BY doc_id, tok""".stripMargin,
+    "q_text_repetition" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS INTEGER) AS n_toks,
+        |  CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER) AS n_distinct,
+        |  CAST(CAST(1.0 - CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |    / len(string_split(text, ' ')) AS DECIMAL(9,6)) AS DOUBLE) AS repetition
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+    "q_split_train_test" ->
+      """SELECT lang,
+        |  CASE WHEN (doc_id * 48271 + 11) % 100 < 80 THEN 'train'
+        |       WHEN (doc_id * 48271 + 11) % 100 < 90 THEN 'val'
+        |       ELSE 'test' END AS split,
+        |  count(*) AS n_docs, min(doc_id) AS min_id
+        |FROM documents
+        |GROUP BY 1, 2
+        |ORDER BY lang, split""".stripMargin,
+    "q_pipeline_clean" ->
+      """WITH kept AS (
+        |  SELECT min(doc_id) AS keeper_id, min(lang) AS lang, text
+        |  FROM documents
+        |  WHERE n_chars BETWEEN 50 AND 5000
+        |  GROUP BY text)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(length(text)) AS DOUBLE) / count(*) AS avg_len
+        |FROM kept
+        |WHERE len(list_filter(string_split(text, ' '),
+        |      t -> t IN ('the', 'a', 'of', 'to', 'and', 'in', 'is'))) > 0
+        |GROUP BY lang
+        |ORDER BY lang""".stripMargin,
     "q_explode_pos" ->
       """SELECT doc_id,
         |  unnest(list_transform(range(1, len(string_split(text, ' ')) + 1),

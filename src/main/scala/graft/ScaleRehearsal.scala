@@ -46,6 +46,21 @@ object ScaleRehearsal {
         .groupBy(col("p_brand")).agg(count(lit(1))))
     time("topk_inflated")(
       li.orderBy(desc("l_extendedprice"), col("l_orderkey"), col("l_linenumber")).limit(20))
+
+    // n-gram dedup stress: ×K cloned corpus (re-keyed doc_id) means each
+    // doc gains K−1 exact near-dups — the candidate-pair set grows ~K²/2
+    // per doc while the index build grows ×K; proves the banded dataflow
+    // (hash index + size filter + single reused exchange) survives a
+    // corpus where near-dup density is pathological, not sparse.
+    val docsK = spark.read.parquet(s"$sfDir/documents.parquet")
+      .withColumn("rep", explode(expr(s"sequence(1, $k)")))
+      .withColumn("doc_id", col("doc_id") * k + col("rep"))
+      .drop("rep")
+    val sigUdf = udf((text: String) => graft.operators.NearDup.shingleHashes(text))
+    time("ngram_index_inflated")(
+      docsK.withColumn("arr", sigUdf(col("text")))
+        .select(col("doc_id"), col("lang"),
+          size(col("arr")).cast("long").as("sz"), explode(col("arr")).as("shingle")))
     spark.stop()
   }
 }

@@ -193,7 +193,9 @@ object TextOps {
     val docs = Tables.documents(s, dir)
     val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
     val tf = toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
-    val df = toks.distinct().groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    // df derives from tf (one row per (doc, tok) already) — no second
+    // explode over the corpus and no separate distinct exchange
+    val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).cast("double").as("n_docs"))
     tf.join(df, Seq("tok"))
       .crossJoin(broadcast(n))

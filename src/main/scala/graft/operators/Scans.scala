@@ -129,7 +129,29 @@ object Scans {
       .orderBy("o_orderstatus")
   }
 
+  /** Partitioned-write + pruned-read round-trip: orders written
+    * hive-partitioned by priority, read back with a partition
+    * predicate. The filter must resolve at PLANNING time (partition
+    * directory pruning — the scan never opens non-matching
+    * partitions), which at 100 TB is the difference between listing
+    * one directory and scanning the table. Values must survive the
+    * round-trip exactly, which is what the oracle checks.
+    */
+  def writePartitioned(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_part").toString
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"), col("o_orderpriority"))
+      .write.mode("overwrite").partitionBy("o_orderpriority").parquet(tmp)
+    s.read.parquet(tmp)
+      .where(col("o_orderpriority") === "1-URGENT")
+      .agg(
+        count(lit(1)).as("n"),
+        min(col("o_orderkey")).as("min_key"),
+        dbl(sum(dec("o_totalprice"))).as("total"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_write_partitioned" -> writePartitioned,
     "q_scan_parquet" -> scanParquet,
     "q_source_csv" -> sourceCsv,
     "q_source_jsonl" -> sourceJsonl,
@@ -141,6 +163,12 @@ object Scans {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_write_partitioned" ->
+      """SELECT count(*) AS n,
+        |  min(o_orderkey) AS min_key,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders
+        |WHERE o_orderpriority = '1-URGENT'""".stripMargin,
     "q_scan_parquet" ->
       """SELECT count(*) AS n_rows,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty,

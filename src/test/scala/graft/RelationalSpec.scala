@@ -70,6 +70,13 @@ class RelationalSpec extends SparkSpec {
     assert(!plan.contains("l_extendedprice"), plan)
   }
 
+  test("partitioned write round-trip prunes partitions at planning time") {
+    val plan = q("q_write_partitioned").queryExecution.executedPlan.toString
+    // the priority predicate must be a partition filter on the scan —
+    // directory pruning, not a row-level data filter
+    assert(plan.contains("PartitionFilters: [isnotnull(o_orderpriority"), plan)
+  }
+
   test("broadcast join plans a BroadcastHashJoin; merge hint plans SortMergeJoin") {
     val b = q("q_join_broadcast").queryExecution.executedPlan.toString
     assert(b.contains("BroadcastHashJoin"), b)

@@ -58,7 +58,10 @@ object Aggregations {
     val o = Tables.orders(s, dir)
     val c = Tables.customer(s, dir)
     val n = Tables.nation(s, dir)
-    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+    // customer is unhinted (at sf100 it is GBs — a forced broadcast
+    // OOMs; AQE broadcasts it only while it actually fits); nation is
+    // 25 rows, always broadcast.
+    o.join(c, o("o_custkey") === c("c_custkey"))
       .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
       .rollup(col("n_name"), col("o_orderpriority"))
       .agg(

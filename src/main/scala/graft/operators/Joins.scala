@@ -17,7 +17,14 @@ import graft.sources.Tables
   */
 object Joins {
 
-  /** Fact⋈dim with an explicit broadcast hint: lineitem⋈part. */
+  /** Fact⋈dim with an explicit broadcast hint: lineitem⋈part.
+    *
+    * The hint is the operator under test here (the plan spec asserts
+    * BroadcastHashJoin). Scale note: part grows with SF, so on a real
+    * 100 TB corpus the explicit hint belongs only on bounded dims
+    * (nation/region-class); for SF-scaled dims drop the hint and let
+    * AQE decide — q_join_multiway demonstrates that pattern.
+    */
   def joinBroadcast(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(s, dir)
     val p = Tables.part(s, dir)

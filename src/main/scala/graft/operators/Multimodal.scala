@@ -82,11 +82,43 @@ object Multimodal {
     extractFeatures(s, blobs, "doc_id", "media").orderBy("doc_id")
   }
 
+  /** Contract query for the frame-sampling shape: 64-byte chunks,
+    * every 2nd kept (video frame-sample analogue), aggregated per doc
+    * so the oracle can mirror the chunk arithmetic from text length
+    * alone (pure-ASCII corpus: bytes == characters).
+    */
+  def multimodalChunks(s: SparkSession, dir: String): DataFrame = {
+    val blobs = Tables.documents(s, dir)
+      .where(col("doc_id") < 100)
+      .select(col("doc_id"), col("text").cast("binary").as("media"))
+    sampleChunks(s, blobs, "doc_id", "media", chunkSize = 64, stride = 2)
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_kept"),
+        sum(length(col("chunk")).cast("long")).as("kept_bytes"),
+        max(col("chunk_idx")).cast("int").as("last_idx"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_multimodal_features" -> multimodalFeatures
+    "q_multimodal_features" -> multimodalFeatures,
+    "q_multimodal_chunks" -> multimodalChunks
   )
 
   val oracle: Map[String, String] = Map(
+    "q_multimodal_chunks" ->
+      """WITH d AS (
+        |  SELECT doc_id, length(text) AS len,
+        |    CAST(ceil(length(text) / 64.0) AS BIGINT) AS nc
+        |  FROM documents WHERE doc_id < 100)
+        |SELECT doc_id,
+        |  CAST((nc + 1) // 2 AS BIGINT) AS n_kept,
+        |  CAST(CASE WHEN (nc - 1) % 2 = 0
+        |       THEN 64 * ((nc + 1) // 2 - 1) + (len - 64 * (nc - 1))
+        |       ELSE 64 * ((nc + 1) // 2) END AS BIGINT) AS kept_bytes,
+        |  CAST(((nc - 1) // 2) * 2 AS INTEGER) AS last_idx
+        |FROM d
+        |ORDER BY doc_id""".stripMargin,
     "q_multimodal_features" ->
       """SELECT doc_id,
         |  CAST(length(text) AS INTEGER) AS n_bytes,

@@ -102,7 +102,11 @@ object FnSuites {
         array_join(sort_array(map_keys(col("m"))), ",").as("keys_csv"),
         size(col("m")).cast("int").as("n_keys"),
         element_at(col("m"), "k").as("k_val"),
-        expr("aggregate(map_values(m), 0, (a, b) -> a + b)").cast("int").as("vals_sum"))
+        // null-skipping sum, matching DuckDB list_aggregate('sum')
+        // semantics (which ignores NULL elements) — a raw fold would
+        // null-propagate and diverge on a {"k": null} entry
+        expr("aggregate(filter(map_values(m), v -> v IS NOT NULL), 0, (a, b) -> a + b)")
+          .cast("int").as("vals_sum"))
       .orderBy("event_id")
 
   /** Null-handling suite: nulls manufactured with nullif, then
@@ -199,7 +203,7 @@ object FnSuites {
         |  CAST(len(json_keys(props)) AS INTEGER) AS n_keys,
         |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val,
         |  CAST(coalesce(list_aggregate(list_transform(CAST(json_keys(props) AS VARCHAR[]),
-        |    k -> CAST(json_extract_string(props, '$.' || k) AS INTEGER)), 'sum'), 0) AS INTEGER) AS vals_sum
+        |    k -> TRY_CAST(json_extract_string(props, '$.' || k) AS INTEGER)), 'sum'), 0) AS INTEGER) AS vals_sum
         |FROM events
         |ORDER BY event_id""".stripMargin
   )

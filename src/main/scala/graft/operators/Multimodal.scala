@@ -88,8 +88,11 @@ object Multimodal {
     * alone (pure-ASCII corpus: bytes == characters).
     */
   def multimodalChunks(s: SparkSession, dir: String): DataFrame = {
+    // length(text) > 0 on BOTH sides: an empty blob produces no chunk
+    // rows here (flatMap of an empty array) while the oracle's
+    // arithmetic would still emit a row — guard the divergence away
     val blobs = Tables.documents(s, dir)
-      .where(col("doc_id") < 100)
+      .where(col("doc_id") < 100 && length(col("text")) > 0)
       .select(col("doc_id"), col("text").cast("binary").as("media"))
     sampleChunks(s, blobs, "doc_id", "media", chunkSize = 64, stride = 2)
       .groupBy(col("doc_id"))
@@ -110,7 +113,7 @@ object Multimodal {
       """WITH d AS (
         |  SELECT doc_id, length(text) AS len,
         |    CAST(ceil(length(text) / 64.0) AS BIGINT) AS nc
-        |  FROM documents WHERE doc_id < 100)
+        |  FROM documents WHERE doc_id < 100 AND length(text) > 0)
         |SELECT doc_id,
         |  CAST((nc + 1) // 2 AS BIGINT) AS n_kept,
         |  CAST(CASE WHEN (nc - 1) % 2 = 0

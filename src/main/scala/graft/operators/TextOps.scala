@@ -246,7 +246,7 @@ object TextOps {
     val kept = Tables.documents(s, dir)
       .where(col("n_chars").between(50, 5000))
       .groupBy(col("text"))
-      .agg(min(col("doc_id")).as("keeper_id"), min(col("lang")).as("lang"))
+      .agg(min(col("lang")).as("lang"))
     kept
       .where(expr(s"size(filter(split(text, ' '), t -> t IN ${sqlList(stopEn)})) > 0"))
       .groupBy(col("lang"))
@@ -303,7 +303,7 @@ object TextOps {
         |ORDER BY lang, split""".stripMargin,
     "q_pipeline_clean" ->
       """WITH kept AS (
-        |  SELECT min(doc_id) AS keeper_id, min(lang) AS lang, text
+        |  SELECT min(lang) AS lang, text
         |  FROM documents
         |  WHERE n_chars BETWEEN 50 AND 5000
         |  GROUP BY text)

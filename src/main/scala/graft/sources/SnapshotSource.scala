@@ -150,20 +150,12 @@ object SnapshotFilters {
             case Op.Ge => FilterApi.gtEq(c, x); case Op.Lt => FilterApi.lt(c, x)
             case Op.Le => FilterApi.ltEq(c, x)
           })
-        case (DoubleType, v: Number) =>
-          val c = FilterApi.doubleColumn(attr); val x = java.lang.Double.valueOf(v.doubleValue())
-          Some(op match {
-            case Op.Eq => FilterApi.eq(c, x);   case Op.Gt => FilterApi.gt(c, x)
-            case Op.Ge => FilterApi.gtEq(c, x); case Op.Lt => FilterApi.lt(c, x)
-            case Op.Le => FilterApi.ltEq(c, x)
-          })
-        case (FloatType, v: Number) =>
-          val c = FilterApi.floatColumn(attr); val x = java.lang.Float.valueOf(v.floatValue())
-          Some(op match {
-            case Op.Eq => FilterApi.eq(c, x);   case Op.Gt => FilterApi.gt(c, x)
-            case Op.Ge => FilterApi.gtEq(c, x); case Op.Lt => FilterApi.lt(c, x)
-            case Op.Le => FilterApi.ltEq(c, x)
-          })
+        // double/float comparisons are deliberately NOT pushed: parquet
+        // filters use total-order comparators (Double.compare), which
+        // disagree with Spark's == on -0.0/NaN, and record-level
+        // filtering drops rows BEFORE the residual filter could restore
+        // them — a silent wrong-results path. Integer/string/boolean
+        // orderings agree exactly, so only those are pushed.
         case (StringType, v: String) =>
           val c = FilterApi.binaryColumn(attr); val x = Binary.fromString(v)
           Some(op match {
@@ -190,14 +182,6 @@ object SnapshotFilters {
           val c = FilterApi.intColumn(attr)
           Some(if (wantNull) FilterApi.eq(c, null.asInstanceOf[java.lang.Integer])
                else FilterApi.notEq(c, null.asInstanceOf[java.lang.Integer]))
-        case DoubleType =>
-          val c = FilterApi.doubleColumn(attr)
-          Some(if (wantNull) FilterApi.eq(c, null.asInstanceOf[java.lang.Double])
-               else FilterApi.notEq(c, null.asInstanceOf[java.lang.Double]))
-        case FloatType =>
-          val c = FilterApi.floatColumn(attr)
-          Some(if (wantNull) FilterApi.eq(c, null.asInstanceOf[java.lang.Float])
-               else FilterApi.notEq(c, null.asInstanceOf[java.lang.Float]))
         case StringType =>
           val c = FilterApi.binaryColumn(attr)
           Some(if (wantNull) FilterApi.eq(c, null.asInstanceOf[Binary])

@@ -150,7 +150,26 @@ object Scans {
         dbl(sum(dec("o_totalprice"))).as("total"))
   }
 
+  /** Metadata-only aggregation through the DSv2 source: count/min/max
+    * answered from parquet FOOTER statistics (SupportsPushDownAggregates
+    * — the plan shows GraftSnapshotAggScan and no data pages are read).
+    * At 100 TB this is a footer walk instead of a table scan. The
+    * oracle recomputes the same aggregates the honest way.
+    */
+  def snapshotAgg(s: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft_snap_agg").toString
+    graft.sources.Snapshot.export(s,
+      Map("orders" -> Tables.orders(s, dir)), root, "tag1", None)
+    s.read.format("graft.sources.SnapshotSource")
+      .option("root", root).option("tag", "tag1").option("table", "orders").load()
+      .agg(
+        count(lit(1)).as("n"),
+        min(col("o_orderkey")).as("min_key"),
+        max(col("o_orderkey")).as("max_key"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_snapshot_agg" -> snapshotAgg,
     "q_write_partitioned" -> writePartitioned,
     "q_scan_parquet" -> scanParquet,
     "q_source_csv" -> sourceCsv,
@@ -163,6 +182,11 @@ object Scans {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_snapshot_agg" ->
+      """SELECT count(*) AS n,
+        |  min(o_orderkey) AS min_key,
+        |  max(o_orderkey) AS max_key
+        |FROM orders""".stripMargin,
     "q_write_partitioned" ->
       """SELECT count(*) AS n,
         |  min(o_orderkey) AS min_key,

@@ -79,11 +79,53 @@ case class SnapshotTable(tableName: String, tableSchema: StructType, files: Seq[
 
 class SnapshotScanBuilder(dataSchema: StructType, files: Seq[String])
     extends ScanBuilder with SupportsPushDownRequiredColumns
-    with SupportsPushDownFilters {
+    with SupportsPushDownFilters with SupportsPushDownAggregates {
   private var required: StructType = dataSchema
   private var pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty
+  private var pushedAggs: Seq[SnapshotAgg] = Nil
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
+
+  /** Metadata-only aggregation: COUNT(*)/MIN/MAX answered from parquet
+    * FOOTER statistics — zero data pages read. At 100 TB this turns a
+    * full scan into a footer walk. Partial pushdown contract: each
+    * file contributes one pre-aggregated row; Spark plans the final
+    * merge (sum of counts, min of mins). Restricted to no-filter,
+    * no-groupBy plans and int/long/date columns — integer stats are
+    * exact, while float (NaN) and binary (truncation) footer stats are
+    * not trustworthy, and a pushed filter would invalidate the counts.
+    */
+  override def pushAggregation(agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
+    if (pushed.nonEmpty || agg.groupByExpressions.nonEmpty) return false
+    def statSafeField(e: org.apache.spark.sql.connector.expressions.Expression): Option[StructField] =
+      e match {
+        case nr: NamedReference if nr.fieldNames.length == 1 =>
+          dataSchema.fields.find(_.name == nr.fieldNames.head).filter(f => f.dataType match {
+            case IntegerType | LongType | DateType => true
+            case _ => false
+          })
+        case _ => None
+      }
+    val specs = agg.aggregateExpressions.toSeq.map {
+      case _: CountStar => Some(SnapshotAgg("count", None, LongType))
+      // count(<non-null literal>) ≡ count(*); count(col) would need
+      // per-column null counts (not reliably in footers) — not pushed
+      case c: org.apache.spark.sql.connector.expressions.aggregate.Count
+          if !c.isDistinct && (c.column match {
+            case l: org.apache.spark.sql.connector.expressions.Literal[_] => l.value != null
+            case _ => false
+          }) => Some(SnapshotAgg("count", None, LongType))
+      case m: Min => statSafeField(m.column).map(f => SnapshotAgg("min", Some(f.name), f.dataType))
+      case m: Max => statSafeField(m.column).map(f => SnapshotAgg("max", Some(f.name), f.dataType))
+      case _ => None
+    }
+    if (specs.nonEmpty && specs.forall(_.isDefined)) {
+      pushedAggs = specs.flatten
+      true
+    } else false
+  }
   /** Push translatable comparison filters down to parquet (row-group
     * statistics skipping + record-level filtering). ALL filters are
     * also returned as residual so Spark re-evaluates them post-scan —
@@ -97,7 +139,108 @@ class SnapshotScanBuilder(dataSchema: StructType, files: Seq[String])
     filters
   }
   override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] = pushed
-  override def build(): Scan = SnapshotScan(dataSchema, required, files, pushed)
+  override def build(): Scan =
+    if (pushedAggs.nonEmpty) SnapshotAggScan(files, pushedAggs)
+    else SnapshotScan(dataSchema, required, files, pushed)
+}
+
+/** One pushed aggregate: `count` (no column) or `min`/`max` of an
+  * int/long/date column, with the column's Spark type.
+  */
+case class SnapshotAgg(fn: String, column: Option[String], resultType: DataType)
+
+/** Footer-statistics scan: each input file yields ONE row of partial
+  * aggregate values read from parquet block metadata — no data pages.
+  */
+case class SnapshotAggScan(files: Seq[String], aggs: Seq[SnapshotAgg])
+    extends Scan with Batch {
+  override def readSchema(): StructType = StructType(aggs.map {
+    case SnapshotAgg("count", _, _) => StructField("count(*)", LongType, nullable = false)
+    case SnapshotAgg(fn, Some(c), t) => StructField(s"$fn($c)", t)
+    case other => throw new IllegalStateException(s"bad agg spec $other")
+  })
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] =
+    files.map(f => SnapshotInputPartition(f): InputPartition).toArray
+  override def createReaderFactory(): PartitionReaderFactory =
+    SnapshotAggReaderFactory(aggs)
+  override def description(): String =
+    s"GraftSnapshotAggScan(files=${files.size}, " +
+      s"pushedAggregates=[${aggs.map(a => s"${a.fn}(${a.column.getOrElse("*")})").mkString(", ")}])"
+}
+
+case class SnapshotAggReaderFactory(aggs: Seq[SnapshotAgg]) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new SnapshotFooterAggReader(
+      partition.asInstanceOf[SnapshotInputPartition].file, aggs)
+}
+
+/** Reads ONLY the parquet footer and emits one partial-aggregate row.
+  * Missing/untrustworthy statistics fail loudly rather than answer
+  * wrong (parquet-mr always writes exact int32/int64 min-max stats,
+  * so this only triggers on foreign writers).
+  */
+class SnapshotFooterAggReader(file: String, aggs: Seq[SnapshotAgg])
+    extends PartitionReader[InternalRow] {
+  private var done = false
+  private var row: InternalRow = _
+
+  override def next(): Boolean = {
+    if (done) return false
+    val conf = new Configuration()
+    val inputFile = org.apache.parquet.hadoop.util.HadoopInputFile
+      .fromPath(new org.apache.hadoop.fs.Path(file), conf)
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(inputFile)
+    try {
+      val blocks = reader.getFooter.getBlocks
+      val values = new Array[Any](aggs.length)
+      var i = 0
+      while (i < aggs.length) {
+        values(i) = aggs(i) match {
+          case SnapshotAgg("count", _, _) =>
+            var n = 0L
+            blocks.forEach(b => n += b.getRowCount)
+            n
+          case SnapshotAgg(fn, Some(cname), _) =>
+            var acc: Option[Long] = None
+            blocks.forEach { b =>
+              val col = b.getColumns.asScala.find(_.getPath.toDotString == cname)
+                .getOrElse(throw new IllegalStateException(s"column $cname missing in $file"))
+              val st = col.getStatistics
+              if (st == null || st.isEmpty)
+                throw new UnsupportedOperationException(
+                  s"footer statistics unavailable for $cname in $file — cannot push $fn")
+              if (st.hasNonNullValue) {
+                val v = (if (fn == "min") st.genericGetMin else st.genericGetMax) match {
+                  case l: java.lang.Long => l.longValue()
+                  case n: java.lang.Integer => n.longValue()
+                  case other => throw new UnsupportedOperationException(
+                    s"unexpected stats type ${other.getClass} for $cname")
+                }
+                acc = Some(acc.fold(v)(a => if (fn == "min") math.min(a, v) else math.max(a, v)))
+              }
+            }
+            // null partial when the file has no non-null values — the
+            // final min/max merge ignores nulls
+            acc.map { v =>
+              aggs(i).resultType match {
+                case LongType => v
+                case IntegerType | DateType => v.toInt
+                case other => throw new IllegalStateException(s"bad agg type $other")
+              }
+            }.orNull
+          case other => throw new IllegalStateException(s"bad agg spec $other")
+        }
+        i += 1
+      }
+      row = new GenericInternalRow(values)
+    } finally reader.close()
+    done = true
+    true
+  }
+
+  override def get(): InternalRow = row
+  override def close(): Unit = ()
 }
 
 /** Spark source.Filter → parquet FilterPredicate translation for the

@@ -85,6 +85,34 @@ class SnapshotSourceSpec extends SparkSpec {
     assert(countWith(Seq(LessThan("n_nationkey", 5L))) == 5)
   }
 
+  test("count/min/max push to footer statistics (no data pages read)") {
+    val agg = dsv2("nation").agg(
+      count(lit(1)).as("n"),
+      min(col("n_nationkey")).as("min_k"),
+      max(col("n_nationkey")).as("max_k"))
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(plan.contains("GraftSnapshotAggScan"), plan)
+    assert(plan.contains("pushedAggregates=[count(*), min(n_nationkey), max(n_nationkey)]"), plan)
+    val r = agg.collect().head
+    // n_nationkey is an int32 dimension key — min/max keep the column type
+    assert((r.getLong(0), r.getInt(1), r.getInt(2)) == (25L, 0, 24))
+  }
+
+  test("aggregate pushdown declines filters, groupBy and stat-unsafe columns") {
+    // filter present → normal scan + residual evaluation
+    val filtered = dsv2("nation").where(col("n_nationkey") > 5).agg(count(lit(1)))
+    assert(!filtered.queryExecution.executedPlan.toString.contains("GraftSnapshotAggScan"))
+    assert(filtered.collect().head.getLong(0) == 19L)
+    // groupBy → not pushed
+    val grouped = dsv2("nation").groupBy(col("n_regionkey")).agg(count(lit(1)))
+    assert(!grouped.queryExecution.executedPlan.toString.contains("GraftSnapshotAggScan"))
+    // min over a string column → footer stats not trusted, not pushed
+    val strMin = dsv2("nation").agg(min(col("n_name")))
+    assert(!strMin.queryExecution.executedPlan.toString.contains("GraftSnapshotAggScan"))
+    assert(strMin.collect().head.getString(0) == Snapshot.read(spark, root, "t1", "nation")
+      .agg(min(col("n_name"))).collect().head.getString(0))
+  }
+
   test("missing table and missing options fail with clear errors") {
     val e = intercept[Exception] {
       spark.read.format("graft.sources.SnapshotSource")

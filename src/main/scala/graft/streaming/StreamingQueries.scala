@@ -5,6 +5,10 @@ import org.apache.spark.sql.functions._
 import graft.operators.dec
 import graft.sources.Tables
 
+/** One sessionization result row (typed flatMapGroups output). */
+case class UserSession(s_start: java.time.Instant, s_end: java.time.Instant,
+                       user_id: Long, n_events: Long)
+
 /** §2.8 streaming operators, contract-safe delivery: each key returns
   * the batch-equivalent DataFrame (the driver calls .count()/.write on
   * results, and a streaming DataFrame would throw). The true
@@ -41,6 +45,46 @@ object StreamingQueries {
       .select(col("w.start").as("s_start"), col("w.end").as("s_end"),
         col("user_id"), col("n_events"))
       .orderBy("user_id", "s_start")
+
+  /** Custom sessionization through the TYPED stateful API shape:
+    * `groupByKey(user).flatMapGroups` with hand-rolled 30-minute-gap
+    * state — the batch twin of `mapGroupsWithState` (whose streaming
+    * form runs in StreamingSpec). Semantics identical to the
+    * session_window form (q_stream_session) and checked by the SAME
+    * oracle. Per-user events are materialized and sorted inside the
+    * group — bounded by events-per-user, the standard sessionization
+    * assumption; users partition across executors, so the shape holds
+    * at corpus scale.
+    */
+  def sessionCustom(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val gapUs = 30L * 60 * 1000000
+    def us(i: java.time.Instant): Long =
+      i.getEpochSecond * 1000000L + i.getNano / 1000L
+    Tables.events(s, dir)
+      .select(col("user_id"), col("ts"))
+      .as[(Long, java.time.Instant)]
+      .groupByKey(_._1)
+      .flatMapGroups { (user: Long, it: Iterator[(Long, java.time.Instant)]) =>
+        val times = it.map(_._2).toArray.sortBy(us)
+        val out = scala.collection.mutable.ArrayBuffer.empty[UserSession]
+        var start = 0
+        var i = 1
+        while (i <= times.length) {
+          if (i == times.length || us(times(i)) - us(times(i - 1)) >= gapUs) {
+            out += UserSession(times(start),
+              times(i - 1).plusSeconds(30L * 60), user, (i - start).toLong)
+            start = i
+          }
+          i += 1
+        }
+        out
+      }
+      .toDF()
+      .select(col("s_start").cast("timestamp"), col("s_end").cast("timestamp"),
+        col("user_id"), col("n_events"))
+      .orderBy("user_id", "s_start")
+  }
 
   /** Duplicate-delivery dedup: the stream is simulated as the events
     * table delivered twice; the deterministic reduction keeps one row
@@ -99,6 +143,7 @@ object StreamingQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_join" -> streamJoin,
+    "q_stream_session_custom" -> sessionCustom,
     "q_stream_tumbling" -> tumbling,
     "q_stream_sliding" -> sliding,
     "q_stream_session" -> session,
@@ -129,6 +174,24 @@ object StreamingQueries {
         |FROM events, (SELECT unnest([0, 1, 2, 3]) AS k)
         |GROUP BY 1, 2
         |ORDER BY bucket, event_type""".stripMargin,
+    "q_stream_session_custom" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |marked AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |sess AS (
+        |  SELECT user_id, ts,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM marked)
+        |SELECT min(ts) AS s_start,
+        |  max(ts) + INTERVAL 30 MINUTE AS s_end,
+        |  user_id, count(*) AS n_events
+        |FROM sess
+        |GROUP BY user_id, sid
+        |ORDER BY user_id, s_start""".stripMargin,
     "q_stream_session" ->
       """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
         |marked AS (

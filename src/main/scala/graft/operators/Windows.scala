@@ -96,7 +96,29 @@ object Windows {
       .orderBy("o_custkey", "o_orderkey")
   }
 
+  /** Conversion funnel (view → click-after-view → purchase-after-
+    * click) per user, reduced to stage reach-counts. Three chained
+    * conditional-min window passes over the SAME user partition — one
+    * exchange total, no self-joins (the join formulation would rescan
+    * events per stage); the 100 TB funnel shape.
+    */
+  def winFunnel(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+    Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_type"))
+      .withColumn("t1", min(when(col("event_type") === "view", col("ts"))).over(byUser))
+      .withColumn("t2", min(when(col("event_type") === "click"
+        && col("ts") >= col("t1"), col("ts"))).over(byUser))
+      .withColumn("t3", min(when(col("event_type") === "purchase"
+        && col("ts") >= col("t2"), col("ts"))).over(byUser))
+      .agg(
+        countDistinct(when(col("t1").isNotNull, col("user_id"))).as("n_view"),
+        countDistinct(when(col("t2").isNotNull, col("user_id"))).as("n_view_click"),
+        countDistinct(when(col("t3").isNotNull, col("user_id"))).as("n_funnel"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_win_funnel" -> winFunnel,
     "q_win_rank" -> winRank,
     "q_win_first_last" -> winFirstLast,
     "q_win_lag_lead" -> winLagLead,
@@ -106,6 +128,19 @@ object Windows {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_win_funnel" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events),
+        |w1 AS (SELECT *, min(CASE WHEN event_type = 'view' THEN ts END)
+        |         OVER (PARTITION BY user_id) AS t1 FROM e),
+        |w2 AS (SELECT *, min(CASE WHEN event_type = 'click' AND ts >= t1 THEN ts END)
+        |         OVER (PARTITION BY user_id) AS t2 FROM w1),
+        |w3 AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND ts >= t2 THEN ts END)
+        |         OVER (PARTITION BY user_id) AS t3 FROM w2)
+        |SELECT
+        |  count(DISTINCT CASE WHEN t1 IS NOT NULL THEN user_id END) AS n_view,
+        |  count(DISTINCT CASE WHEN t2 IS NOT NULL THEN user_id END) AS n_view_click,
+        |  count(DISTINCT CASE WHEN t3 IS NOT NULL THEN user_id END) AS n_funnel
+        |FROM w3""".stripMargin,
     "q_win_rank" ->
       """SELECT * FROM (
         |  SELECT o_custkey, o_orderkey, o_orderdate,

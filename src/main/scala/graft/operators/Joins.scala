@@ -197,6 +197,28 @@ object Joins {
       .orderBy("event_id")
   }
 
+  /** Bucketed co-located join: both sides written bucketBy(8) +
+    * sortBy on the join key, then sort-merge joined with ZERO shuffle
+    * exchanges — the pre-partitioned layout a recurring 100 TB
+    * fact-fact join wants (pay the shuffle once at write time, never
+    * per query). BucketingSpec asserts the exchange-free plan; the
+    * oracle checks the result equals the plain join.
+    */
+  def joinBucketed(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bkt").toString
+    Tables.orders(s, dir)
+      .write.bucketBy(8, "o_custkey").sortBy("o_custkey")
+      .option("path", s"$tmp/orders").mode("overwrite").saveAsTable("orders_bkt_q")
+    Tables.customer(s, dir)
+      .write.bucketBy(8, "c_custkey").sortBy("c_custkey")
+      .option("path", s"$tmp/customer").mode("overwrite").saveAsTable("customer_bkt_q")
+    s.table("customer_bkt_q").hint("merge")
+      .join(s.table("orders_bkt_q"), col("c_custkey") === col("o_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"), dbl(sum(dec("o_totalprice"))).as("total"))
+      .orderBy("c_mktsegment")
+  }
+
   /** Tiny cross product: region × nation. */
   def joinCross(s: SparkSession, dir: String): DataFrame =
     Tables.region(s, dir).crossJoin(Tables.nation(s, dir))
@@ -215,6 +237,7 @@ object Joins {
     "q_join_interval" -> joinInterval,
     "q_join_asof" -> joinAsof,
     "q_join_asof_custom" -> joinAsofCustom,
+    "q_join_bucketed" -> joinBucketed,
     "q_join_cross" -> joinCross
   )
 
@@ -304,6 +327,12 @@ object Joins {
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
         |  ON p.user_id = c.user_id AND p.ts >= c.ts
         |ORDER BY p.event_id""".stripMargin,
+    "q_join_bucketed" ->
+      """SELECT c_mktsegment, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
     "q_join_cross" ->
       """SELECT r_name, n_name
         |FROM region CROSS JOIN nation

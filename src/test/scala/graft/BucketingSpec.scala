@@ -35,4 +35,13 @@ class BucketingSpec extends SparkSpec {
       .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
     assert(joined.exceptAll(expected).count() == 0 && expected.exceptAll(joined).count() == 0)
   }
+
+  test("declared q_join_bucketed plans an exchange-free sort-merge join") {
+    val plan = q("q_join_bucketed").queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("Exchange hashpartitioning(c_custkey"),
+      s"bucketed join must not shuffle customer:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning(o_custkey"),
+      s"bucketed join must not shuffle orders:\n$plan")
+  }
 }

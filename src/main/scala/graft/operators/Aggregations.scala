@@ -186,7 +186,30 @@ object Aggregations {
         dbl(expr("percentile(l_quantity, 0.9)").cast("decimal(18,4)")).as("p90"))
       .orderBy("l_returnflag")
 
+  /** Column profiling — the data-quality sweep every ingest pipeline
+    * runs first: per column, null count and exact distinct count, in
+    * long format. ONE scan computes all profiles (count+count_distinct
+    * pairs in a single agg — Spark expands the multi-distinct into one
+    * Expand, still a single pass over the data), then the wide row is
+    * melted client-free via stack. At 100 TB you'd swap the exact
+    * distinct for approx_count_distinct; the dataflow is identical.
+    */
+  def aggProfile(s: SparkSession, dir: String): DataFrame = {
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+    val wide = Tables.orders(s, dir).agg(
+      count(lit(1)).as("n_rows"),
+      cols.flatMap(c => Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nulls_$c"),
+        countDistinct(col(c)).as(s"dist_$c"))): _*)
+    val stackExpr = cols.map(c => s"'$c', nulls_$c, dist_$c").mkString(", ")
+    wide.select(col("n_rows"),
+        expr(s"stack(${cols.length}, $stackExpr) AS (column_name, n_nulls, n_distinct)"))
+      .select(col("column_name"), col("n_nulls"), col("n_distinct"), col("n_rows"))
+      .orderBy("column_name")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_agg_profile" -> aggProfile,
     "q_agg_salted_skew" -> aggSaltedSkew,
     "q_agg_pivot" -> aggPivot,
     "q_agg_stats" -> aggStats,
@@ -202,6 +225,26 @@ object Aggregations {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_agg_profile" ->
+      """WITH base AS (
+        |  SELECT count(*) AS n_rows,
+        |    sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS nulls_o_orderkey,
+        |    count(DISTINCT o_orderkey) AS dist_o_orderkey,
+        |    sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS nulls_o_custkey,
+        |    count(DISTINCT o_custkey) AS dist_o_custkey,
+        |    sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS nulls_o_orderstatus,
+        |    count(DISTINCT o_orderstatus) AS dist_o_orderstatus,
+        |    sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS nulls_o_orderpriority,
+        |    count(DISTINCT o_orderpriority) AS dist_o_orderpriority
+        |  FROM orders)
+        |SELECT column_name, CAST(n_nulls AS BIGINT) AS n_nulls,
+        |  CAST(n_distinct AS BIGINT) AS n_distinct, n_rows
+        |FROM (
+        |  SELECT 'o_orderkey' AS column_name, nulls_o_orderkey AS n_nulls, dist_o_orderkey AS n_distinct, n_rows FROM base
+        |  UNION ALL SELECT 'o_custkey', nulls_o_custkey, dist_o_custkey, n_rows FROM base
+        |  UNION ALL SELECT 'o_orderstatus', nulls_o_orderstatus, dist_o_orderstatus, n_rows FROM base
+        |  UNION ALL SELECT 'o_orderpriority', nulls_o_orderpriority, dist_o_orderpriority, n_rows FROM base)
+        |ORDER BY column_name""".stripMargin,
     "q_agg_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

@@ -156,10 +156,17 @@ object Scans {
     * At 100 TB this is a footer walk instead of a table scan. The
     * oracle recomputes the same aggregates the honest way.
     */
+  // exported once per (session, sfDir) — plan-only consumers must not
+  // re-export or leak another snapshot copy
+  private val aggSnapRoots = scala.collection.concurrent.TrieMap.empty[(Int, String), String]
+
   def snapshotAgg(s: SparkSession, dir: String): DataFrame = {
-    val root = java.nio.file.Files.createTempDirectory("graft_snap_agg").toString
-    graft.sources.Snapshot.export(s,
-      Map("orders" -> Tables.orders(s, dir)), root, "tag1", None)
+    val root = aggSnapRoots.getOrElseUpdate((System.identityHashCode(s), dir), {
+      val r = java.nio.file.Files.createTempDirectory("graft_snap_agg").toString
+      graft.sources.Snapshot.export(s,
+        Map("orders" -> Tables.orders(s, dir)), r, "tag1", None)
+      r
+    })
     s.read.format("graft.sources.SnapshotSource")
       .option("root", root).option("tag", "tag1").option("table", "orders").load()
       .agg(

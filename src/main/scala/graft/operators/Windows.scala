@@ -99,8 +99,10 @@ object Windows {
   /** Conversion funnel (view → click-after-view → purchase-after-
     * click) per user, reduced to stage reach-counts. Three chained
     * conditional-min window passes over the SAME user partition — one
-    * exchange total, no self-joins (the join formulation would rescan
-    * events per stage); the 100 TB funnel shape.
+    * exchange for all three stages, no self-joins (the join
+    * formulation would rescan events per stage). The final
+    * multi-distinct aggregate adds its own Expand+exchange, but over
+    * rows already reduced per user; the 100 TB funnel shape.
     */
   def winFunnel(s: SparkSession, dir: String): DataFrame = {
     val byUser = Window.partitionBy(col("user_id"))

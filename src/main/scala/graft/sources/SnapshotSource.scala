@@ -98,7 +98,9 @@ class SnapshotScanBuilder(dataSchema: StructType, files: Seq[String])
   override def pushAggregation(agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
     import org.apache.spark.sql.connector.expressions.NamedReference
     import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
-    if (pushed.nonEmpty || agg.groupByExpressions.nonEmpty) return false
+    // files.isEmpty: zero partial rows would make the final merged
+    // count NULL instead of 0 — serve empty tables from the row scan
+    if (pushed.nonEmpty || agg.groupByExpressions.nonEmpty || files.isEmpty) return false
     def statSafeField(e: org.apache.spark.sql.connector.expressions.Expression): Option[StructField] =
       e match {
         case nr: NamedReference if nr.fieldNames.length == 1 =>
@@ -176,9 +178,11 @@ case class SnapshotAggReaderFactory(aggs: Seq[SnapshotAgg]) extends PartitionRea
 }
 
 /** Reads ONLY the parquet footer and emits one partial-aggregate row.
-  * Missing/untrustworthy statistics fail loudly rather than answer
-  * wrong (parquet-mr always writes exact int32/int64 min-max stats,
-  * so this only triggers on foreign writers).
+  * If any needed column chunk lacks statistics (a foreign writer with
+  * stats disabled — parquet-mr always writes exact int32/int64
+  * min-max), the reader falls back to scanning THIS file's rows, so
+  * pushdown stays a pure I/O optimization and never a correctness
+  * dependency.
   */
 class SnapshotFooterAggReader(file: String, aggs: Seq[SnapshotAgg])
     extends PartitionReader[InternalRow] {
@@ -191,52 +195,97 @@ class SnapshotFooterAggReader(file: String, aggs: Seq[SnapshotAgg])
     val inputFile = org.apache.parquet.hadoop.util.HadoopInputFile
       .fromPath(new org.apache.hadoop.fs.Path(file), conf)
     val reader = org.apache.parquet.hadoop.ParquetFileReader.open(inputFile)
-    try {
-      val blocks = reader.getFooter.getBlocks
-      val values = new Array[Any](aggs.length)
-      var i = 0
-      while (i < aggs.length) {
-        values(i) = aggs(i) match {
-          case SnapshotAgg("count", _, _) =>
-            var n = 0L
-            blocks.forEach(b => n += b.getRowCount)
-            n
-          case SnapshotAgg(fn, Some(cname), _) =>
-            var acc: Option[Long] = None
-            blocks.forEach { b =>
-              val col = b.getColumns.asScala.find(_.getPath.toDotString == cname)
-                .getOrElse(throw new IllegalStateException(s"column $cname missing in $file"))
-              val st = col.getStatistics
-              if (st == null || st.isEmpty)
-                throw new UnsupportedOperationException(
-                  s"footer statistics unavailable for $cname in $file — cannot push $fn")
-              if (st.hasNonNullValue) {
-                val v = (if (fn == "min") st.genericGetMin else st.genericGetMax) match {
-                  case l: java.lang.Long => l.longValue()
-                  case n: java.lang.Integer => n.longValue()
-                  case other => throw new UnsupportedOperationException(
-                    s"unexpected stats type ${other.getClass} for $cname")
+    val fromFooter: Option[Array[Any]] =
+      try {
+        val blocks = reader.getFooter.getBlocks
+        val values = new Array[Any](aggs.length)
+        var ok = true
+        var i = 0
+        while (ok && i < aggs.length) {
+          values(i) = aggs(i) match {
+            case SnapshotAgg("count", _, _) =>
+              var n = 0L
+              blocks.forEach(b => n += b.getRowCount)
+              n
+            case SnapshotAgg(fn, Some(cname), _) =>
+              var acc: Option[Long] = None
+              val it = blocks.iterator()
+              while (ok && it.hasNext) {
+                val b = it.next()
+                val col = b.getColumns.asScala.find(_.getPath.toDotString == cname)
+                  .getOrElse(throw new IllegalStateException(s"column $cname missing in $file"))
+                val st = col.getStatistics
+                if (st == null || st.isEmpty) ok = false // → row-scan fallback
+                else if (st.hasNonNullValue) {
+                  val v = (if (fn == "min") st.genericGetMin else st.genericGetMax) match {
+                    case l: java.lang.Long => l.longValue()
+                    case n: java.lang.Integer => n.longValue()
+                    case _ => ok = false; 0L
+                  }
+                  if (ok)
+                    acc = Some(acc.fold(v)(a => if (fn == "min") math.min(a, v) else math.max(a, v)))
                 }
-                acc = Some(acc.fold(v)(a => if (fn == "min") math.min(a, v) else math.max(a, v)))
               }
-            }
-            // null partial when the file has no non-null values — the
-            // final min/max merge ignores nulls
-            acc.map { v =>
-              aggs(i).resultType match {
-                case LongType => v
-                case IntegerType | DateType => v.toInt
-                case other => throw new IllegalStateException(s"bad agg type $other")
-              }
-            }.orNull
-          case other => throw new IllegalStateException(s"bad agg spec $other")
+              // null partial when the file has no non-null values — the
+              // final min/max merge ignores nulls
+              acc.map { v =>
+                aggs(i).resultType match {
+                  case LongType => v
+                  case IntegerType | DateType => v.toInt
+                  case other => throw new IllegalStateException(s"bad agg type $other")
+                }
+              }.orNull
+            case other => throw new IllegalStateException(s"bad agg spec $other")
+          }
+          i += 1
         }
-        i += 1
-      }
-      row = new GenericInternalRow(values)
-    } finally reader.close()
+        if (ok) Some(values) else None
+      } finally reader.close()
+
+    row = new GenericInternalRow(fromFooter.getOrElse(rowScanPartials()))
     done = true
     true
+  }
+
+  /** Fallback: one pass over this file's rows computing the same
+    * partials — correct whenever the file is readable at all.
+    */
+  private def rowScanPartials(): Array[Any] = {
+    val cols = aggs.flatMap(_.column).distinct
+    val schema = StructType(cols.map(c =>
+      StructField(c, aggs.find(_.column.contains(c)).get.resultType)))
+    val idx = cols.zipWithIndex.toMap
+    val r = new SnapshotPartitionReader(file, schema)
+    var n = 0L
+    val mins = scala.collection.mutable.Map.empty[String, Long]
+    val maxs = scala.collection.mutable.Map.empty[String, Long]
+    try {
+      while (r.next()) {
+        val row = r.get()
+        n += 1
+        cols.foreach { c =>
+          if (!row.isNullAt(idx(c))) {
+            val v = schema(idx(c)).dataType match {
+              case LongType => row.getLong(idx(c))
+              case _ => row.getInt(idx(c)).toLong
+            }
+            mins.updateWith(c)(o => Some(o.fold(v)(math.min(_, v))))
+            maxs.updateWith(c)(o => Some(o.fold(v)(math.max(_, v))))
+          }
+        }
+      }
+    } finally r.close()
+    aggs.map {
+      case SnapshotAgg("count", _, _) => n: Any
+      case SnapshotAgg(fn, Some(c), t) =>
+        (if (fn == "min") mins.get(c) else maxs.get(c)).map { v =>
+          t match {
+            case LongType => v: Any
+            case _ => v.toInt: Any
+          }
+        }.orNull
+      case other => throw new IllegalStateException(s"bad agg spec $other")
+    }.toArray
   }
 
   override def get(): InternalRow = row

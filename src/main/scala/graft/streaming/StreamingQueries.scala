@@ -151,6 +151,25 @@ object StreamingQueries {
     "q_stream_late" -> late
   )
 
+  private val sessionOracleSql =
+    """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+      |marked AS (
+      |  SELECT user_id, ts,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      |sess AS (
+      |  SELECT user_id, ts,
+      |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM marked)
+      |SELECT min(ts) AS s_start,
+      |  max(ts) + INTERVAL 30 MINUTE AS s_end,
+      |  user_id, count(*) AS n_events
+      |FROM sess
+      |GROUP BY user_id, sid
+      |ORDER BY user_id, s_start""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "q_stream_join" ->
       """SELECT p.event_id AS p_id, c.event_id AS c_id, p.user_id AS user_id
@@ -174,42 +193,10 @@ object StreamingQueries {
         |FROM events, (SELECT unnest([0, 1, 2, 3]) AS k)
         |GROUP BY 1, 2
         |ORDER BY bucket, event_type""".stripMargin,
-    "q_stream_session_custom" ->
-      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
-        |marked AS (
-        |  SELECT user_id, ts,
-        |    CASE WHEN lag(ts) OVER w IS NULL
-        |           OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
-        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
-        |sess AS (
-        |  SELECT user_id, ts,
-        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
-        |  FROM marked)
-        |SELECT min(ts) AS s_start,
-        |  max(ts) + INTERVAL 30 MINUTE AS s_end,
-        |  user_id, count(*) AS n_events
-        |FROM sess
-        |GROUP BY user_id, sid
-        |ORDER BY user_id, s_start""".stripMargin,
-    "q_stream_session" ->
-      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
-        |marked AS (
-        |  SELECT user_id, ts,
-        |    CASE WHEN lag(ts) OVER w IS NULL
-        |           OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
-        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
-        |sess AS (
-        |  SELECT user_id, ts,
-        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
-        |  FROM marked)
-        |SELECT min(ts) AS s_start,
-        |  max(ts) + INTERVAL 30 MINUTE AS s_end,
-        |  user_id, count(*) AS n_events
-        |FROM sess
-        |GROUP BY user_id, sid
-        |ORDER BY user_id, s_start""".stripMargin,
+    // ONE definition of session semantics — both implementations are
+    // checked against literally the same oracle (no copy drift)
+    "q_stream_session_custom" -> sessionOracleSql,
+    "q_stream_session" -> sessionOracleSql,
     "q_stream_dedup" ->
       """SELECT event_id,
         |  min(event_type) AS event_type,

@@ -265,13 +265,49 @@ object NearDup {
       .orderBy("d1", "d2")
   }
 
+  /** Benchmark decontamination — the training-pipeline op that flags
+    * corpus documents overlapping an evaluation set: docs sharing ≥ 5
+    * distinct 3-gram shingles with ANY benchmark doc (here: doc_id <
+    * 10 plays the benchmark). The benchmark shingle set is bounded by
+    * construction (eval suites are small), so broadcasting it is the
+    * CORRECT scale plan — the 100 TB corpus streams map-side against
+    * it, one shuffle for the per-doc overlap count, no self-join.
+    */
+  def decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val sigUdf = udf((text: String) => shingleHashes(text))
+    val docs = Tables.documents(s, dir)
+    val bench = docs.where(col("doc_id") < 10)
+      .select(explode(sigUdf(col("text"))).as("shingle")).distinct()
+    val corpus = docs.where(col("doc_id") >= 10)
+      .select(col("doc_id"), explode(sigUdf(col("text"))).as("shingle"))
+    corpus.join(broadcast(bench), Seq("shingle"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_overlap"))
+      .where(col("n_overlap") >= 5)
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_decontaminate" -> decontaminate,
     "q_dedup_minhash" -> dedupMinhash,
     "q_dedup_simhash" -> dedupSimhash,
     "q_dedup_ngram_jaccard" -> dedupNgramJaccard
   )
 
   val oracle: Map[String, String] = Map(
+    "q_decontaminate" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    unnest(list_distinct(list_transform(range(1, greatest(len(string_split(text, ' ')) - 1, 2)),
+        |      i -> array_to_string(string_split(text, ' ')[i:i+2], ' ')))) AS shingle
+        |  FROM documents),
+        |bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < 10),
+        |corpus AS (SELECT doc_id, shingle FROM sh WHERE doc_id >= 10)
+        |SELECT c.doc_id AS doc_id, count(*) AS n_overlap
+        |FROM corpus c JOIN bench b ON c.shingle = b.shingle
+        |GROUP BY c.doc_id
+        |HAVING count(*) >= 5
+        |ORDER BY doc_id""".stripMargin,
     "q_dedup_ngram_jaccard" ->
       """WITH sh AS (
         |  SELECT DISTINCT doc_id, lang, shingle FROM (

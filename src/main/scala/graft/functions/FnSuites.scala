@@ -124,7 +124,23 @@ object FnSuites {
         (col("seg_or_null") <=> lit("MACHINERY")).as("ns_eq"))
       .orderBy("c_custkey")
 
+  /** Bitwise suite: shifts, and/or/xor, bit_count — over the part size
+    * (int) and key (long), all codegen'd built-ins.
+    */
+  def fnBitwise(s: SparkSession, dir: String): DataFrame =
+    Tables.part(s, dir)
+      .select(
+        col("p_partkey"),
+        shiftleft(col("p_size"), 3).cast("int").as("shl"),
+        shiftright(col("p_size"), 1).cast("int").as("shr"),
+        (col("p_size").bitwiseAND(lit(0x0f))).cast("int").as("band"),
+        (col("p_size").bitwiseOR(lit(0x10))).cast("int").as("bor"),
+        (col("p_partkey").bitwiseXOR(lit(0x5555L))).as("bxor"),
+        bit_count(col("p_partkey")).cast("int").as("popcnt"))
+      .orderBy("p_partkey")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_fn_bitwise" -> fnBitwise,
     "q_fn_string" -> fnString,
     "q_fn_null" -> fnNull,
     "q_fn_date" -> fnDate,
@@ -134,6 +150,16 @@ object FnSuites {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_fn_bitwise" ->
+      """SELECT p_partkey,
+        |  CAST(p_size << 3 AS INTEGER) AS shl,
+        |  CAST(p_size >> 1 AS INTEGER) AS shr,
+        |  CAST(p_size & 15 AS INTEGER) AS band,
+        |  CAST(p_size | 16 AS INTEGER) AS bor,
+        |  CAST(xor(p_partkey, 21845) AS BIGINT) AS bxor,
+        |  CAST(bit_count(p_partkey) AS INTEGER) AS popcnt
+        |FROM part
+        |ORDER BY p_partkey""".stripMargin,
     "q_fn_string" ->
       """SELECT p_partkey,
         |  substring(p_name, 1, 8) AS sub,

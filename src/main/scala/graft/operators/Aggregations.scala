@@ -208,7 +208,24 @@ object Aggregations {
       .orderBy("column_name")
   }
 
+  /** Fixed-width numeric histogram (width_bucket shape): order totals
+    * binned at 50k, count + exact decimal mass per bin. A map-side
+    * projection + one exchange on the (tiny) bin key — the
+    * distribution-profiling scan shape at any scale.
+    */
+  def aggHistogram(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .withColumn("bin", floor(col("o_totalprice") / 50000).cast("int"))
+      .groupBy(col("bin"))
+      .agg(
+        count(lit(1)).as("n"),
+        dbl(min(dec("o_totalprice"))).as("bin_min"),
+        dbl(max(dec("o_totalprice"))).as("bin_max"),
+        dbl(sum(dec("o_totalprice"))).as("mass"))
+      .orderBy("bin")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_agg_histogram" -> aggHistogram,
     "q_agg_profile" -> aggProfile,
     "q_agg_salted_skew" -> aggSaltedSkew,
     "q_agg_pivot" -> aggPivot,
@@ -225,6 +242,15 @@ object Aggregations {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_agg_histogram" ->
+      """SELECT CAST(floor(o_totalprice / 50000) AS INTEGER) AS bin,
+        |  count(*) AS n,
+        |  CAST(min(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS bin_min,
+        |  CAST(max(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS bin_max,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS mass
+        |FROM orders
+        |GROUP BY 1
+        |ORDER BY bin""".stripMargin,
     "q_agg_profile" ->
       """WITH base AS (
         |  SELECT count(*) AS n_rows,

@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked-run stdout must reach the caller verbatim: sbt's default
+// LoggedOutput prepends "[info] " to every line, which breaks the
+// driver's line-oriented JSON parse of Bench/Verify output.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// ...and sbt's trailing "[success] Total time: …" line lands AFTER the
+// JSON summary line, so a strict last-line parse would read it instead.
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -22,15 +22,29 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    // The driver parses a BOUNDED tail of stdout for ONE JSON line of
+    // the brief's shape ({"metric":…,"value":…,"unit":"sec",
+    // "queries":{…},"sf":…}). Two past failures inform this format:
+    // r1/r2 every line arrived as "[info] {…}" (sbt log prefix — fixed
+    // via run/outputStrategy in build.sbt), and the stored tail window
+    // is only ~2 KB, so a full 92-query map (~2.4 KB) can scroll its
+    // own "metric" prefix out of the window. So: full per-query map on
+    // an earlier line (humans/logs), and a LAST line that always fits —
+    // total over ALL queries plus the most expensive queries that fit a
+    // hard length budget (cost-descending, so the informative entries
+    // survive; BASELINE.md documents this).
+    def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    // Per-query detail first, short total line LAST: the driver parses
-    // a bounded tail of stdout, and a single huge line can scroll its
-    // own "metric":"total" prefix out of the capture window (round 1's
-    // BENCH json came back parsed:null exactly this way).
-    println(s"""{"metric":"queries","unit":"sec","queries":$qs,"sf":"$sfDir"}""")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir"}""")
+    val fullMap = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"queries_all","unit":"sec","queries":$fullMap,"sf":"$sfDir"}""")
+    val budget = 1500 // chars for the headline map body; line stays < 1.7 KB
+    val headline = new StringBuilder
+    results.toSeq.sortBy(-_._2).foreach { case (k, v) =>
+      val entry = (if (headline.isEmpty) "" else ",") + "\"" + k + "\":" + f3(v)
+      if (headline.length + entry.length <= budget) headline ++= entry
+    }
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":{$headline},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

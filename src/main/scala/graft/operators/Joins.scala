@@ -206,21 +206,29 @@ object Joins {
     */
   // bucketed layout is written once per (session, sfDir) — repeated
   // query construction (PlanAudit, specs) must not rewrite the tables
-  // or leak another temp copy
-  private val bucketedReady = scala.collection.concurrent.TrieMap.empty[(Int, String), Unit]
+  // or leak another temp copy. Keyed on sessionUUID (stable, unique —
+  // identityHashCode can alias after GC), and the catalog table names
+  // carry the key hash: with fixed global names, running dir A then
+  // dir B would overwrite A's tables while A's memo entry still
+  // pointed at them — silently wrong data on the next dir-A call.
+  private val bucketedReady = scala.collection.concurrent.TrieMap.empty[(String, String), (String, String)]
 
   def joinBucketed(s: SparkSession, dir: String): DataFrame = {
-    bucketedReady.getOrElseUpdate((System.identityHashCode(s), dir), {
+    val (ordersTbl, custTbl) = bucketedReady.getOrElseUpdate((graft.SessionToken(s), dir), {
+      val suffix = java.lang.Integer.toHexString(
+        scala.util.hashing.MurmurHash3.stringHash(graft.SessionToken(s) + "|" + dir))
+      val (o, c) = (s"orders_bkt_$suffix", s"customer_bkt_$suffix")
       val tmp = java.nio.file.Files.createTempDirectory("graft_bkt").toString
       Tables.orders(s, dir)
         .write.bucketBy(8, "o_custkey").sortBy("o_custkey")
-        .option("path", s"$tmp/orders").mode("overwrite").saveAsTable("orders_bkt_q")
+        .option("path", s"$tmp/orders").mode("overwrite").saveAsTable(o)
       Tables.customer(s, dir)
         .write.bucketBy(8, "c_custkey").sortBy("c_custkey")
-        .option("path", s"$tmp/customer").mode("overwrite").saveAsTable("customer_bkt_q")
+        .option("path", s"$tmp/customer").mode("overwrite").saveAsTable(c)
+      (o, c)
     })
-    s.table("customer_bkt_q").hint("merge")
-      .join(s.table("orders_bkt_q"), col("c_custkey") === col("o_custkey"))
+    s.table(custTbl).hint("merge")
+      .join(s.table(ordersTbl), col("c_custkey") === col("o_custkey"))
       .groupBy(col("c_mktsegment"))
       .agg(count(lit(1)).as("n"), dbl(sum(dec("o_totalprice"))).as("total"))
       .orderBy("c_mktsegment")

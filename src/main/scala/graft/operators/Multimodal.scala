@@ -90,9 +90,13 @@ object Multimodal {
   def multimodalChunks(s: SparkSession, dir: String): DataFrame = {
     // length(text) > 0 on BOTH sides: an empty blob produces no chunk
     // rows here (flatMap of an empty array) while the oracle's
-    // arithmetic would still emit a row — guard the divergence away
+    // arithmetic would still emit a row — guard the divergence away.
+    // octet_length = length on BOTH sides: the engine chunks UTF-8
+    // BYTES while the oracle counts CHARACTERS, so the comparison is
+    // only valid for ASCII rows — enforce that instead of assuming it.
     val blobs = Tables.documents(s, dir)
-      .where(col("doc_id") < 100 && length(col("text")) > 0)
+      .where(col("doc_id") < 100 && length(col("text")) > 0 &&
+        octet_length(col("text")) === length(col("text")))
       .select(col("doc_id"), col("text").cast("binary").as("media"))
     sampleChunks(s, blobs, "doc_id", "media", chunkSize = 64, stride = 2)
       .groupBy(col("doc_id"))
@@ -113,7 +117,8 @@ object Multimodal {
       """WITH d AS (
         |  SELECT doc_id, length(text) AS len,
         |    CAST(ceil(length(text) / 64.0) AS BIGINT) AS nc
-        |  FROM documents WHERE doc_id < 100 AND length(text) > 0)
+        |  FROM documents WHERE doc_id < 100 AND length(text) > 0
+        |    AND strlen(text) = length(text))
         |SELECT doc_id,
         |  CAST((nc + 1) // 2 AS BIGINT) AS n_kept,
         |  CAST(CASE WHEN (nc - 1) % 2 = 0

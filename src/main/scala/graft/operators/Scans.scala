@@ -157,11 +157,13 @@ object Scans {
     * oracle recomputes the same aggregates the honest way.
     */
   // exported once per (session, sfDir) — plan-only consumers must not
-  // re-export or leak another snapshot copy
-  private val aggSnapRoots = scala.collection.concurrent.TrieMap.empty[(Int, String), String]
+  // re-export or leak another snapshot copy. Keyed on sessionUUID (a
+  // stable unique token): identityHashCode can alias a new session
+  // after the old one is GC'd and serve it the wrong snapshot root.
+  private val aggSnapRoots = scala.collection.concurrent.TrieMap.empty[(String, String), String]
 
   def snapshotAgg(s: SparkSession, dir: String): DataFrame = {
-    val root = aggSnapRoots.getOrElseUpdate((System.identityHashCode(s), dir), {
+    val root = aggSnapRoots.getOrElseUpdate((graft.SessionToken(s), dir), {
       val r = java.nio.file.Files.createTempDirectory("graft_snap_agg").toString
       graft.sources.Snapshot.export(s,
         Map("orders" -> Tables.orders(s, dir)), r, "tag1", None)

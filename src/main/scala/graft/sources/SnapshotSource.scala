@@ -212,9 +212,13 @@ class SnapshotFooterAggReader(file: String, aggs: Seq[SnapshotAgg])
               val it = blocks.iterator()
               while (ok && it.hasNext) {
                 val b = it.next()
-                val col = b.getColumns.asScala.find(_.getPath.toDotString == cname)
-                  .getOrElse(throw new IllegalStateException(s"column $cname missing in $file"))
-                val st = col.getStatistics
+                // A column chunk absent from this file's footer (schema
+                // evolution, foreign file) is treated like missing
+                // statistics: fall back to the row scan — which raises a
+                // genuine schema error itself if the column truly doesn't
+                // exist — rather than failing the query here.
+                val st = b.getColumns.asScala.find(_.getPath.toDotString == cname)
+                  .map(_.getStatistics).orNull
                 if (st == null || st.isEmpty) ok = false // → row-scan fallback
                 else if (st.hasNonNullValue) {
                   val v = (if (fn == "min") st.genericGetMin else st.genericGetMax) match {

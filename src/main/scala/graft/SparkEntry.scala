@@ -22,6 +22,7 @@ object SparkEntry {
       Aggregations.queries ++ SortsSets.queries ++ Windows.queries ++
       graft.functions.FnSuites.queries ++ TextOps.queries ++
       SimilarityOps.queries ++ NearDup.queries ++ Multimodal.queries ++
+      Analytics.queries ++ Compaction.queries ++ Graph.queries ++
       graft.streaming.StreamingQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -31,5 +32,6 @@ object SparkEntry {
       Aggregations.oracle ++ SortsSets.oracle ++ Windows.oracle ++
       graft.functions.FnSuites.oracle ++ TextOps.oracle ++
       SimilarityOps.oracle ++ NearDup.oracle ++ Multimodal.oracle ++
+      Analytics.oracle ++ Compaction.oracle ++ Graph.oracle ++
       graft.streaming.StreamingQueries.oracle
 }

@@ -240,6 +240,52 @@ object Joins {
       .select(col("r_name"), col("n_name"))
       .orderBy("r_name", "n_name")
 
+  /** Salted skew join: when one join key is hot enough to overflow a
+    * reducer (and AQE skew splitting isn't available or the build side
+    * must shuffle too), split each key across SALTS sub-partitions —
+    * the probe side gets a deterministic salt, the build side is
+    * exploded ×SALTS so every (key, salt) pair still meets. The result
+    * is provably identical to the unsalted join (the oracle IS the
+    * unsalted join); the price is SALTS× the small side, which is why
+    * salting applies to dim-sized or pre-filtered build sides.
+    */
+  def joinSalted(s: SparkSession, dir: String): DataFrame = {
+    val SALTS = 8
+    val o = Tables.orders(s, dir)
+      .withColumn("salt", pmod(col("o_orderkey"), lit(SALTS)).cast("int"))
+    val c = Tables.customer(s, dir)
+      .withColumn("salt", explode(array((0 until SALTS).map(lit): _*)))
+    o.join(c, o("o_custkey") === c("c_custkey") && o("salt") === c("salt"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"), dbl(sum(dec("o_totalprice"))).as("total"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** Lateral (correlated table-function) join: top-2 customers by
+    * account balance per nation, the "top-N per outer row" shape SQL
+    * expresses as a LATERAL subquery with LIMIT. Catalyst decorrelates
+    * it into a window + filter, so despite the nested-loop syntax the
+    * physical plan is one shuffle on the correlation key — asserted in
+    * the spec. View names are (session, dir)-scoped so concurrent
+    * sessions/dirs never read each other's registration.
+    */
+  def joinLateral(s: SparkSession, dir: String): DataFrame = {
+    val h = java.lang.Integer.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(graft.SessionToken(s) + "|" + dir))
+    val (nv, cv) = (s"nation_lat_$h", s"customer_lat_$h")
+    Tables.nation(s, dir).createOrReplaceTempView(nv)
+    Tables.customer(s, dir).createOrReplaceTempView(cv)
+    s.sql(
+      s"""SELECT n.n_name, t.c_custkey,
+         |  CAST(CAST(t.c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS acctbal
+         |FROM $nv n,
+         |LATERAL (
+         |  SELECT c_custkey, c_acctbal FROM $cv c
+         |  WHERE c.c_nationkey = n.n_nationkey
+         |  ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
+         |ORDER BY n.n_name, acctbal DESC, t.c_custkey""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_join_broadcast" -> joinBroadcast,
     "q_join_sortmerge" -> joinSortMerge,
@@ -253,10 +299,27 @@ object Joins {
     "q_join_asof" -> joinAsof,
     "q_join_asof_custom" -> joinAsofCustom,
     "q_join_bucketed" -> joinBucketed,
-    "q_join_cross" -> joinCross
+    "q_join_cross" -> joinCross,
+    "q_join_salted" -> joinSalted,
+    "q_join_lateral" -> joinLateral
   )
 
   val oracle: Map[String, String] = Map(
+    "q_join_salted" ->
+      """SELECT c_mktsegment, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
+    "q_join_lateral" ->
+      """SELECT n.n_name, t.c_custkey,
+        |  CAST(CAST(t.c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS acctbal
+        |FROM nation n,
+        |LATERAL (
+        |  SELECT c_custkey, c_acctbal FROM customer c
+        |  WHERE c.c_nationkey = n.n_nationkey
+        |  ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
+        |ORDER BY n.n_name, acctbal DESC, t.c_custkey""".stripMargin,
     "q_join_broadcast" ->
       """SELECT p_brand,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

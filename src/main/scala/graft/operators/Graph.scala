@@ -49,7 +49,20 @@ object Graph {
       .select(col("src"), col("dst"))
       .localCheckpoint()
 
-    var labels = docs.select(col("doc_id").as("id"), col("doc_id").as("lbl"))
+    // label(v) ← label(label(v)): one shortcut-doubling hop
+    def jump(l: DataFrame): DataFrame = {
+      val ptr = l.select(col("id").as("jid"), col("lbl").as("jl"))
+      l.join(ptr, l("lbl") === col("jid"))
+        .select(l("id").as("id"), least(l("lbl"), col("jl")).as("lbl"))
+    }
+
+    // contraction at init: docs sharing an exact (lang, n_chars) value
+    // form a clique — start them at the clique min instead of spending
+    // propagation rounds collapsing it edge by edge
+    val valMin = docs.groupBy(col("lang"), col("n_chars"))
+      .agg(min(col("doc_id")).as("vmin"))
+    var labels = docs.join(valMin, Seq("lang", "n_chars"))
+      .select(col("doc_id").as("id"), col("vmin").as("lbl"))
       .localCheckpoint()
     var prevSum = -1L
     var curSum = labels.agg(sum(col("lbl"))).head.getLong(0)
@@ -61,10 +74,10 @@ object Graph {
       val stepped = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
         .select(labels("id").as("id"),
           least(col("lbl"), coalesce(col("nl"), col("lbl"))).as("lbl"))
-      val ptr = stepped.select(col("id").as("jid"), col("lbl").as("jl"))
-      labels = stepped.join(ptr, stepped("lbl") === col("jid"))
-        .select(stepped("id").as("id"), least(stepped("lbl"), col("jl")).as("lbl"))
-        .localCheckpoint()
+      // two jumps per round: shortcut distance ×4 per round, so the
+      // round count (each round = fixed scheduler+checkpoint overhead)
+      // shrinks ~2× vs a single jump for the same join work
+      labels = jump(jump(stepped)).localCheckpoint()
       curSum = labels.agg(sum(col("lbl"))).head.getLong(0)
       iter += 1
     }

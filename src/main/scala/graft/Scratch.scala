@@ -1,0 +1,23 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+object Scratch {
+  def main(a: Array[String]): Unit = {
+    val s = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    s.range(1000000L).selectExpr("sum(id)").collect()
+    val names = if (a.nonEmpty) a.toSeq else Seq("q_dedup_clusters")
+    for (n <- names; r <- 1 to 2) {
+      val t = System.nanoTime()
+      val c = SparkEntry.queries(n)(s, dir).count()
+      println(f"$n run$r ${(System.nanoTime() - t) / 1e9}%.2fs rows=$c")
+    }
+    s.stop()
+  }
+}

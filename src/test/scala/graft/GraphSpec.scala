@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Graph
+
+/** Connected components: the driver-local union-find finish and the
+  * distributed pointer-jumping loop must produce identical labels —
+  * the threshold only decides WHO does the last bit of work, never
+  * WHAT the answer is.
+  */
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def cc(nodes: Seq[Long], edges: Seq[(Long, Long)], threshold: Long) = {
+    // components expects a symmetric edge list, like the banded join builds
+    val sym = edges.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    Graph.components(spark, nodes.toDF("nid"), sym.toDF("src", "dst"), threshold)
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+  }
+
+  test("local union-find and distributed propagation agree on a planted graph") {
+    // two chains (1-2-3-4, 10-11), a triangle (20,21,22), two isolates
+    val nodes = Seq[Long](1, 2, 3, 4, 10, 11, 20, 21, 22, 30, 31)
+    val edges = Seq[(Long, Long)]((1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22))
+    val local = cc(nodes, edges, threshold = 1000000L)
+    val dist = cc(nodes, edges, threshold = 0L)
+    val expected = Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L, 30L -> 30L, 31L -> 31L)
+    assert(local == expected)
+    assert(dist == expected)
+  }
+
+  test("long chain converges within the iteration cap (pointer jumping)") {
+    // path of 200 nodes: naive propagation needs ~200 rounds; pointer
+    // jumping with double-jump must finish inside the 25-round cap
+    val nodes = (0L until 200L)
+    val edges = (0L until 199L).map(i => (i, i + 1))
+    val dist = cc(nodes, edges, threshold = 0L)
+    assert(dist.forall(_._2 == 0L), "every node labels to the chain min")
+  }
+
+  test("q_dedup_clusters matches between solve paths on fixture data") {
+    val viaLocal = Graph.dedupClustersImpl(spark, sf, 100000L).collect().toSeq
+    val viaDist = Graph.dedupClustersImpl(spark, sf, 0L).collect().toSeq
+    assert(viaLocal == viaDist)
+    assert(viaLocal.nonEmpty)
+  }
+}

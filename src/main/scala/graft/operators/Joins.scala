@@ -219,10 +219,16 @@ object Joins {
         scala.util.hashing.MurmurHash3.stringHash(graft.SessionToken(s) + "|" + dir))
       val (o, c) = (s"orders_bkt_$suffix", s"customer_bkt_$suffix")
       val tmp = java.nio.file.Files.createTempDirectory("graft_bkt").toString
-      Tables.orders(s, dir)
+      // repartition(8, key) uses the same Murmur3 HashPartitioning as
+      // bucketBy(8, key), so each write task holds exactly one bucket
+      // → 8 files per table instead of tasks×buckets (256 at
+      // local[32]) — the standard small-files guard for bucketed
+      // layouts; at warehouse scale the same move bounds file count
+      // by bucket count, not cluster width.
+      Tables.orders(s, dir).repartition(8, col("o_custkey"))
         .write.bucketBy(8, "o_custkey").sortBy("o_custkey")
         .option("path", s"$tmp/orders").mode("overwrite").saveAsTable(o)
-      Tables.customer(s, dir)
+      Tables.customer(s, dir).repartition(8, col("c_custkey"))
         .write.bucketBy(8, "c_custkey").sortBy("c_custkey")
         .option("path", s"$tmp/customer").mode("overwrite").saveAsTable(c)
       (o, c)

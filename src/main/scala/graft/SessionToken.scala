@@ -22,4 +22,37 @@ object SessionToken {
     }
     t
   }
+
+  /** Tokens whose session object is still weakly reachable. A token
+    * absent from this set belongs to a dead (stopped + GC'd) session —
+    * memo maps keyed on tokens use this to evict stale entries and
+    * reclaim their temp dirs in a long-lived JVM cycling many sessions.
+    */
+  def liveTokens: Set[String] = tokens.synchronized {
+    import scala.jdk.CollectionConverters._
+    tokens.values.asScala.toSet
+  }
+
+  /** Evict entries of a token-keyed memo map whose session is gone,
+    * running `cleanup` on each removed value (delete temp dirs, drop
+    * catalog tables via the caller's live session).
+    */
+  def sweep[V](memo: scala.collection.concurrent.TrieMap[(String, String), V])(
+      cleanup: V => Unit): Unit = {
+    val live = liveTokens
+    memo.keys.filterNot(k => live.contains(k._1))
+      .foreach(k => memo.remove(k).foreach(v => cleanup(v)))
+  }
+
+  /** Best-effort recursive delete for memoized temp dirs. */
+  def deleteDir(path: String): Unit = {
+    val root = java.nio.file.Paths.get(path)
+    if (java.nio.file.Files.exists(root)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(root).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .iterator().asScala.foreach(p => try java.nio.file.Files.deleteIfExists(p) catch {
+          case _: java.io.IOException => ()
+        })
+    }
+  }
 }

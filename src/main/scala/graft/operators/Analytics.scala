@@ -105,11 +105,16 @@ object Analytics {
         dbl(sum(dec(col("value")))).as("s1"),
         dbl(sum(dec(col("value")) * dec(col("value")))).as("s2"))
     val mean = col("s1") / col("n")
-    val sd = sqrt(col("s2") / col("n") - (col("s1") / col("n")) * (col("s1") / col("n")))
-    val z = (col("value") - mean) / sd
+    // clamp: s2/n - mean² can round to a tiny negative for a
+    // zero-variance group (sqrt → NaN in Spark, error in some engines);
+    // zero-variance groups have no outliers by definition, so drop them
+    val sd = sqrt(greatest(
+      col("s2") / col("n") - (col("s1") / col("n")) * (col("s1") / col("n")), lit(0.0)))
     Tables.events(s, dir)
       .join(broadcast(stats), "event_type")
-      .withColumn("z", z)
+      .withColumn("sd", sd)
+      .where(col("sd") > 0)
+      .withColumn("z", (col("value") - mean) / col("sd"))
       .where(abs(col("z")) > 2.5)
       .select(col("event_id"), col("event_type"), col("value"), col("z"))
       .orderBy("event_id")
@@ -224,12 +229,16 @@ object Analytics {
         |  SELECT event_type, count(*) AS n,
         |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s1,
         |    CAST(sum(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s2
-        |  FROM events GROUP BY event_type)
-        |SELECT e.event_id, e.event_type, e.value,
-        |  (e.value - s1/n) / sqrt(s2/n - (s1/n)*(s1/n)) AS z
-        |FROM events e JOIN st USING (event_type)
-        |WHERE abs((e.value - s1/n) / sqrt(s2/n - (s1/n)*(s1/n))) > 2.5
-        |ORDER BY e.event_id""".stripMargin,
+        |  FROM events GROUP BY event_type),
+        |d AS (
+        |  SELECT e.event_id, e.event_type, e.value,
+        |    sqrt(greatest(s2/n - (s1/n)*(s1/n), 0)) AS sd,
+        |    e.value - s1/n AS dev
+        |  FROM events e JOIN st USING (event_type))
+        |SELECT event_id, event_type, value, dev / sd AS z
+        |FROM d
+        |WHERE sd > 0 AND abs(dev / sd) > 2.5
+        |ORDER BY event_id""".stripMargin,
     "q_agg_argmin" ->
       """WITH r AS (
         |  SELECT o_orderpriority, o_orderkey,

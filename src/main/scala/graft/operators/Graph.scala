@@ -43,9 +43,12 @@ object Graph {
   private def unionFindLocal(ids: Array[Long], es: Array[(Long, Long)]): Map[Long, Long] = {
     val parent = scala.collection.mutable.HashMap.empty[Long, Long]
     ids.foreach(i => parent(i) = i)
+    // getOrElseUpdate: an edge endpoint absent from `ids` becomes its own
+    // singleton root instead of throwing — callers need not guarantee the
+    // node list is a superset of edge endpoints
     def find(x: Long): Long = {
       var r = x
-      while (parent(r) != r) { parent(r) = parent(parent(r)); r = parent(r) }
+      while (parent.getOrElseUpdate(r, r) != r) { parent(r) = parent(parent(r)); r = parent(r) }
       r
     }
     es.foreach { case (a, b) =>
@@ -93,6 +96,12 @@ object Graph {
         curSum = labels.agg(sum(col("lbl"))).head.getLong(0)
         iter += 1
       }
+      // double pointer-jumping converges in O(log d) rounds, so 25 is far
+      // beyond any reachable diameter — but if the fixpoint was somehow not
+      // reached, fail loudly instead of returning partially-merged labels
+      if (curSum != prevSum)
+        throw new IllegalStateException(
+          s"connected components did not converge after $iter rounds (labelSum $prevSum -> $curSum)")
       labels
     }
   }

@@ -211,10 +211,18 @@ object Joins {
   // carry the key hash: with fixed global names, running dir A then
   // dir B would overwrite A's tables while A's memo entry still
   // pointed at them — silently wrong data on the next dir-A call.
-  private val bucketedReady = scala.collection.concurrent.TrieMap.empty[(String, String), (String, String)]
+  private val bucketedReady = scala.collection.concurrent.TrieMap.empty[(String, String), (String, String, String)]
 
   def joinBucketed(s: SparkSession, dir: String): DataFrame = {
-    val (ordersTbl, custTbl) = bucketedReady.getOrElseUpdate((graft.SessionToken(s), dir), {
+    // evict entries of dead (GC'd) sessions: drop their catalog tables via
+    // the shared external catalog and reclaim the temp dirs, so a
+    // long-lived JVM cycling sessions does not accumulate stale copies
+    graft.SessionToken.sweep(bucketedReady) { case (o, c, tmp) =>
+      try { s.sql(s"DROP TABLE IF EXISTS $o"); s.sql(s"DROP TABLE IF EXISTS $c") }
+      catch { case _: Exception => () }
+      graft.SessionToken.deleteDir(tmp)
+    }
+    val (ordersTbl, custTbl, _) = bucketedReady.getOrElseUpdate((graft.SessionToken(s), dir), {
       val suffix = java.lang.Integer.toHexString(
         scala.util.hashing.MurmurHash3.stringHash(graft.SessionToken(s) + "|" + dir))
       val (o, c) = (s"orders_bkt_$suffix", s"customer_bkt_$suffix")
@@ -231,7 +239,7 @@ object Joins {
       Tables.customer(s, dir).repartition(8, col("c_custkey"))
         .write.bucketBy(8, "c_custkey").sortBy("c_custkey")
         .option("path", s"$tmp/customer").mode("overwrite").saveAsTable(c)
-      (o, c)
+      (o, c, tmp)
     })
     s.table(custTbl).hint("merge")
       .join(s.table(ordersTbl), col("c_custkey") === col("o_custkey"))

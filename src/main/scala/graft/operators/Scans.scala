@@ -163,6 +163,8 @@ object Scans {
   private val aggSnapRoots = scala.collection.concurrent.TrieMap.empty[(String, String), String]
 
   def snapshotAgg(s: SparkSession, dir: String): DataFrame = {
+    // reclaim snapshot exports of dead (GC'd) sessions — see joinBucketed
+    graft.SessionToken.sweep(aggSnapRoots)(graft.SessionToken.deleteDir)
     val root = aggSnapRoots.getOrElseUpdate((graft.SessionToken(s), dir), {
       val r = java.nio.file.Files.createTempDirectory("graft_snap_agg").toString
       graft.sources.Snapshot.export(s,

@@ -23,6 +23,7 @@ object SparkEntry {
       graft.functions.FnSuites.queries ++ TextOps.queries ++
       SimilarityOps.queries ++ NearDup.queries ++ Multimodal.queries ++
       Analytics.queries ++ Compaction.queries ++ Graph.queries ++
+      Composite.queries ++ Merge.queries ++ Corpus.queries ++
       graft.streaming.StreamingQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -33,5 +34,6 @@ object SparkEntry {
       graft.functions.FnSuites.oracle ++ TextOps.oracle ++
       SimilarityOps.oracle ++ NearDup.oracle ++ Multimodal.oracle ++
       Analytics.oracle ++ Compaction.oracle ++ Graph.oracle ++
+      Composite.oracle ++ Merge.oracle ++ Corpus.oracle ++
       graft.streaming.StreamingQueries.oracle
 }

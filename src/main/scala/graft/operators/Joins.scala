@@ -197,6 +197,20 @@ object Joins {
       .orderBy("event_id")
   }
 
+  /** §2.13 (round-4) as-of join with tolerance: a purchase matches its
+    * latest preceding click only when the click is within 1 hour —
+    * stale matches become NULL (the point-in-time-correct attribution
+    * semantics; a boundless as-of silently attributes to arbitrarily
+    * old events). Same single-window dataflow as q_join_asof — the
+    * tolerance is a post-projection on the already-found match, zero
+    * extra exchanges.
+    */
+  def joinAsofTol(s: SparkSession, dir: String): DataFrame =
+    joinAsof(s, dir)
+      .withColumn("click_ts",
+        when(col("click_ts") >= col("p_ts") - expr("interval 1 hour"), col("click_ts")))
+      .orderBy("event_id")
+
   /** Bucketed co-located join: both sides written bucketBy(8) +
     * sortBy on the join key, then sort-merge joined with ZERO shuffle
     * exchanges — the pre-partitioned layout a recurring 100 TB
@@ -312,6 +326,7 @@ object Joins {
     "q_join_interval" -> joinInterval,
     "q_join_asof" -> joinAsof,
     "q_join_asof_custom" -> joinAsofCustom,
+    "q_join_asof_tol" -> joinAsofTol,
     "q_join_bucketed" -> joinBucketed,
     "q_join_cross" -> joinCross,
     "q_join_salted" -> joinSalted,
@@ -407,6 +422,15 @@ object Joins {
       """SELECT p.event_id, p.user_id,
         |  CAST(p.ts AS TIMESTAMP) AS p_ts,
         |  CAST(c.ts AS TIMESTAMP) AS click_ts
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY p.event_id""".stripMargin,
+    "q_join_asof_tol" ->
+      """SELECT p.event_id, p.user_id,
+        |  CAST(p.ts AS TIMESTAMP) AS p_ts,
+        |  CASE WHEN CAST(c.ts AS TIMESTAMP) >= CAST(p.ts AS TIMESTAMP) - INTERVAL 1 HOUR
+        |       THEN CAST(c.ts AS TIMESTAMP) END AS click_ts
         |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
         |  ON p.user_id = c.user_id AND p.ts >= c.ts

@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Round-4 operator invariants: composite analytical queries (TPC-H
+  * Q3/Q5 shapes), bloom-prefiltered join, SCD-2 merge, snapshot diff,
+  * sequence packing, deterministic reservoir, as-of tolerance.
+  */
+class CompositeSpec extends SparkSpec {
+
+  test("tpch_q3: top-10 cut, revenue strictly ordered, orders are BUILDING-segment") {
+    val df = q("q_tpch_q3").cache()
+    assert(df.count() <= 10)
+    val revs = df.select("revenue").collect().map(_.getDouble(0))
+    assert(revs.sameElements(revs.sortBy(-_)), "revenue must be descending")
+  }
+
+  test("tpch_q5: same-nation constraint holds — every revenue row is an ASIA nation") {
+    val df = q("q_tpch_q5").cache()
+    val asia = Tables.nation(spark, sf)
+      .join(Tables.region(spark, sf).where(col("r_name") === "ASIA"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("n_name").collect().map(_.getString(0)).toSet
+    assert(df.select("n_name").collect().map(_.getString(0)).forall(asia))
+  }
+
+  test("bloom prefilter is lossless: equals the plain semi-join aggregate") {
+    val plain = Tables.orders(spark, sf)
+      .join(Tables.customer(spark, sf).where(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey")),
+        col("o_custkey") === col("c_custkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("o_orderpriority")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val got = q("q_join_bloom").select("o_orderpriority", "n")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(got.sameElements(plain))
+  }
+
+  test("scd2: exactly one current row per key; closed rows carry valid_to") {
+    val df = q("q_merge_scd2").cache()
+    val perKey = df.groupBy("c_custkey")
+      .agg(sum(when(col("is_current"), 1).otherwise(0)).as("cur"))
+    assert(perKey.where(col("cur") =!= 1).count() == 0)
+    assert(df.where(!col("is_current") && col("valid_to").isNull).count() == 0)
+    assert(df.where(col("is_current") && col("valid_to").isNotNull).count() == 0)
+    // total rows = dim size + update-feed size
+    val nCust = Tables.customer(spark, sf).count()
+    val nUpd = Tables.customer(spark, sf).where(col("c_acctbal") > 5000).count()
+    assert(df.count() == nCust + nUpd)
+  }
+
+  test("snapshot diff: classes are exhaustive and carry the right null sides") {
+    val df = q("q_snapshot_diff").cache()
+    assert(df.where(!col("change_type").isin("insert", "delete", "update")).count() == 0)
+    assert(df.where(col("change_type") === "insert" && col("old_price").isNotNull).count() == 0)
+    assert(df.where(col("change_type") === "delete" && col("new_price").isNotNull).count() == 0)
+    assert(df.where(col("change_type") === "update" &&
+      (col("old_price").isNull || col("new_price").isNull ||
+        col("old_price") === col("new_price"))).count() == 0)
+  }
+
+  test("pack_chunks: docs conserved, chunk ids non-negative and start-offset consistent") {
+    val df = q("q_pack_chunks").cache()
+    assert(df.agg(sum("n_docs")).head.getLong(0) ==
+      Tables.documents(spark, sf).count())
+    assert(df.where(col("chunk_id") < 0).count() == 0)
+    // token mass is conserved per language
+    val fromDocs = Tables.documents(spark, sf)
+      .select(col("lang"), size(split(col("text"), " ")).cast("long").as("tok"))
+      .groupBy("lang").agg(sum("tok").as("t"))
+    val fromChunks = df.groupBy("lang").agg(sum("sum_tokens").as("t2"))
+    assert(fromDocs.join(fromChunks, "lang")
+      .where(col("t") =!= col("t2")).count() == 0)
+  }
+
+  test("reservoir: at most k per language, a subset of the corpus, stable across runs") {
+    val a = q("q_sample_reservoir").collect()
+    val b = q("q_sample_reservoir").collect()
+    assert(a.sameElements(b), "hash-based sample must be run-stable")
+    val perLang = q("q_sample_reservoir").groupBy("lang").count()
+    assert(perLang.where(col("count") > 10).count() == 0)
+  }
+
+  test("asof tolerance: every surviving match is within the hour; stale ones nulled") {
+    val tol = q("q_join_asof_tol").cache()
+    assert(tol.where(col("click_ts").isNotNull &&
+      (col("click_ts") > col("p_ts") ||
+        col("click_ts") < col("p_ts") - expr("interval 1 hour"))).count() == 0)
+    // row set (purchases) identical to the boundless as-of
+    assert(tol.count() == q("q_join_asof").count())
+  }
+}

@@ -118,10 +118,48 @@ object Composite {
       .orderBy("o_orderpriority")
   }
 
+  /** The exact SQL text run by BOTH engines for q_sql_api (TPC-H Q10
+    * shape: revenue lost to returned items per customer over one
+    * quarter). Written in the ANSI intersection of Spark SQL and
+    * DuckDB — TIMESTAMP literals, DECIMAL casts, JOIN/GROUP BY/LIMIT —
+    * so a single string proves the SQL front door end-to-end: Catalyst
+    * parses, plans and executes the identical query the oracle runs.
+    */
+  private[graft] val sqlApiText =
+    """SELECT c_custkey, c_name,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+      |    * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+      |  n_name
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+      |  AND l_returnflag = 'R'
+      |GROUP BY c_custkey, c_name, n_name
+      |ORDER BY revenue DESC, c_custkey
+      |LIMIT 20""".stripMargin
+
+  /** SQL entry point: register the fixture tables as temp views and
+    * run [[sqlApiText]] through `spark.sql` — the declarative front
+    * door a reference user would type. The plan Catalyst produces is
+    * the same joins/aggregates the DataFrame queries build; temp views
+    * are session-scoped so concurrent sessions don't collide.
+    */
+  def sqlApi(s: SparkSession, dir: String): DataFrame = {
+    Tables.customer(s, dir).createOrReplaceTempView("customer")
+    Tables.orders(s, dir).createOrReplaceTempView("orders")
+    Tables.lineitem(s, dir).createOrReplaceTempView("lineitem")
+    Tables.nation(s, dir).createOrReplaceTempView("nation")
+    s.sql(sqlApiText)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_tpch_q3" -> tpchQ3,
     "q_tpch_q5" -> tpchQ5,
-    "q_join_bloom" -> joinBloom
+    "q_join_bloom" -> joinBloom,
+    "q_sql_api" -> sqlApi
   )
 
   val oracle: Map[String, String] = Map(
@@ -154,6 +192,7 @@ object Composite {
         |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
         |GROUP BY n_name
         |ORDER BY revenue DESC, n_name""".stripMargin,
+    "q_sql_api" -> sqlApiText,
     "q_join_bloom" ->
       """SELECT o_orderpriority, count(*) AS n,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total

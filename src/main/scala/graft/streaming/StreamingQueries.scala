@@ -141,7 +141,25 @@ object StreamingQueries {
       .orderBy("p_id", "c_id")
   }
 
+  /** Stream-static enrichment, batch twin: the event stream joined to
+    * the static customer dimension (re-read per micro-batch in the
+    * true streaming form, broadcast here), aggregated per day ×
+    * segment. The streaming twin runs in StreamingSpec and is
+    * asserted equal; the static side needs no watermark — exactly the
+    * dimension-enrichment shape a 100 TB event pipeline runs, with
+    * the dim broadcast so the unbounded side never shuffles.
+    */
+  def streamStatic(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .join(broadcast(Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_mktsegment"))),
+        col("user_id") === col("c_custkey"))
+      .groupBy(date_trunc("DAY", col("ts")).as("bucket"), col("c_mktsegment").as("segment"))
+      .agg(count(lit(1)).as("n"), graft.operators.dbl(sum(dec("value"))).as("sum_value"))
+      .orderBy("bucket", "segment")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stream_static" -> streamStatic,
     "q_stream_join" -> streamJoin,
     "q_stream_session_custom" -> sessionCustom,
     "q_stream_tumbling" -> tumbling,
@@ -171,6 +189,13 @@ object StreamingQueries {
       |ORDER BY user_id, s_start""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_stream_static" ->
+      """SELECT CAST(date_trunc('day', CAST(e.ts AS TIMESTAMP)) AS TIMESTAMP) AS bucket,
+        |  c.c_mktsegment AS segment, count(*) AS n,
+        |  CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY 1, 2
+        |ORDER BY bucket, segment""".stripMargin,
     "q_stream_join" ->
       """SELECT p.event_id AS p_id, c.event_id AS c_id, p.user_id AS user_id
         |FROM (SELECT * FROM events WHERE event_type = 'purchase') p

@@ -84,6 +84,29 @@ class CompositeSpec extends SparkSpec {
     assert(perLang.where(col("count") > 10).count() == 0)
   }
 
+  test("sql front door: spark.sql result equals the DataFrame formulation") {
+    val one = lit(1).cast("decimal(18,2)")
+    val viaDf = Tables.lineitem(spark, sf)
+      .where(col("l_returnflag") === "R")
+      .select(col("l_orderkey"),
+        (col("l_extendedprice").cast("decimal(18,2)")
+          * (one - col("l_discount").cast("decimal(18,2)"))).as("rev"))
+      .join(Tables.orders(spark, sf)
+        .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-04-01").cast("timestamp")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, sf), col("o_custkey") === col("c_custkey"))
+      .join(Tables.nation(spark, sf), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+      .agg(sum(col("rev")).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+      .select("c_custkey", "c_name", "revenue", "n_name")
+      .collect()
+    val viaSql = q("q_sql_api").select("c_custkey", "c_name", "revenue", "n_name").collect()
+    assert(viaSql.sameElements(viaDf))
+  }
+
   test("asof tolerance: every surviving match is within the hour; stale ones nulled") {
     val tol = q("q_join_asof_tol").cache()
     assert(tol.where(col("click_ts").isNotNull &&

@@ -47,6 +47,21 @@ class StreamingSpec extends SparkSpec {
     spark.table(name)
   }
 
+  test("stream-static enrichment join equals the batch form") {
+    val dim = graft.sources.Tables.customer(spark, sf)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val streamed = runToMemory(
+      eventsStream
+        .join(broadcast(dim), col("user_id") === col("c_custkey"))
+        .groupBy(date_trunc("DAY", col("ts")).as("bucket"), col("c_mktsegment").as("segment"))
+        .agg(count(lit(1)).as("n"),
+          graft.operators.dbl(sum(col("value").cast("decimal(18,2)"))).as("sum_value")),
+      "stream_static_out", OutputMode.Complete())
+    val batch = q("q_stream_static")
+    assert(streamed.count() == batch.count())
+    assert(streamed.exceptAll(batch).count() == 0 && batch.exceptAll(streamed).count() == 0)
+  }
+
   test("streaming tumbling window (complete mode) equals the batch form") {
     val streamed = runToMemory(
       eventsStream

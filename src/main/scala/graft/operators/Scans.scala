@@ -179,7 +179,35 @@ object Scans {
         max(col("o_orderkey")).as("max_key"))
   }
 
+  /** §2.13 (round-4) array columns through the DSv2 snapshot source:
+    * the embeddings table (array<float>, dim 64) exported once,
+    * re-read via SnapshotSource's 3-level-LIST decoder, then ranked by
+    * L2 norm through the codegen'd float_dot expression — proving the
+    * custom source feeds vector operators without the Snapshot.read
+    * fallback. The oracle computes the same norms over the fixture
+    * table directly (the snapshot is an exact copy).
+    */
+  private val embedSnapRoots = scala.collection.concurrent.TrieMap.empty[(String, String), String]
+
+  def snapshotEmbed(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorExprs.register(s)
+    graft.SessionToken.sweep(embedSnapRoots)(graft.SessionToken.deleteDir)
+    val root = embedSnapRoots.getOrElseUpdate((graft.SessionToken(s), dir), {
+      val r = java.nio.file.Files.createTempDirectory("graft_snap_emb").toString
+      graft.sources.Snapshot.export(s,
+        Map("embeddings" -> Tables.embeddings(s, dir)), r, "tag1", None)
+      r
+    })
+    s.read.format("graft.sources.SnapshotSource")
+      .option("root", root).option("tag", "tag1").option("table", "embeddings").load()
+      .select(col("vec_id"), col("label"),
+        dbl(expr("CAST(sqrt(float_dot(embedding, embedding)) AS DECIMAL(12,6))")).as("norm"))
+      .orderBy(col("norm").desc, col("vec_id"))
+      .limit(10)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_snapshot_embed" -> snapshotEmbed,
     "q_snapshot_agg" -> snapshotAgg,
     "q_write_partitioned" -> writePartitioned,
     "q_scan_parquet" -> scanParquet,
@@ -193,6 +221,13 @@ object Scans {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_snapshot_embed" ->
+      """SELECT vec_id, label,
+        |  CAST(CAST(sqrt(list_aggregate(list_transform(embedding,
+        |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) AS DECIMAL(12,6)) AS DOUBLE) AS norm
+        |FROM embeddings
+        |ORDER BY norm DESC, vec_id
+        |LIMIT 10""".stripMargin,
     "q_snapshot_agg" ->
       """SELECT count(*) AS n,
         |  min(o_orderkey) AS min_key,

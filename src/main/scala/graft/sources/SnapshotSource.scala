@@ -13,6 +13,7 @@ import org.apache.parquet.schema.MessageType
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
@@ -32,9 +33,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * requested columns).
   *
   * Scope: primitive column types incl. timestamp/date (Spark 4 writes
-  * TIMESTAMP_MICROS as INT64, which is also Spark's internal form).
-  * Nested/array types fall back to `Snapshot.read` (the
-  * manifest-driven parquet scan), which remains the general path.
+  * TIMESTAMP_MICROS as INT64, which is also Spark's internal form),
+  * plus arrays of primitives (standard 3-level parquet LIST — covers
+  * the embeddings table). Deeper nesting (struct, map, array-of-array)
+  * falls back to `Snapshot.read` (the manifest-driven parquet scan),
+  * which remains the general path.
   */
 class SnapshotSource extends TableProvider {
 
@@ -470,9 +473,35 @@ class SnapshotPartitionReader(file: String, required: StructType,
           // isAdjustedToUTC=false reads as TimestampNTZType)
           case TimestampType | TimestampNTZType => current.getLong(f.name, 0)
           case DateType => current.getInteger(f.name, 0)
+          // Standard 3-level parquet LIST (what Spark writes):
+          //   optional group <name> (LIST) { repeated group list { <element> } }
+          // The wrapper group holds N repeated entry groups; an entry
+          // with no element value is a NULL element.
+          case ArrayType(et, _) =>
+            val wrapper = current.getGroup(f.name, 0)
+            val n = wrapper.getFieldRepetitionCount(0)
+            val out = new Array[Any](n)
+            var j = 0
+            while (j < n) {
+              val entry = wrapper.getGroup(0, j)
+              out(j) =
+                if (entry.getFieldRepetitionCount(0) == 0) null
+                else et match {
+                  case FloatType => entry.getFloat(0, 0)
+                  case DoubleType => entry.getDouble(0, 0)
+                  case LongType => entry.getLong(0, 0)
+                  case IntegerType => entry.getInteger(0, 0)
+                  case BooleanType => entry.getBoolean(0, 0)
+                  case StringType => UTF8String.fromBytes(entry.getBinary(0, 0).getBytes)
+                  case o => throw new UnsupportedOperationException(
+                    s"SnapshotSource array element type $o unsupported (${f.name})")
+                }
+              j += 1
+            }
+            new GenericArrayData(out)
           case other => throw new UnsupportedOperationException(
-            s"SnapshotSource v1 supports primitive columns only; ${f.name} is $other " +
-              "— use graft.sources.Snapshot.read for this table")
+            s"SnapshotSource supports primitive and array-of-primitive columns; " +
+              s"${f.name} is $other — use graft.sources.Snapshot.read for this table")
         }
       i += 1
     }

@@ -28,6 +28,24 @@ class SnapshotSourceSpec extends SparkSpec {
     assert(v2.exceptAll(v1).count() == 0 && v1.exceptAll(v2).count() == 0)
   }
 
+  test("array<float> columns decode through the DSv2 reader (3-level LIST)") {
+    val r = Files.createTempDirectory("snap_emb").toString
+    Snapshot.export(spark, Map("embeddings" -> Tables.embeddings(spark, sf)), r, "t1")
+    val v2 = spark.read.format("graft.sources.SnapshotSource")
+      .option("root", r).option("tag", "t1").option("table", "embeddings").load()
+    val direct = Tables.embeddings(spark, sf)
+    assert(v2.schema("embedding").dataType ==
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType))
+    assert(v2.count() == direct.count())
+    // element-exact equality, including vector order
+    assert(v2.exceptAll(direct).count() == 0 && direct.exceptAll(v2).count() == 0)
+    // arrays compose with the codegen'd vector expression
+    graft.functions.VectorExprs.register(spark)
+    val n = v2.select(expr("float_dot(embedding, embedding)").as("d"))
+      .where(col("d") >= 0).count()
+    assert(n == direct.count())
+  }
+
   test("column pruning reaches the scan (projected read schema)") {
     val pruned = dsv2("documents").select("doc_id", "lang")
     assert(pruned.schema.fieldNames.toSeq == Seq("doc_id", "lang"))

@@ -61,6 +61,60 @@ object ScaleRehearsal {
       docsK.withColumn("arr", sigUdf(col("text")))
         .select(col("doc_id"), col("lang"),
           size(col("arr")).cast("long").as("sz"), explode(col("arr")).as("shingle")))
+
+    // round-4 shapes. Orders re-keyed with the SAME formula as lineitem
+    // so fact-fact join keys still align at ×K.
+    val ordersK = orders
+      .withColumn("rep", explode(expr(s"sequence(1, $k)")))
+      .withColumn("o_orderkey", col("o_orderkey") * k + col("rep"))
+      .drop("rep")
+
+    // TPC-H Q5 shape at ×K: the full fact chain (lineitem⋈orders⋈
+    // customer⋈supplier) with broadcast nation/region — proves the
+    // multiway star keeps one shuffle per fact join as volume grows.
+    val nat = spark.read.parquet(s"$sfDir/nation.parquet")
+    val reg = spark.read.parquet(s"$sfDir/region.parquet").where(col("r_name") === "ASIA")
+    val supN = spark.read.parquet(s"$sfDir/supplier.parquet")
+      .join(broadcast(nat.join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_nationkey"), col("n_name"))
+    time("q5_inflated")(
+      li.select(col("l_orderkey"), col("l_suppkey"),
+          (dec("l_extendedprice") * (lit(1).cast("decimal(18,2)") - dec("l_discount"))).as("rev"))
+        .join(ordersK.select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(spark.read.parquet(s"$sfDir/customer.parquet")
+          .select(col("c_custkey"), col("c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .join(supN, col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .groupBy(col("n_name")).agg(sum(col("rev")).as("revenue")))
+
+    // snapshot diff at ×K: co-partitioned full outer join on the key —
+    // the CDC classification pass over two inflated generations.
+    val baseK = ordersK.select(col("o_orderkey"), dec("o_totalprice").as("p"))
+    time("diff_inflated")(
+      baseK.where(pmod(col("o_orderkey"), lit(11)) =!= 0)
+        .select(col("o_orderkey").as("k1"), col("p").as("p1"))
+        .join(baseK.where(pmod(col("o_orderkey"), lit(13)) =!= 0)
+          .select(col("o_orderkey").as("k2"), col("p").as("p2")),
+          col("k1") === col("k2"), "full_outer")
+        .where(col("k1").isNull || col("k2").isNull))
+
+    // sequence packing at ×K: the running-sum window stays bounded by
+    // the (lang) shard — per-partition state does not grow with ×K
+    // beyond the shard's own row count.
+    time("pack_inflated")(
+      docsK.select(col("doc_id"), col("lang"),
+          size(split(col("text"), " ")).cast("long").as("tok"))
+        .withColumn("cum", sum(col("tok")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
+            .orderBy(col("doc_id"))
+            .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+              org.apache.spark.sql.expressions.Window.currentRow)))
+        .withColumn("chunk_id", floor((col("cum") - col("tok")) / lit(512)))
+        .groupBy(col("lang"), col("chunk_id"))
+        .agg(count(lit(1)).as("n_docs")))
     spark.stop()
   }
 }

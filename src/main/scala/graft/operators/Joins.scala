@@ -152,6 +152,35 @@ object Joins {
       .orderBy("custkey", "first_order", "next_order")
   }
 
+  /** §2.13 (round-4) bin-banded range join: purchase×signup pairs
+    * within ±10 minutes GLOBALLY — no equi key exists, so a naive plan
+    * is a broadcast-nested-loop/cartesian theta join, O(|A|·|B|).
+    * The banding trick (the same recipe behind production range-join
+    * optimizations): bucket time into interval-width bins; a probe row
+    * explodes into its bin ±1, the build row keeps its own bin, and
+    * every true pair is guaranteed to meet on exactly one bin key —
+    * a plain shuffled equi join (3× one side, never quadratic) — then
+    * the exact predicate filters the band's false candidates. Each
+    * true pair meets exactly once, so no dedup is needed.
+    */
+  def joinRangeBin(s: SparkSession, dir: String): DataFrame = {
+    val winUs = 600L * 1000000L // 10 minutes, in µs
+    val e = Tables.events(s, dir)
+    val a = e.where(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("ts").as("p_ts"),
+        expr(s"unix_micros(ts) div $winUs").as("bin"))
+    val b = e.where(col("event_type") === "signup")
+      .select(col("event_id").as("s_id"), col("ts").as("s_ts"),
+        expr(s"unix_micros(ts) div $winUs").as("sbin"))
+      .select(col("s_id"), col("s_ts"),
+        explode(array(col("sbin") - 1, col("sbin"), col("sbin") + 1)).as("bin"))
+    a.join(b, Seq("bin"))
+      .where(col("s_ts") >= col("p_ts") - expr("INTERVAL 10 MINUTES")
+        && col("s_ts") <= col("p_ts") + expr("INTERVAL 10 MINUTES"))
+      .select(col("p_id"), col("s_id"), col("p_ts"), col("s_ts"))
+      .orderBy("p_id", "s_id")
+  }
+
   /** As-of (backward) join: for each purchase event, the latest click
     * by the same user at-or-before its timestamp.
     *
@@ -327,6 +356,7 @@ object Joins {
     "q_join_asof" -> joinAsof,
     "q_join_asof_custom" -> joinAsofCustom,
     "q_join_asof_tol" -> joinAsofTol,
+    "q_join_range_bin" -> joinRangeBin,
     "q_join_bucketed" -> joinBucketed,
     "q_join_cross" -> joinCross,
     "q_join_salted" -> joinSalted,
@@ -426,6 +456,14 @@ object Joins {
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
         |  ON p.user_id = c.user_id AND p.ts >= c.ts
         |ORDER BY p.event_id""".stripMargin,
+    "q_join_range_bin" ->
+      """SELECT a.event_id AS p_id, b.event_id AS s_id,
+        |  CAST(a.ts AS TIMESTAMP) AS p_ts, CAST(b.ts AS TIMESTAMP) AS s_ts
+        |FROM events a JOIN events b
+        |  ON CAST(b.ts AS TIMESTAMP) >= CAST(a.ts AS TIMESTAMP) - INTERVAL 10 MINUTE
+        | AND CAST(b.ts AS TIMESTAMP) <= CAST(a.ts AS TIMESTAMP) + INTERVAL 10 MINUTE
+        |WHERE a.event_type = 'purchase' AND b.event_type = 'signup'
+        |ORDER BY p_id, s_id""".stripMargin,
     "q_join_asof_tol" ->
       """SELECT p.event_id, p.user_id,
         |  CAST(p.ts AS TIMESTAMP) AS p_ts,

@@ -84,6 +84,23 @@ class CompositeSpec extends SparkSpec {
     assert(perLang.where(col("count") > 10).count() == 0)
   }
 
+  test("banded range join equals the naive theta join and plans as an equi join") {
+    val e = Tables.events(spark, sf)
+    val naive = e.where(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("ts").as("p_ts"))
+      .join(e.where(col("event_type") === "signup")
+        .select(col("event_id").as("s_id"), col("ts").as("s_ts")),
+        col("s_ts") >= col("p_ts") - expr("INTERVAL 10 MINUTES") &&
+          col("s_ts") <= col("p_ts") + expr("INTERVAL 10 MINUTES"))
+      .select("p_id", "s_id", "p_ts", "s_ts")
+    val banded = q("q_join_range_bin")
+    assert(banded.count() == naive.count())
+    assert(banded.exceptAll(naive).count() == 0 && naive.exceptAll(banded).count() == 0)
+    val plan = banded.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      "banded range join must plan as an equi join:\n" + plan)
+  }
+
   test("sql front door: spark.sql result equals the DataFrame formulation") {
     val one = lit(1).cast("decimal(18,2)")
     val viaDf = Tables.lineitem(spark, sf)

@@ -47,6 +47,55 @@ class StreamingSpec extends SparkSpec {
     spark.table(name)
   }
 
+  test("foreachBatch incremental LWW maintenance converges to the batch compaction") {
+    // write-log = events as keyed upserts, split across 3 files so
+    // AvailableNow + maxFilesPerTrigger=1 replays them as 3 micro-batches
+    // in arbitrary file order — LWW merge is commutative (argmax by
+    // (ts, event_id)), so the final state must not depend on replay order.
+    val log = graft.sources.Tables.events(spark, sf)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+    val logDir = java.nio.file.Files.createTempDirectory("fb_log").toString
+    (0 until 3).foreach { i =>
+      log.where(pmod(col("event_id"), lit(3)) === i)
+        .coalesce(1).write.mode("append").parquet(logDir)
+    }
+    // per-batch partial state: one (last-write struct, write count) per key
+    def partial(b: DataFrame): DataFrame =
+      b.groupBy(col("user_id"))
+        .agg(max(struct(col("ts").as("ts"), col("event_id").as("eid"),
+          col("event_type").as("t"), col("value").as("v"))).as("last"),
+          count(lit(1)).as("n_writes"))
+    val stateBase = java.nio.file.Files.createTempDirectory("fb_state").toString
+    var stateDir: Option[String] = None
+    var gen = 0
+    val stream = spark.readStream.schema(log.schema)
+      .option("maxFilesPerTrigger", 1).parquet(logDir)
+    val sq = stream.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        // incremental maintenance: merge the batch's partial into the
+        // running state with the same argmax — never a full-log rescan
+        val merged = stateDir.map(d => spark.read.parquet(d))
+          .map(_.unionByName(partial(batch.toDF()))).getOrElse(partial(batch.toDF()))
+          .groupBy(col("user_id"))
+          .agg(max(col("last")).as("last"), sum(col("n_writes")).as("n_writes"))
+        gen += 1
+        val next = s"$stateBase/v$gen"
+        merged.write.parquet(next)
+        stateDir = Some(next)
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    sq.awaitTermination()
+    val finalState = spark.read.parquet(stateDir.get)
+      .where(col("last.t") =!= "error")
+      .select(col("user_id"), col("last.eid").as("last_event_id"),
+        col("last.t").as("last_type"), col("last.v").as("last_value"), col("n_writes"))
+    val batchForm = q("q_snapshot_compact")
+    assert(finalState.count() == batchForm.count())
+    assert(finalState.exceptAll(batchForm).count() == 0 &&
+      batchForm.exceptAll(finalState).count() == 0)
+  }
+
   test("stream-static enrichment join equals the batch form") {
     val dim = graft.sources.Tables.customer(spark, sf)
       .select(col("c_custkey"), col("c_mktsegment"))

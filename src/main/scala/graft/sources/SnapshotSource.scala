@@ -34,10 +34,10 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Scope: primitive column types incl. timestamp/date (Spark 4 writes
   * TIMESTAMP_MICROS as INT64, which is also Spark's internal form),
-  * plus arrays of primitives (standard 3-level parquet LIST — covers
-  * the embeddings table). Deeper nesting (struct, map, array-of-array)
-  * falls back to `Snapshot.read` (the manifest-driven parquet scan),
-  * which remains the general path.
+  * plus arrays (standard 3-level parquet LIST — covers the embeddings
+  * table) and structs, recursively composed (array-of-struct,
+  * struct-of-array). Maps fall back to `Snapshot.read` (the
+  * manifest-driven parquet scan), which remains the general path.
   */
 class SnapshotSource extends TableProvider {
 
@@ -454,55 +454,62 @@ class SnapshotPartitionReader(file: String, required: StructType,
     current != null
   }
 
+  /** Decode field `fieldIdx` of `g` into Spark's internal value form.
+    * Recursion handles nesting uniformly: arrays are standard 3-level
+    * parquet LIST (`optional group x (LIST) { repeated group list {
+    * <element> } }` — what Spark writes), structs are plain groups
+    * whose parquet field order matches the Spark StructType (both come
+    * from the same schema at export time). An absent value (repetition
+    * count 0) is NULL at every level.
+    */
+  private def decode(g: Group, fieldIdx: Int, dt: DataType): Any = dt match {
+    case LongType => g.getLong(fieldIdx, 0)
+    case IntegerType => g.getInteger(fieldIdx, 0)
+    case DoubleType => g.getDouble(fieldIdx, 0)
+    case FloatType => g.getFloat(fieldIdx, 0)
+    case BooleanType => g.getBoolean(fieldIdx, 0)
+    case StringType => UTF8String.fromBytes(g.getBinary(fieldIdx, 0).getBytes)
+    // Spark 4 writes TIMESTAMP_MICROS as INT64 — the raw long IS
+    // Spark's internal representation (fixtures are NTZ: parquet
+    // isAdjustedToUTC=false reads as TimestampNTZType)
+    case TimestampType | TimestampNTZType => g.getLong(fieldIdx, 0)
+    case DateType => g.getInteger(fieldIdx, 0)
+    case ArrayType(et, _) =>
+      val wrapper = g.getGroup(fieldIdx, 0)
+      val n = wrapper.getFieldRepetitionCount(0)
+      val out = new Array[Any](n)
+      var j = 0
+      while (j < n) {
+        val entry = wrapper.getGroup(0, j)
+        out(j) = if (entry.getFieldRepetitionCount(0) == 0) null
+        else decode(entry, 0, et)
+        j += 1
+      }
+      new GenericArrayData(out)
+    case StructType(fields) =>
+      val nested = g.getGroup(fieldIdx, 0)
+      val out = new Array[Any](fields.length)
+      var j = 0
+      while (j < fields.length) {
+        out(j) = if (nested.getFieldRepetitionCount(j) == 0) null
+        else decode(nested, j, fields(j).dataType)
+        j += 1
+      }
+      new GenericInternalRow(out)
+    case other => throw new UnsupportedOperationException(
+      s"SnapshotSource supports primitive, array and struct columns; got $other " +
+        "— use graft.sources.Snapshot.read for this table")
+  }
+
   override def get(): InternalRow = {
     val values = new Array[Any](required.length)
     var i = 0
     while (i < required.length) {
-      val f = required.fields(i)
+      // projected read schema was built from required.fieldNames in
+      // order, so the group field index equals the required index
       values(i) =
-        if (current.getFieldRepetitionCount(f.name) == 0) null
-        else f.dataType match {
-          case LongType => current.getLong(f.name, 0)
-          case IntegerType => current.getInteger(f.name, 0)
-          case DoubleType => current.getDouble(f.name, 0)
-          case FloatType => current.getFloat(f.name, 0)
-          case BooleanType => current.getBoolean(f.name, 0)
-          case StringType => UTF8String.fromBytes(current.getBinary(f.name, 0).getBytes)
-          // Spark 4 writes TIMESTAMP_MICROS as INT64 — the raw long IS
-          // Spark's internal representation (fixtures are NTZ: parquet
-          // isAdjustedToUTC=false reads as TimestampNTZType)
-          case TimestampType | TimestampNTZType => current.getLong(f.name, 0)
-          case DateType => current.getInteger(f.name, 0)
-          // Standard 3-level parquet LIST (what Spark writes):
-          //   optional group <name> (LIST) { repeated group list { <element> } }
-          // The wrapper group holds N repeated entry groups; an entry
-          // with no element value is a NULL element.
-          case ArrayType(et, _) =>
-            val wrapper = current.getGroup(f.name, 0)
-            val n = wrapper.getFieldRepetitionCount(0)
-            val out = new Array[Any](n)
-            var j = 0
-            while (j < n) {
-              val entry = wrapper.getGroup(0, j)
-              out(j) =
-                if (entry.getFieldRepetitionCount(0) == 0) null
-                else et match {
-                  case FloatType => entry.getFloat(0, 0)
-                  case DoubleType => entry.getDouble(0, 0)
-                  case LongType => entry.getLong(0, 0)
-                  case IntegerType => entry.getInteger(0, 0)
-                  case BooleanType => entry.getBoolean(0, 0)
-                  case StringType => UTF8String.fromBytes(entry.getBinary(0, 0).getBytes)
-                  case o => throw new UnsupportedOperationException(
-                    s"SnapshotSource array element type $o unsupported (${f.name})")
-                }
-              j += 1
-            }
-            new GenericArrayData(out)
-          case other => throw new UnsupportedOperationException(
-            s"SnapshotSource supports primitive and array-of-primitive columns; " +
-              s"${f.name} is $other — use graft.sources.Snapshot.read for this table")
-        }
+        if (current.getFieldRepetitionCount(i) == 0) null
+        else decode(current, i, required.fields(i).dataType)
       i += 1
     }
     new GenericInternalRow(values)

@@ -46,6 +46,24 @@ class SnapshotSourceSpec extends SparkSpec {
     assert(n == direct.count())
   }
 
+  test("struct and array-of-struct columns decode recursively") {
+    val r = Files.createTempDirectory("snap_struct").toString
+    val derived = Tables.orders(spark, sf).select(
+      col("o_orderkey"),
+      struct(col("o_totalprice").as("price"), col("o_orderstatus").as("status")).as("info"),
+      array(struct(col("o_custkey").as("k"), col("o_orderpriority").as("p"))).as("tags"))
+    Snapshot.export(spark, Map("orders_nested" -> derived), r, "t1")
+    val v2 = spark.read.format("graft.sources.SnapshotSource")
+      .option("root", r).option("tag", "t1").option("table", "orders_nested").load()
+    assert(v2.schema == derived.schema)
+    assert(v2.count() == derived.count())
+    assert(v2.exceptAll(derived).count() == 0 && derived.exceptAll(v2).count() == 0)
+    // nested field access composes with Catalyst projections
+    val sum = v2.select(org.apache.spark.sql.functions.sum(col("info.price"))).head.getDouble(0)
+    val ref = derived.select(org.apache.spark.sql.functions.sum(col("info.price"))).head.getDouble(0)
+    assert(sum == ref)
+  }
+
   test("column pruning reaches the scan (projected read schema)") {
     val pruned = dsv2("documents").select("doc_id", "lang")
     assert(pruned.schema.fieldNames.toSeq == Seq("doc_id", "lang"))

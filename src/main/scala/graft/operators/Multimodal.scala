@@ -107,12 +107,43 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** §2.13 (round-4) content-addressed blob dedup — the storage-dedup
+    * pass a multimodal corpus runs before training: each media segment
+    * (here the first 64 bytes of the blob, standing in for a chunk of
+    * a real asset) is keyed by its md5 digest; groups holding more
+    * than one copy report the canonical keeper (min doc_id) and the
+    * bytes a content-addressed store saves. Digest+groupBy is a pure
+    * map-side hash + one exchange on the digest — the same shape at
+    * petabyte blob scale (digests shuffle, bytes never do).
+    */
+  def multimodalDedup(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), substring(col("text"), 1, 64).cast("binary").as("seg"))
+      .groupBy(md5(col("seg")).as("digest"))
+      .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keeper"),
+        max(length(col("seg"))).cast("long").as("seg_bytes"))
+      .where(col("n_copies") > 1)
+      .withColumn("bytes_saved", (col("n_copies") - 1) * col("seg_bytes"))
+      .orderBy("digest")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_multimodal_features" -> multimodalFeatures,
-    "q_multimodal_chunks" -> multimodalChunks
+    "q_multimodal_chunks" -> multimodalChunks,
+    "q_multimodal_dedup" -> multimodalDedup
   )
 
   val oracle: Map[String, String] = Map(
+    "q_multimodal_dedup" ->
+      """WITH seg AS (
+        |  SELECT doc_id, substr(text, 1, 64) AS seg FROM documents),
+        |g AS (
+        |  SELECT md5(seg) AS digest, count(*) AS n_copies,
+        |    min(doc_id) AS keeper, CAST(max(strlen(seg)) AS BIGINT) AS seg_bytes
+        |  FROM seg GROUP BY 1)
+        |SELECT digest, n_copies, keeper, seg_bytes,
+        |  (n_copies - 1) * seg_bytes AS bytes_saved
+        |FROM g WHERE n_copies > 1
+        |ORDER BY digest""".stripMargin,
     "q_multimodal_chunks" ->
       """WITH d AS (
         |  SELECT doc_id, length(text) AS len,

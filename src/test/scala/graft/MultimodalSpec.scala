@@ -29,6 +29,19 @@ class MultimodalSpec extends SparkSpec {
     assert(chunks.forall(_.getAs[Array[Byte]](2).length == 10))
   }
 
+  test("content-addressed dedup reports only real duplicate groups, consistently") {
+    val df = q("q_multimodal_dedup").cache()
+    assert(df.where(col("n_copies") < 2).count() == 0)
+    assert(df.where(col("bytes_saved") =!=
+      (col("n_copies") - 1) * col("seg_bytes")).count() == 0)
+    assert(df.select("digest").distinct().count() == df.count())
+    // copies accounted by digest groups match a direct prefix count
+    val direct = graft.sources.Tables.documents(spark, sf)
+      .groupBy(substring(col("text"), 1, 64)).count()
+      .where(col("count") > 1)
+    assert(df.count() == direct.count())
+  }
+
   test("contract query: n_bytes equals documents.n_chars (ASCII corpus)") {
     val feats = q("q_multimodal_features")
     val joined = feats.join(graft.sources.Tables.documents(spark, sf), Seq("doc_id"))

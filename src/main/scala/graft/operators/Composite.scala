@@ -118,6 +118,30 @@ object Composite {
       .orderBy("o_orderpriority")
   }
 
+  /** TPC-H Q18 shape (large-volume customers): orders whose total
+    * lineitem quantity exceeds 200, with their customer. The quantity
+    * filter is an AGGREGATE SUBQUERY — lineitem reduces to per-order
+    * sums (map-side-combinable, one exchange) and the HAVING prunes
+    * before any join touches orders/customer, so the expensive fact
+    * join runs on the small qualified set, not the full table. Top-100
+    * by price via TakeOrderedAndProject with a unique-key tiebreak.
+    */
+  def tpchQ18(s: SparkSession, dir: String): DataFrame = {
+    val big = Tables.lineitem(s, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(dec("l_quantity")).as("qd"))
+      .where(col("qd") > 200)
+      .select(col("l_orderkey"), dbl(col("qd")).as("sum_qty"))
+    Tables.orders(s, dir)
+      .join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(Tables.customer(s, dir).select(col("c_custkey"), col("c_name")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice").as("total_price"), col("sum_qty"))
+      .orderBy(col("total_price").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
   /** The exact SQL text run by BOTH engines for q_sql_api (TPC-H Q10
     * shape: revenue lost to returned items per customer over one
     * quarter). Written in the ANSI intersection of Spark SQL and
@@ -158,6 +182,7 @@ object Composite {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_tpch_q3" -> tpchQ3,
     "q_tpch_q5" -> tpchQ5,
+    "q_tpch_q18" -> tpchQ18,
     "q_join_bloom" -> joinBloom,
     "q_sql_api" -> sqlApi
   )
@@ -192,6 +217,20 @@ object Composite {
         |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
         |GROUP BY n_name
         |ORDER BY revenue DESC, n_name""".stripMargin,
+    "q_tpch_q18" ->
+      """WITH big AS (
+        |  SELECT l_orderkey,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |  FROM lineitem
+        |  GROUP BY l_orderkey
+        |  HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 200)
+        |SELECT c_custkey, c_name, o_orderkey, o_orderdate,
+        |  o_totalprice AS total_price, sum_qty
+        |FROM orders
+        |JOIN big ON o_orderkey = l_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY total_price DESC, o_orderkey
+        |LIMIT 100""".stripMargin,
     "q_sql_api" -> sqlApiText,
     "q_join_bloom" ->
       """SELECT o_orderpriority, count(*) AS n,

@@ -276,10 +276,15 @@ object Joins {
       // local[32]) — the standard small-files guard for bucketed
       // layouts; at warehouse scale the same move bounds file count
       // by bucket count, not cluster width.
-      Tables.orders(s, dir).repartition(8, col("o_custkey"))
+      // write only the columns the co-located join consumes: bucketed
+      // layouts are per-workload projections, and the narrower write
+      // is exactly what a real "pay the shuffle once" layout would do
+      Tables.orders(s, dir).select(col("o_custkey"), col("o_totalprice"))
+        .repartition(8, col("o_custkey"))
         .write.bucketBy(8, "o_custkey").sortBy("o_custkey")
         .option("path", s"$tmp/orders").mode("overwrite").saveAsTable(o)
-      Tables.customer(s, dir).repartition(8, col("c_custkey"))
+      Tables.customer(s, dir).select(col("c_custkey"), col("c_mktsegment"))
+        .repartition(8, col("c_custkey"))
         .write.bucketBy(8, "c_custkey").sortBy("c_custkey")
         .option("path", s"$tmp/customer").mode("overwrite").saveAsTable(c)
       (o, c, tmp)

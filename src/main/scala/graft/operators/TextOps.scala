@@ -255,7 +255,35 @@ object TextOps {
       .orderBy("lang")
   }
 
+  /** §2.13 (round-4) unigram language-model scoring: per-document mean
+    * log-probability under the corpus's own unigram distribution — the
+    * classic cheap fluency/quality signal (a doc of rare tokens scores
+    * low; boilerplate scores high). Two exchanges: token-count agg,
+    * then a shuffle join of tokens→counts (the vocabulary is NOT
+    * broadcast — at corpus scale it's huge) + per-doc agg. The 1-row
+    * corpus total IS broadcast. Each ln() term is computed in float64
+    * with identical op order on both engines, then rounded to
+    * DECIMAL(18,9) so the per-doc sum is exact and associative —
+    * summing raw doubles would be partition-order-dependent.
+    */
+  def textLmScore(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .where(col("tok") =!= "")
+    val counts = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum(col("cnt")).cast("double").as("tot"))
+    toks.join(counts, "tok")
+      .crossJoin(broadcast(total))
+      .withColumn("lp", log(col("cnt").cast("double") / col("tot")))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_toks"),
+        dbl(sum(col("lp").cast("decimal(18,9)"))).as("slp"))
+      .select(col("doc_id"), col("n_toks"), (col("slp") / col("n_toks")).as("lm_score"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_lm_score" -> textLmScore,
     "q_text_tfidf" -> textTfidf,
     "q_text_repetition" -> textRepetition,
     "q_split_train_test" -> splitTrainTest,
@@ -273,6 +301,18 @@ object TextOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_text_lm_score" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |t AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
+        |counts AS (SELECT tok, count(*) AS cnt FROM t GROUP BY tok),
+        |tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS tot FROM counts)
+        |SELECT doc_id, count(*) AS n_toks,
+        |  CAST(sum(CAST(ln(CAST(cnt AS DOUBLE) / tot) AS DECIMAL(18,9))) AS DOUBLE)
+        |    / count(*) AS lm_score
+        |FROM t JOIN counts USING (tok) CROSS JOIN tot
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
     "q_text_tfidf" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),

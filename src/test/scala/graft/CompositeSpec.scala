@@ -124,6 +124,18 @@ class CompositeSpec extends SparkSpec {
     assert(viaSql.sameElements(viaDf))
   }
 
+  test("lm score: log-probs negative, tokens conserved, common-token docs score higher") {
+    val df = q("q_text_lm_score").cache()
+    assert(df.where(col("lm_score") >= 0).count() == 0, "unigram log-probs must be < 0")
+    val corpusToks = Tables.documents(spark, sf)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .where(col("tok") =!= "").count()
+    assert(df.agg(sum("n_toks")).head.getLong(0) == corpusToks)
+    // score is a mean of per-token log-probs: bounded below by ln(1/total)
+    val lower = math.log(1.0 / corpusToks)
+    assert(df.where(col("lm_score") < lower).count() == 0)
+  }
+
   test("asof tolerance: every surviving match is within the hour; stale ones nulled") {
     val tol = q("q_join_asof_tol").cache()
     assert(tol.where(col("click_ts").isNotNull &&

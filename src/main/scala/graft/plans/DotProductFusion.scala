@@ -77,5 +77,6 @@ object DotProductFusion extends Rule[LogicalPlan] {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => DotProductFusion)
+    e.injectOptimizerRule(_ => BandedRangeJoin)
   }
 }

@@ -78,6 +78,56 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("BandedRangeJoin rewrites the pure time-range theta join into an equi join") {
+    def naive = {
+      val e = graft.sources.Tables.events(spark, sf)
+      val a = e.where(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("ts").as("p_ts"))
+      val b = e.where(col("event_type") === "signup")
+        .select(col("event_id").as("s_id"), col("ts").as("s_ts"))
+      a.join(b, col("s_ts") >= col("p_ts") - expr("INTERVAL 10 MINUTES") &&
+        col("s_ts") <= col("p_ts") + expr("INTERVAL 10 MINUTES"))
+    }
+    val before = naive.orderBy("p_id", "s_id").collect()
+    assert(naive.queryExecution.executedPlan.toString.contains("BroadcastNestedLoopJoin"),
+      "without the rule the theta join must be a nested loop")
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ graft.plans.BandedRangeJoin
+    try {
+      val rewritten = naive
+      val physical = rewritten.queryExecution.executedPlan.toString
+      assert(!physical.contains("BroadcastNestedLoopJoin") && !physical.contains("CartesianProduct"),
+        "rule must produce an equi-joinable plan:\n" + physical)
+      assert(rewritten.queryExecution.optimizedPlan.toString.contains("graft_band_bin"),
+        "bin columns must appear in the rewritten plan")
+      val after = rewritten.orderBy("p_id", "s_id").collect()
+      assert(after.sameElements(before), "rewrite must be result-identical")
+    } finally {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_ == graft.plans.BandedRangeJoin)
+    }
+  }
+
+  test("BandedRangeJoin does NOT fire when an equi conjunct already exists") {
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ graft.plans.BandedRangeJoin
+    try {
+      val e = graft.sources.Tables.events(spark, sf)
+      val a = e.where(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id").as("p_user"), col("ts").as("p_ts"))
+      val b = e.where(col("event_type") === "signup")
+        .select(col("event_id").as("s_id"), col("user_id").as("s_user"), col("ts").as("s_ts"))
+      val j = a.join(b, col("p_user") === col("s_user") &&
+        col("s_ts") >= col("p_ts") - expr("INTERVAL 10 MINUTES") &&
+        col("s_ts") <= col("p_ts") + expr("INTERVAL 10 MINUTES"))
+      assert(!j.queryExecution.optimizedPlan.toString.contains("graft_band_bin"),
+        "equi-keyed range joins must keep the user's key, not band")
+    } finally {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_ == graft.plans.BandedRangeJoin)
+    }
+  }
+
   test("BigramGenerator emits n-1 bigrams per doc and handles short docs") {
     import spark.implicits._
     graft.functions.BigramGenerator.register(spark)

@@ -66,21 +66,24 @@ class SnapshotSource extends TableProvider {
                         properties: util.Map[String, String]): Table = {
     val options = new CaseInsensitiveStringMap(properties)
     val (entry, table) = manifestFor(options)
-    SnapshotTable(table, schema, entry.files.map(_.path))
+    SnapshotTable(table, schema, entry.files.map(_.path),
+      entry.files.map(_.size).sum, entry.rows)
   }
 }
 
-case class SnapshotTable(tableName: String, tableSchema: StructType, files: Seq[String])
+case class SnapshotTable(tableName: String, tableSchema: StructType, files: Seq[String],
+                         totalBytes: Long, rows: Long)
     extends Table with SupportsRead {
   override def name(): String = s"graft_snapshot_$tableName"
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new SnapshotScanBuilder(tableSchema, files)
+    new SnapshotScanBuilder(tableSchema, files, totalBytes, rows)
 }
 
-class SnapshotScanBuilder(dataSchema: StructType, files: Seq[String])
+class SnapshotScanBuilder(dataSchema: StructType, files: Seq[String],
+                          totalBytes: Long = 0L, rows: Long = 0L)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters with SupportsPushDownAggregates {
   private var required: StructType = dataSchema
@@ -146,7 +149,7 @@ class SnapshotScanBuilder(dataSchema: StructType, files: Seq[String])
   override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] = pushed
   override def build(): Scan =
     if (pushedAggs.nonEmpty) SnapshotAggScan(files, pushedAggs)
-    else SnapshotScan(dataSchema, required, files, pushed)
+    else SnapshotScan(dataSchema, required, files, pushed, totalBytes, rows)
 }
 
 /** One pushed aggregate: `count` (no column) or `min`/`max` of an
@@ -391,9 +394,29 @@ object SnapshotFilters {
 }
 
 case class SnapshotScan(dataSchema: StructType, required: StructType, files: Seq[String],
-                        filters: Seq[org.apache.spark.sql.sources.Filter] = Nil)
-    extends Scan with Batch {
+                        filters: Seq[org.apache.spark.sql.sources.Filter] = Nil,
+                        totalBytes: Long = 0L, rows: Long = 0L)
+    extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = required
+
+  /** Manifest-derived statistics for the planner: the snapshot knows
+    * its exact byte size and row count without touching storage, so
+    * join-side size estimation (broadcast decisions, AQE thresholds)
+    * sees real numbers instead of a default guess. sizeInBytes is
+    * scaled by the column-pruning fraction — the standard width
+    * heuristic: a 2-of-10-column scan of a 100 TB snapshot should
+    * plan like a 20 TB input, not a 100 TB one.
+    */
+  override def estimateStatistics(): Statistics = new Statistics {
+    private val width =
+      if (dataSchema.isEmpty) 1.0
+      else required.length.toDouble / dataSchema.length.toDouble
+    override def sizeInBytes(): util.OptionalLong =
+      if (totalBytes > 0) util.OptionalLong.of(math.max(1L, (totalBytes * width).toLong))
+      else util.OptionalLong.empty()
+    override def numRows(): util.OptionalLong =
+      if (rows > 0) util.OptionalLong.of(rows) else util.OptionalLong.empty()
+  }
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] =
     files.map(f => SnapshotInputPartition(f): InputPartition).toArray

@@ -46,6 +46,22 @@ class SnapshotSourceSpec extends SparkSpec {
     assert(n == direct.count())
   }
 
+  test("scan reports manifest statistics to the planner, scaled by pruning") {
+    import org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+    def scanStats(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.optimizedPlan.collect {
+        case r: DataSourceV2ScanRelation => r.stats
+      }.head
+    val full = scanStats(dsv2("documents"))
+    assert(full.rowCount.contains(BigInt(Tables.documents(spark, sf).count())),
+      s"manifest row count must reach the planner: ${full.rowCount}")
+    assert(full.sizeInBytes > 0)
+    // a 2-of-5-column projection must plan as a fraction of the bytes
+    val pruned = scanStats(dsv2("documents").select("doc_id", "lang"))
+    assert(pruned.sizeInBytes < full.sizeInBytes,
+      s"pruned=$pruned full=$full")
+  }
+
   test("struct and array-of-struct columns decode recursively") {
     val r = Files.createTempDirectory("snap_struct").toString
     val derived = Tables.orders(spark, sf).select(

@@ -96,6 +96,34 @@ object Scans {
       .orderBy("o_orderstatus")
   }
 
+  /** §2.13 (round-4) raw text-format round-trip: documents serialized
+    * as tab-separated lines through the `text` format (one string
+    * column — the shape raw corpus dumps arrive in), read back and
+    * re-parsed with a bounded split. The corpus is tab/newline-free
+    * (FIXTURES.md), so the framing is lossless; the parse is a
+    * codegen'd projection, and the aggregate proves the parsed columns
+    * are intact. At corpus scale this is the "ingest raw text shards"
+    * entry path; line-splittable text files parallelize per HDFS
+    * block like any splittable source.
+    */
+  def sourceText(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_text").toString
+    Tables.documents(s, dir)
+      .select(concat_ws("\t", col("doc_id"), col("lang"), col("text")).as("value"))
+      .write.mode("overwrite").text(tmp)
+    val parts = split(col("value"), "\t", 3)
+    s.read.text(tmp)
+      .select(
+        parts.getItem(0).cast("long").as("doc_id"),
+        parts.getItem(1).as("lang"),
+        parts.getItem(2).as("text"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("text")).cast("long")).as("total_chars"),
+        min(col("doc_id")).as("min_doc"))
+      .orderBy("lang")
+  }
+
   /** JSON-lines source round-trip: same shape through the json format. */
   def sourceJsonl(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types._
@@ -212,6 +240,7 @@ object Scans {
     "q_write_partitioned" -> writePartitioned,
     "q_scan_parquet" -> scanParquet,
     "q_source_csv" -> sourceCsv,
+    "q_source_text" -> sourceText,
     "q_source_jsonl" -> sourceJsonl,
     "q_source_orc" -> sourceOrc,
     "q_scan_pruned" -> scanPruned,
@@ -221,6 +250,13 @@ object Scans {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_source_text" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(length(text)) AS BIGINT) AS total_chars,
+        |  min(doc_id) AS min_doc
+        |FROM documents
+        |GROUP BY lang
+        |ORDER BY lang""".stripMargin,
     "q_snapshot_embed" ->
       """SELECT vec_id, label,
         |  CAST(CAST(sqrt(list_aggregate(list_transform(embedding,

@@ -68,6 +68,36 @@ object SimilarityOps {
       .orderBy("v1", "v2")
   }
 
+  /** §2.13 (round-4) kNN graph: each vector's top-3 cosine neighbours
+    * within its label block, both directions — the edge list that
+    * feeds graph clustering (q_dedup_clusters consumes exactly this
+    * kind of input) and graph-based ANN indexes. Blocked pair
+    * generation (label equi-join, never cartesian), norms precomputed
+    * per vector, and the per-source top-3 is a bounded window. Ranking
+    * happens on the ROUNDED decimal score (+ dst tiebreak) so the cut
+    * is deterministic across engines even when raw doubles differ in
+    * the last ulp.
+    */
+  def knnGraph(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorExprs.register(s)
+    val a = Tables.embeddings(s, dir)
+      .select(col("vec_id").as("src"), col("label"), col("embedding").as("e1"))
+      .withColumn("na", normExpr("e1"))
+    val b = Tables.embeddings(s, dir)
+      .select(col("vec_id").as("dst"), col("label").as("label2"), col("embedding").as("e2"))
+      .withColumn("nb", normExpr("e2"))
+    val w = Window.partitionBy(col("src"))
+      .orderBy(col("score_dec").desc, col("dst"))
+    a.join(b, col("label") === col("label2") && col("src") =!= col("dst"))
+      .withColumn("score_dec",
+        (dotExpr("e1", "e2") / (col("na") * col("nb"))).cast("decimal(12,6)"))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= 3)
+      .select(col("src"), col("dst"), col("rk").cast("long").as("rk"),
+        dbl(col("score_dec")).as("score"))
+      .orderBy("src", "rk")
+  }
+
   /** Embedding-cosine near-dup drop list: any vector with a ≥0.4
     * neighbour of smaller vec_id is dropped (deterministic keeper =
     * smallest id in the near-dup relation).
@@ -190,6 +220,7 @@ object SimilarityOps {
     "q_sim_ann_ivf" -> simAnnIvf,
     "q_sim_topk" -> simTopK,
     "q_sim_pairs" -> simPairs,
+    "q_knn_graph" -> knnGraph,
     "q_dedup_embed" -> dedupEmbed,
     "q_knn_label" -> knnLabel,
     "q_sim_ann_lsh" -> simAnnLsh
@@ -204,6 +235,19 @@ object SimilarityOps {
     s"${dotSql.format(a, b)} / (${normSql.format(a)} * ${normSql.format(b)})"
 
   val oracle: Map[String, String] = Map(
+    "q_knn_graph" ->
+      s"""WITH p AS (
+         |  SELECT a.vec_id AS src, b.vec_id AS dst,
+         |    CAST(${cosSql("a.embedding", "b.embedding")} AS DECIMAL(12,6)) AS score_dec
+         |  FROM embeddings a JOIN embeddings b
+         |    ON a.label = b.label AND a.vec_id <> b.vec_id),
+         |r AS (
+         |  SELECT src, dst, score_dec,
+         |    row_number() OVER (PARTITION BY src ORDER BY score_dec DESC, dst) AS rk
+         |  FROM p)
+         |SELECT src, dst, CAST(rk AS BIGINT) AS rk, CAST(score_dec AS DOUBLE) AS score
+         |FROM r WHERE rk <= 3
+         |ORDER BY src, rk""".stripMargin,
     "q_sim_topk" ->
       s"""WITH qv AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 0)
          |SELECT vec_id, label,

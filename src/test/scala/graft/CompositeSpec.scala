@@ -124,6 +124,19 @@ class CompositeSpec extends SparkSpec {
     assert(viaSql.sameElements(viaDf))
   }
 
+  test("knn graph: at most 3 edges per source, no self loops, edges stay in label blocks") {
+    val df = q("q_knn_graph").cache()
+    assert(df.where(col("src") === col("dst")).count() == 0)
+    assert(df.groupBy("src").count().where(col("count") > 3).count() == 0)
+    assert(df.where(col("rk") < 1 || col("rk") > 3).count() == 0)
+    val labels = Tables.embeddings(spark, sf).select(col("vec_id"), col("label"))
+    val crossBlock = df
+      .join(labels.select(col("vec_id").as("src"), col("label").as("l1")), "src")
+      .join(labels.select(col("vec_id").as("dst"), col("label").as("l2")), "dst")
+      .where(col("l1") =!= col("l2"))
+    assert(crossBlock.count() == 0)
+  }
+
   test("lm score: log-probs negative, tokens conserved, common-token docs score higher") {
     val df = q("q_text_lm_score").cache()
     assert(df.where(col("lm_score") >= 0).count() == 0, "unigram log-probs must be < 0")

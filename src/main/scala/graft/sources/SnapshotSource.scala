@@ -35,9 +35,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * Scope: primitive column types incl. timestamp/date (Spark 4 writes
   * TIMESTAMP_MICROS as INT64, which is also Spark's internal form),
   * plus arrays (standard 3-level parquet LIST — covers the embeddings
-  * table) and structs, recursively composed (array-of-struct,
-  * struct-of-array). Maps fall back to `Snapshot.read` (the
-  * manifest-driven parquet scan), which remains the general path.
+  * table), structs and maps, recursively composed (array-of-struct,
+  * struct-of-array, map values of any supported type) — full coverage
+  * of Spark's parquet-writable complex types.
   */
 class SnapshotSource extends TableProvider {
 
@@ -519,8 +519,25 @@ class SnapshotPartitionReader(file: String, required: StructType,
         j += 1
       }
       new GenericInternalRow(out)
+    // standard parquet MAP: optional group m (MAP) { repeated group
+    // key_value { required key; optional value } }
+    case MapType(kt, vt, _) =>
+      val wrapper = g.getGroup(fieldIdx, 0)
+      val n = wrapper.getFieldRepetitionCount(0)
+      val keys = new Array[Any](n)
+      val values = new Array[Any](n)
+      var j = 0
+      while (j < n) {
+        val entry = wrapper.getGroup(0, j)
+        keys(j) = decode(entry, 0, kt)
+        values(j) = if (entry.getFieldRepetitionCount(1) == 0) null
+        else decode(entry, 1, vt)
+        j += 1
+      }
+      new org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
+        new GenericArrayData(keys), new GenericArrayData(values))
     case other => throw new UnsupportedOperationException(
-      s"SnapshotSource supports primitive, array and struct columns; got $other " +
+      s"SnapshotSource supports primitive, array, struct and map columns; got $other " +
         "— use graft.sources.Snapshot.read for this table")
   }
 

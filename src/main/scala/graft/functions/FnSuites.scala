@@ -139,7 +139,55 @@ object FnSuites {
         bit_count(col("p_partkey")).cast("int").as("popcnt"))
       .orderBy("p_partkey")
 
+  /** §2.13 (round-4) Z-order layout key: `morton(x, y)` — the codegen'd
+    * Morton-interleave Catalyst expression (graft.functions
+    * .MortonInterleave). Sorting a write by this key is the
+    * multi-dimensional clustering layout (Delta OPTIMIZE ZORDER /
+    * Iceberg z-ordered rewrite shape): parquet row-group min/max get
+    * tight in BOTH dimensions, so scans filtered on either column prune
+    * row groups. The query proves the bit-exact interleave against the
+    * oracle's shift/mask arithmetic; ZOrderSpec proves the layout
+    * property (aligned z-chunks are exact squares) and codegen parity.
+    */
+  def fnZorder(s: SparkSession, dir: String): DataFrame = {
+    ZOrderExprs.register(s)
+    Tables.part(s, dir)
+      .select(col("p_partkey"),
+        col("p_size").cast("bigint").as("x"),
+        pmod(col("p_partkey"), lit(1024)).cast("bigint").as("y"))
+      .select(col("p_partkey"), col("x"), col("y"),
+        expr("morton(x, y)").as("z"))
+      .orderBy("z", "p_partkey")
+  }
+
+  /** The oracle replays the identical five shift/mask spread rounds in
+    * DuckDB BIGINT arithmetic (masks as decimal literals), chained
+    * through CTEs so each round is computed once per dimension.
+    */
+  private val spreadRounds: Seq[(Int, Long)] = Seq(
+    16 -> 0x0000FFFF0000FFFFL, 8 -> 0x00FF00FF00FF00FFL,
+    4 -> 0x0F0F0F0F0F0F0F0FL, 2 -> 0x3333333333333333L,
+    1 -> 0x5555555555555555L)
+
+  private val zorderSql: String = {
+    val rounds = spreadRounds.zipWithIndex.map { case ((sh, mask), i) =>
+      val prev = if (i == 0) "a" else s"r$i"
+      s"""r${i + 1} AS (SELECT p_partkey, ox, oy,
+         |  ((x | (x << $sh)) & $mask) AS x,
+         |  ((y | (y << $sh)) & $mask) AS y FROM $prev)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH a AS (SELECT p_partkey,
+       |    CAST(p_size AS BIGINT) AS ox,
+       |    CAST(p_partkey % 1024 AS BIGINT) AS oy,
+       |    CAST(p_size AS BIGINT) & 4294967295 AS x,
+       |    CAST(p_partkey % 1024 AS BIGINT) & 4294967295 AS y FROM part),
+       |$rounds
+       |SELECT p_partkey, ox AS x, oy AS y, (x | (y << 1)) AS z
+       |FROM r5 ORDER BY z, p_partkey""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_fn_zorder" -> fnZorder,
     "q_fn_bitwise" -> fnBitwise,
     "q_fn_string" -> fnString,
     "q_fn_null" -> fnNull,
@@ -150,6 +198,7 @@ object FnSuites {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_fn_zorder" -> zorderSql,
     "q_fn_bitwise" ->
       """SELECT p_partkey,
         |  CAST(p_size << 3 AS INTEGER) AS shl,

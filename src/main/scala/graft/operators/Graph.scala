@@ -152,8 +152,59 @@ object Graph {
       .orderBy("doc_id")
   }
 
+  /** §2.13 (round-4) PageRank — the canonical iterative message-passing
+    * workload; the operator every graph-flavoured corpus job (site-level
+    * quality propagation, link-spam scoring) reduces to.
+    *
+    * Graph: the (lang, source) bucket star forest, closed into one
+    * functional graph — every doc points at its bucket representative
+    * (min doc_id), every representative points at the global min doc
+    * (which self-loops). Out-degree is EXACTLY 1 by construction, so a
+    * node's whole rank flows along its single edge and the update needs
+    * NO division: r'(v) = 0.15/N + 0.85 · Σ_{u→v} r(u).
+    *
+    * Determinism at scale (SURVEY §7.4): ranks live in DECIMAL(28,18),
+    * so the only order-sensitive op — the incoming-mass SUM — is exact
+    * and associative on any number of executors; the damping multiply
+    * is by an exact DECIMAL(3,2) literal and the two scalar seeds
+    * (1/N, 0.15/N) are single IEEE divisions each engine performs
+    * identically. Each iteration is one equi-join on the edge source +
+    * one exchange on dst — the standard distributed PageRank shape
+    * (pregel-style message passing as joins); 3 fixed iterations keep
+    * the oracle expressible as chained CTEs.
+    */
+  def pageRank(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val d28 = DecimalType(28, 18)
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("lang"), col("source"))
+    val reps = docs.groupBy(col("lang"), col("source")).agg(min(col("doc_id")).as("rep"))
+    val firstRow = docs.agg(min(col("doc_id")).as("g"), count(lit(1)).as("n")).head
+    val (gmin, n) = (firstRow.getLong(0), firstRow.getLong(1))
+    val edges = docs.join(reps, Seq("lang", "source"))
+      .select(col("doc_id").as("src"),
+        when(col("doc_id") === col("rep"), lit(gmin)).otherwise(col("rep")).as("dst"))
+      .localCheckpoint()
+    val ids = docs.select(col("doc_id").as("id"))
+    val base = 0.15 / n // one IEEE double division, identical in the oracle
+    var ranks = ids.withColumn("r", lit(1.0 / n).cast(d28))
+    for (_ <- 1 to 3) {
+      val contrib = edges.join(ranks, col("src") === col("id"))
+        .groupBy(col("dst"))
+        .agg(sum(col("r")).cast(d28).as("in_r"))
+      ranks = ids.join(contrib, col("id") === col("dst"), "left")
+        .select(col("id"),
+          (lit(base).cast(d28) +
+            (coalesce(col("in_r"), lit(0).cast(d28)) * lit(0.85).cast(DecimalType(3, 2)))
+              .cast(d28)).cast(d28).as("r"))
+    }
+    ranks.select(col("id").as("doc_id"),
+        dbl(col("r").cast(DecimalType(12, 6))).as("pr"))
+      .orderBy(desc("pr"), asc("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_dedup_clusters" -> dedupClusters
+    "q_dedup_clusters" -> dedupClusters,
+    "q_graph_pagerank" -> pageRank
   )
 
   /** The oracle exploits the band structure instead of recursing: with
@@ -164,7 +215,41 @@ object Graph {
     * form — it validates the iterative engine result without assuming
     * the engine's algorithm.
     */
+  /** The pagerank oracle mirrors the engine op-for-op: same functional
+    * edge list, same DECIMAL(28,18) rank domain, same exact-decimal SUM,
+    * same 0.85 DECIMAL(3,2) damping multiply, same double seeds — so
+    * equal inputs produce bit-equal DOUBLE outputs after the final
+    * (12,6) presentation rounding.
+    */
+  private def prStep(prev: String, cur: String): String =
+    s"""$cur AS (
+       |  SELECT d.doc_id AS id,
+       |    CAST(CAST(CAST(0.15 AS DOUBLE) / (SELECT n FROM meta) AS DECIMAL(28,18)) +
+       |      CAST(COALESCE(c.in_r, CAST(0 AS DECIMAL(28,18))) * CAST(0.85 AS DECIMAL(3,2))
+       |           AS DECIMAL(28,18)) AS DECIMAL(28,18)) AS r
+       |  FROM d LEFT JOIN (
+       |    SELECT e.dst, CAST(sum($prev.r) AS DECIMAL(28,18)) AS in_r
+       |    FROM e JOIN $prev ON e.src = $prev.id GROUP BY e.dst) c
+       |  ON d.doc_id = c.dst)""".stripMargin
+
+  private val pageRankSql =
+    s"""WITH d AS (SELECT doc_id, lang, source FROM documents),
+       |meta AS (SELECT count(*) AS n, min(doc_id) AS gmin FROM d),
+       |reps AS (SELECT lang, source, min(doc_id) AS rep FROM d GROUP BY lang, source),
+       |e AS (
+       |  SELECT d.doc_id AS src,
+       |    CASE WHEN d.doc_id = r.rep THEN (SELECT gmin FROM meta) ELSE r.rep END AS dst
+       |  FROM d JOIN reps r ON d.lang = r.lang AND d.source = r.source),
+       |r0 AS (SELECT doc_id AS id,
+       |  CAST(CAST(1.0 AS DOUBLE) / (SELECT n FROM meta) AS DECIMAL(28,18)) AS r FROM d),
+       |${prStep("r0", "r1")},
+       |${prStep("r1", "r2")},
+       |${prStep("r2", "r3")}
+       |SELECT id AS doc_id, CAST(CAST(r AS DECIMAL(12,6)) AS DOUBLE) AS pr
+       |FROM r3 ORDER BY pr DESC, doc_id""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q_graph_pagerank" -> pageRankSql,
     "q_dedup_clusters" ->
       """WITH d AS (
         |  SELECT doc_id, lang, n_chars FROM documents WHERE doc_id < 1000),

@@ -282,7 +282,37 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** §2.13 (round-4) inverted index build: term → document-frequency +
+    * posting-list head, the core retrieval/decontamination structure
+    * (exact-match search, corpus decontamination against benchmark
+    * strings, and BM25 all start here).
+    *
+    * Shape: explode to (doc, term), distinct (per-doc term multiplicity
+    * collapses map-side via the partial HashAggregate), then ONE
+    * exchange on term building df/min/max and the sorted posting head
+    * in the same aggregate. The head is capped at 20 ids — at corpus
+    * scale a full posting list for a stopword-grade term is millions of
+    * entries, and the cap keeps the materialized row bounded while df
+    * still reports the true list length (the full list would be written
+    * to a posting store, not returned to a driver). collect_list order
+    * is partition-dependent, so the head sorts BEFORE slicing —
+    * deterministic on any executor count.
+    */
+  def invertedIndex(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .where(col("term") =!= "")
+      .distinct()
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("df"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"),
+        expr("array_join(transform(slice(array_sort(collect_list(doc_id)), 1, 20)," +
+          " x -> CAST(x AS STRING)), ',')").as("postings_head"))
+      .orderBy("term")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_inverted_index" -> invertedIndex,
     "q_text_lm_score" -> textLmScore,
     "q_text_tfidf" -> textTfidf,
     "q_text_repetition" -> textRepetition,
@@ -301,6 +331,13 @@ object TextOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_text_inverted_index" ->
+      """WITH t AS (
+        |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term
+        |  FROM documents)
+        |SELECT term, count(*) AS df, min(doc_id) AS first_doc, max(doc_id) AS last_doc,
+        |  array_to_string(list_sort(list(doc_id))[1:20], ',') AS postings_head
+        |FROM t WHERE term <> '' GROUP BY term ORDER BY term""".stripMargin,
     "q_text_lm_score" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),

@@ -128,6 +128,23 @@ class AnalyticsSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), "lateral must not stay a nested loop")
   }
 
+  test("inverted index: df counts postings, head is the sorted prefix") {
+    val df = q("q_text_inverted_index").cache()
+    // sum(df) == total distinct (doc, term) pairs in the corpus
+    val pairs = Tables.documents(spark, sf)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .where(col("term") =!= "").distinct().count()
+    assert(df.agg(sum("df")).head.getLong(0) == pairs)
+    // postings head: |head| = min(df, 20), starts at first_doc, sorted asc;
+    // when df <= 20 the head is complete and ends at last_doc
+    val shaped = df.withColumn("head", split(col("postings_head"), ",").cast("array<bigint>"))
+    assert(shaped.where(size(col("head")) =!= least(col("df"), lit(20L))).count() == 0)
+    assert(shaped.where(element_at(col("head"), 1) =!= col("first_doc")).count() == 0)
+    assert(shaped.where(col("head") =!= array_sort(col("head"))).count() == 0)
+    assert(shaped.where(col("df") <= 20 &&
+      element_at(col("head"), -1) =!= col("last_doc")).count() == 0)
+  }
+
   test("clusters: labels constant across every edge, rep is member min") {
     val df = q("q_dedup_clusters").cache()
     val docs = Tables.documents(spark, sf).where(col("doc_id") < 1000)

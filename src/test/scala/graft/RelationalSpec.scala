@@ -16,6 +16,20 @@ class RelationalSpec extends SparkSpec {
     assert(total == expected)
   }
 
+  test("dpp: fact scan carries a dynamic partition filter, values match filter semantics") {
+    val df = q("q_scan_dpp")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"fact scan must be pruned by a runtime partition subquery, got:\n$plan")
+    // join-on-distinct-keys ≡ plain filter on the fact
+    val expected = graft.sources.Tables.orders(spark, sf)
+      .where(substring(col("o_orderpriority"), 1, 1) === "1")
+      .groupBy("o_orderpriority").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+  }
+
   test("semi + anti partition customer set per predicate") {
     val c = graft.sources.Tables.customer(spark, sf).count()
     val urgentCusts = q("q_join_anti").count()

@@ -213,6 +213,35 @@ object Scans {
       .orderBy("o_orderpriority")
   }
 
+  /** §2.13 (round-4) DSv2 WRITE round-trip: a filtered orders slice is
+    * written through `SnapshotSource`'s BatchWrite — executors emit
+    * immutable part files, the driver commit is ONE manifest swap (no
+    * renames; the object-storage-safe protocol) — then read back
+    * through the same source's scan and aggregated. Overwrite mode
+    * exercises the truncate path, so repeated runs are idempotent.
+    * The oracle states the slice semantics directly over orders.
+    */
+  private val writeRoots = scala.collection.concurrent.TrieMap.empty[(String, String), String]
+
+  def snapshotWrite(s: SparkSession, dir: String): DataFrame = {
+    graft.SessionToken.sweep(writeRoots)(graft.SessionToken.deleteDir)
+    val root = writeRoots.getOrElseUpdate((graft.SessionToken(s), dir),
+      java.nio.file.Files.createTempDirectory("graft_dsv2_write").toString)
+    val slice = Tables.orders(s, dir)
+      .where(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice").as("price"))
+    slice.write.format("graft.sources.SnapshotSource")
+      .option("root", root).option("tag", "gen1").option("table", "orders_slice")
+      .option("schema", slice.schema.json)
+      .mode("overwrite").save()
+    s.read.format("graft.sources.SnapshotSource")
+      .option("root", root).option("tag", "gen1").option("table", "orders_slice").load()
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), min(col("o_orderkey")).as("min_key"),
+        dbl(sum(col("price").cast("decimal(18,2)"))).as("total"))
+      .orderBy("o_orderstatus")
+  }
+
   /** Metadata-only aggregation through the DSv2 source: count/min/max
     * answered from parquet FOOTER statistics (SupportsPushDownAggregates
     * — the plan shows GraftSnapshotAggScan and no data pages are read).
@@ -274,6 +303,7 @@ object Scans {
     "q_snapshot_agg" -> snapshotAgg,
     "q_write_partitioned" -> writePartitioned,
     "q_scan_dpp" -> scanDpp,
+    "q_snapshot_write" -> snapshotWrite,
     "q_scan_parquet" -> scanParquet,
     "q_source_csv" -> sourceCsv,
     "q_source_text" -> sourceText,
@@ -305,6 +335,14 @@ object Scans {
         |  min(o_orderkey) AS min_key,
         |  max(o_orderkey) AS max_key
         |FROM orders""".stripMargin,
+    "q_snapshot_write" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  min(o_orderkey) AS min_key,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders
+        |WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
     "q_scan_dpp" ->
       """SELECT o_orderpriority, count(*) AS n,
         |  min(o_orderkey) AS min_key,

@@ -60,7 +60,14 @@ object Snapshot {
     * equivalent. The count is one cheap column-pruned job.)
     */
   private def signature(df: DataFrame, rows: Long): String =
-    s"$rows:${df.schema.catalogString.hashCode}"
+    signatureOf(df.schema, rows)
+
+  /** Same signature scheme for writers that have a schema but no
+    * DataFrame (the DSv2 write path's manifest commit).
+    */
+  private[sources] def signatureOf(schema: org.apache.spark.sql.types.StructType,
+                                   rows: Long): String =
+    s"$rows:${schema.catalogString.hashCode}"
 
   /** Export `tables` as snapshot `tag`. With a parent, tables whose
     * signature is unchanged are linked to the parent's files instead

@@ -43,43 +43,66 @@ class SnapshotSource extends TableProvider {
 
   override def supportsExternalMetadata(): Boolean = true
 
-  private def manifestFor(options: CaseInsensitiveStringMap): (Snapshot.TableEntry, String) = {
+  private def coords(options: CaseInsensitiveStringMap): (String, String, String) = {
     val root = options.get("root")
     val tag = options.get("tag")
     val table = options.get("table")
     require(root != null && tag != null && table != null,
       "options root, tag and table are required")
-    val spark = SparkSession.active
-    val m = Snapshot.readManifest(spark, root, tag)
-    (m.tables.getOrElse(table,
-      throw new IllegalArgumentException(s"table $table not in snapshot $tag")), table)
+    (root, tag, table)
   }
 
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
-    val (entry, table) = manifestFor(options)
-    entry.schemaJson.map(DataType.fromJson(_).asInstanceOf[StructType]).getOrElse(
-      throw new IllegalArgumentException(
-        s"snapshot entry for $table predates schemaJson manifests"))
+  /** The manifest entry, or None when the snapshot/table doesn't exist
+    * yet — which is a valid state for a WRITE creating a new table.
+    */
+  private def entryFor(options: CaseInsensitiveStringMap): Option[Snapshot.TableEntry] = {
+    val (root, tag, table) = coords(options)
+    try Snapshot.readManifest(SparkSession.active, root, tag).tables.get(table)
+    catch { case _: java.io.FileNotFoundException => None }
   }
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    entryFor(options) match {
+      case Some(entry) =>
+        entry.schemaJson.map(DataType.fromJson(_).asInstanceOf[StructType]).getOrElse(
+          throw new IllegalArgumentException(
+            s"snapshot entry for ${coords(options)._3} predates schemaJson manifests"))
+      case None =>
+        // a new table being created by a write: the writer passes the
+        // dataframe schema explicitly (save() offers no other channel)
+        Option(options.get("schema")).map(DataType.fromJson(_).asInstanceOf[StructType])
+          .getOrElse(throw new IllegalArgumentException(
+            s"table ${coords(options)._3} not in snapshot ${coords(options)._2}; " +
+              "to create it via a write, pass .option(\"schema\", df.schema.json)"))
+    }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table = {
     val options = new CaseInsensitiveStringMap(properties)
-    val (entry, table) = manifestFor(options)
-    SnapshotTable(table, schema, entry.files.map(_.path),
-      entry.files.map(_.size).sum, entry.rows)
+    val (root, tag, table) = coords(options)
+    entryFor(options) match {
+      case Some(entry) =>
+        SnapshotTable(table, schema, entry.files.map(_.path),
+          entry.files.map(_.size).sum, entry.rows, root, tag)
+      case None => SnapshotTable(table, schema, Nil, 0L, 0L, root, tag)
+    }
   }
 }
 
 case class SnapshotTable(tableName: String, tableSchema: StructType, files: Seq[String],
-                         totalBytes: Long, rows: Long)
-    extends Table with SupportsRead {
+                         totalBytes: Long, rows: Long, root: String = "", tag: String = "")
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
+  import org.apache.spark.sql.connector.write._
   override def name(): String = s"graft_snapshot_$tableName"
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new SnapshotScanBuilder(tableSchema, files, totalBytes, rows)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new SnapshotWriteBuilder(root, tag, tableName, info)
 }
 
 class SnapshotScanBuilder(dataSchema: StructType, files: Seq[String],
@@ -556,4 +579,168 @@ class SnapshotPartitionReader(file: String, required: StructType,
   }
 
   override def close(): Unit = reader.close()
+}
+
+// ---------------------------------------------------------------------------
+// Write path: the snapshot manifest doubles as a DSv2 commit protocol.
+// ---------------------------------------------------------------------------
+
+/** DSv2 batch write into a snapshot table. The commit protocol is the
+  * metadata-swap design every table format on object storage converged
+  * on (Iceberg/Delta, public docs): executors write immutable part
+  * files FIRST (names unique per (partition, task) attempt, so task
+  * retries and speculative duplicates can never collide or double-
+  * commit), and the driver's `commit()` then writes the manifest
+  * naming exactly the committed files — one O(1) metadata write, no
+  * directory renames, no output-committer dance. A reader either sees
+  * the old manifest or the new one; a crashed write leaves only
+  * unreferenced files for retention to sweep. `truncate()` (Spark's
+  * overwrite-mode path) swaps the table entry to the new file set —
+  * the old generation's files stay on disk for time-travel until
+  * retention removes them, exactly like the export pipeline's
+  * incremental links.
+  */
+class SnapshotWriteBuilder(root: String, tag: String, table: String,
+                           info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+    extends org.apache.spark.sql.connector.write.WriteBuilder
+    with org.apache.spark.sql.connector.write.SupportsTruncate {
+  private var truncateFirst = false
+  override def truncate(): org.apache.spark.sql.connector.write.WriteBuilder = {
+    truncateFirst = true; this
+  }
+  override def build(): org.apache.spark.sql.connector.write.Write =
+    new org.apache.spark.sql.connector.write.Write {
+      override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
+        SnapshotBatchWrite(root, tag, table, info.schema().json, truncateFirst)
+    }
+}
+
+case class SnapshotBatchWrite(root: String, tag: String, table: String,
+                              schemaJson: String, truncateFirst: Boolean)
+    extends org.apache.spark.sql.connector.write.BatchWrite {
+  import org.apache.spark.sql.connector.write._
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    SnapshotWriterFactory(s"$root/$tag/$table", schemaJson)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val s = SparkSession.active
+    val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+    val committed = messages.collect { case m: SnapshotCommitMessage => m }
+    val prior =
+      try Some(Snapshot.readManifest(s, root, tag))
+      catch { case _: java.io.FileNotFoundException => None }
+    val priorEntry = if (truncateFirst) None else prior.flatMap(_.tables.get(table))
+    val files = (priorEntry.map(_.files).getOrElse(Nil) ++
+      committed.map(m => Snapshot.FileEntry(m.path, m.size))).sortBy(_.path)
+    val rows = priorEntry.map(_.rows).getOrElse(0L) + committed.map(_.rows).sum
+    val entry = Snapshot.TableEntry(files, rows, Snapshot.signatureOf(schema, rows),
+      schemaJson = Some(schema.json))
+    val m = prior.getOrElse(Snapshot.Manifest(tag, None, Map.empty))
+    Snapshot.writeManifest(s, root, m.copy(tables = m.tables + (table -> entry)))
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val conf = new Configuration()
+    messages.collect { case m: SnapshotCommitMessage => m }.foreach { m =>
+      val p = new org.apache.hadoop.fs.Path(m.path)
+      p.getFileSystem(conf).delete(p, false)
+    }
+  }
+}
+
+case class SnapshotCommitMessage(path: String, size: Long, rows: Long)
+    extends org.apache.spark.sql.connector.write.WriterCommitMessage
+
+case class SnapshotWriterFactory(dir: String, schemaJson: String)
+    extends org.apache.spark.sql.connector.write.DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long)
+      : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
+    new SnapshotDataWriter(dir, partitionId, taskId,
+      DataType.fromJson(schemaJson).asInstanceOf[StructType])
+}
+
+/** One-task parquet writer over the Group API — the mirror of
+  * SnapshotPartitionReader. Scope: primitive column types (the same
+  * long/int/double/float/boolean/string/timestamp/date set the reader
+  * decodes without recursion); nested types raise honestly at write
+  * time rather than producing files the reader would mis-shape.
+  */
+class SnapshotDataWriter(dir: String, partitionId: Int, taskId: Long, schema: StructType)
+    extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
+  import org.apache.parquet.schema.{LogicalTypeAnnotation, PrimitiveType, Type => PType, Types}
+  import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+  import org.apache.parquet.io.api.Binary
+
+  private val path = new org.apache.hadoop.fs.Path(
+    f"$dir/part-$partitionId%05d-$taskId.parquet")
+  private val conf = new Configuration()
+
+  private val parquetSchema: MessageType = {
+    def field(f: StructField): PType = f.dataType match {
+      case LongType    => Types.optional(INT64).named(f.name)
+      case IntegerType => Types.optional(INT32).named(f.name)
+      case DoubleType  => Types.optional(DOUBLE).named(f.name)
+      case FloatType   => Types.optional(FLOAT).named(f.name)
+      case BooleanType => Types.optional(BOOLEAN).named(f.name)
+      case StringType  => Types.optional(BINARY)
+        .as(LogicalTypeAnnotation.stringType()).named(f.name)
+      case TimestampType => Types.optional(INT64)
+        .as(LogicalTypeAnnotation.timestampType(true,
+          LogicalTypeAnnotation.TimeUnit.MICROS)).named(f.name)
+      case TimestampNTZType => Types.optional(INT64)
+        .as(LogicalTypeAnnotation.timestampType(false,
+          LogicalTypeAnnotation.TimeUnit.MICROS)).named(f.name)
+      case DateType => Types.optional(INT32)
+        .as(LogicalTypeAnnotation.dateType()).named(f.name)
+      case other => throw new UnsupportedOperationException(
+        s"SnapshotSource write supports primitive columns; got ${f.name}: $other")
+    }
+    val b = Types.buildMessage()
+    schema.fields.foreach(f => b.addField(field(f)))
+    b.named("spark_schema")
+  }
+
+  private val writer = {
+    org.apache.parquet.hadoop.example.GroupWriteSupport.setSchema(parquetSchema, conf)
+    org.apache.parquet.hadoop.example.ExampleParquetWriter
+      .builder(org.apache.parquet.hadoop.util.HadoopOutputFile.fromPath(path, conf))
+      .withConf(conf)
+      .build()
+  }
+  private val factory = new org.apache.parquet.example.data.simple.SimpleGroupFactory(parquetSchema)
+  private var rows = 0L
+
+  override def write(row: InternalRow): Unit = {
+    val g = factory.newGroup()
+    var i = 0
+    while (i < schema.length) {
+      if (!row.isNullAt(i)) schema.fields(i).dataType match {
+        case LongType | TimestampType | TimestampNTZType => g.add(i, row.getLong(i))
+        case IntegerType | DateType => g.add(i, row.getInt(i))
+        case DoubleType  => g.add(i, row.getDouble(i))
+        case FloatType   => g.add(i, row.getFloat(i))
+        case BooleanType => g.add(i, row.getBoolean(i))
+        case StringType  =>
+          g.add(i, Binary.fromConstantByteArray(row.getUTF8String(i).getBytes))
+        case other => throw new IllegalStateException(s"unreachable: $other")
+      }
+      i += 1
+    }
+    writer.write(g)
+    rows += 1L
+  }
+
+  override def commit(): org.apache.spark.sql.connector.write.WriterCommitMessage = {
+    writer.close()
+    val fs = path.getFileSystem(conf)
+    SnapshotCommitMessage(path.toString, fs.getFileStatus(path).getLen, rows)
+  }
+
+  override def abort(): Unit = {
+    try writer.close() catch { case _: Exception => () }
+    path.getFileSystem(conf).delete(path, false)
+  }
+
+  override def close(): Unit = ()
 }

@@ -183,6 +183,59 @@ class SnapshotSourceSpec extends SparkSpec {
       .agg(min(col("n_name"))).collect().head.getString(0))
   }
 
+  test("DSv2 write: create, append, truncate — manifest is the commit point") {
+    val r = Files.createTempDirectory("snap_write").toString
+    val src = Tables.nation(spark, sf)
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+    def write(mode: String): Unit =
+      src.write.format("graft.sources.SnapshotSource")
+        .option("root", r).option("tag", "g1").option("table", "nation_copy")
+        .option("schema", src.schema.json)
+        .mode(mode).save()
+    def readBack = spark.read.format("graft.sources.SnapshotSource")
+      .option("root", r).option("tag", "g1").option("table", "nation_copy").load()
+
+    // create (append into a table that doesn't exist yet)
+    write("append")
+    assert(readBack.count() == 25)
+    assert(readBack.exceptAll(src).count() == 0 && src.exceptAll(readBack).count() == 0,
+      "round-trip must be value-exact")
+    // append accumulates a second generation of files
+    write("append")
+    assert(readBack.count() == 50)
+    val entryAfterAppend = Snapshot.readManifest(spark, r, "g1").tables("nation_copy")
+    assert(entryAfterAppend.rows == 50)
+    // overwrite truncates: manifest swaps to the new file set only
+    write("overwrite")
+    assert(readBack.count() == 25)
+    val entry = Snapshot.readManifest(spark, r, "g1").tables("nation_copy")
+    assert(entry.rows == 25)
+    assert(entry.files.map(_.path).toSet.intersect(
+      entryAfterAppend.files.map(_.path).toSet).isEmpty,
+      "truncate commit must reference only the new generation's files")
+    // commit protocol: orphaned pre-truncate files still on disk (swept
+    // by retention, never by the writer) and absent from the manifest
+    val fs = new org.apache.hadoop.fs.Path(r)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(entryAfterAppend.files.forall(f =>
+      fs.exists(new org.apache.hadoop.fs.Path(f.path))))
+  }
+
+  test("DSv2 write rejects nested columns honestly") {
+    val nested = Tables.nation(spark, sf)
+      .select(col("n_nationkey"), array(col("n_name")).as("names"))
+    val e = intercept[Exception] {
+      nested.write.format("graft.sources.SnapshotSource")
+        .option("root", Files.createTempDirectory("snap_bad").toString)
+        .option("tag", "g1").option("table", "bad")
+        .option("schema", nested.schema.json)
+        .mode("append").save()
+    }
+    val chain = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString("|")
+    assert(chain.contains("primitive columns"), chain)
+  }
+
   test("missing table and missing options fail with clear errors") {
     val e = intercept[Exception] {
       spark.read.format("graft.sources.SnapshotSource")

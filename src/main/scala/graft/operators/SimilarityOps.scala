@@ -216,7 +216,45 @@ object SimilarityOps {
       .limit(10)
   }
 
+  /** §2.13 (round-4) int8-quantized inner-product search — the memory/
+    * bandwidth half of every production ANN stack (FAISS-style SQ8,
+    * public): each vector is symmetrically quantized to int8 with its
+    * own scale (q_i = round(x_i·127/amax)), the dot product runs in
+    * EXACT integer arithmetic (SIMD-able, 4× less memory traffic than
+    * float32), and the score is reconstructed with two float64 scale
+    * multiplies. Quantization is a map-side projection; the scan stays
+    * O(n·d) but moves a quarter of the bytes — at 100 TB of vectors
+    * that is the difference between memory-bound and compute-bound.
+    *
+    * Determinism: rounding is floor(x+0.5) (identical float64 input →
+    * identical result on both engines; engine round() half-up/half-even
+    * conventions never enter), the integer Σq_a·q_b is exact, and only
+    * the final two-multiply reconstruction touches floats again.
+    * SimilaritySpec checks recall@10 against the exact ranking.
+    */
+  def simQuantized(s: SparkSession, dir: String): DataFrame = {
+    val q = Tables.embeddings(s, dir)
+      .withColumn("amax", expr("array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE))))"))
+      .where(col("amax") > 0)
+      .withColumn("qv", expr(
+        "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 127.0D / amax + 0.5D) AS BIGINT))"))
+      .select(col("vec_id"), col("label"), col("amax"), col("qv"))
+    val probe = q.where(col("vec_id") === 0)
+      .select(col("amax").as("pmax"), col("qv").as("pq"))
+    q.where(col("vec_id") =!= 0)
+      .crossJoin(broadcast(probe))
+      .withColumn("qdot",
+        expr("aggregate(zip_with(qv, pq, (a, b) -> a * b), 0L, (acc, x) -> acc + x)"))
+      .withColumn("score_d",
+        (col("amax") / lit(127.0)) * (col("pmax") / lit(127.0)) * col("qdot").cast("double"))
+      .select(col("vec_id"), col("label"),
+        dbl(col("score_d").cast("decimal(12,6)")).as("score"))
+      .orderBy(desc("score"), asc("vec_id"))
+      .limit(10)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sim_quantized" -> simQuantized,
     "q_sim_ann_ivf" -> simAnnIvf,
     "q_sim_topk" -> simTopK,
     "q_sim_pairs" -> simPairs,
@@ -248,6 +286,27 @@ object SimilarityOps {
          |SELECT src, dst, CAST(rk AS BIGINT) AS rk, CAST(score_dec AS DOUBLE) AS score
          |FROM r WHERE rk <= 3
          |ORDER BY src, rk""".stripMargin,
+    "q_sim_quantized" ->
+      """WITH base AS (
+        |  SELECT vec_id, label,
+        |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS amax,
+        |    embedding
+        |  FROM embeddings),
+        |q AS (
+        |  SELECT vec_id, label, amax,
+        |    list_transform(embedding,
+        |      x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / amax + 0.5) AS BIGINT)) AS qv
+        |  FROM base WHERE amax > 0),
+        |p AS (SELECT amax AS pmax, qv AS pq FROM q WHERE vec_id = 0)
+        |SELECT vec_id, label,
+        |  CAST(CAST(((amax / 127.0) * (pmax / 127.0)) *
+        |    CAST(CAST(list_aggregate(list_transform(list_zip(qv, pq),
+        |      s -> s[1] * s[2]), 'sum') AS BIGINT) AS DOUBLE)
+        |    AS DECIMAL(12,6)) AS DOUBLE) AS score
+        |FROM q CROSS JOIN p
+        |WHERE vec_id <> 0
+        |ORDER BY score DESC, vec_id
+        |LIMIT 10""".stripMargin,
     "q_sim_topk" ->
       s"""WITH qv AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 0)
          |SELECT vec_id, label,

@@ -97,6 +97,22 @@ class NearDupSpec extends SparkSpec {
     }
   }
 
+  test("int8-quantized search: high recall vs exact inner-product ranking") {
+    val quant = q("q_sim_quantized").collect().map(_.getLong(0)).toSeq
+    assert(quant.length == 10)
+    // exact inner-product top-10 (same probe, same dot, no quantization)
+    graft.functions.VectorExprs.register(spark)
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val probeVec = emb.where(col("vec_id") === 0).head.getSeq[Float](1).toArray
+    val exact = emb.where(col("vec_id") =!= 0)
+      .withColumn("q", typedlit(probeVec))
+      .withColumn("ip", expr("float_dot(embedding, q)"))
+      .orderBy(desc("ip"), asc("vec_id")).limit(10)
+      .collect().map(_.getLong(0)).toSet
+    val recall = quant.count(exact.contains)
+    assert(recall >= 7, s"recall@10 = $recall/10 — int8 should barely perturb ranking")
+  }
+
   test("dedup is idempotent: dedup(dedup(x)) == dedup(x) on exact dedup keepers") {
     val once = q("q_dedup_exact").select("keeper_id").collect().map(_.getLong(0)).toSet
     // re-dedup the kept set: all keepers are distinct texts → identity

@@ -22,7 +22,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Snapshot {
 
-  case class FileEntry(path: String, size: Long)
+  /** Per-file min/max of int32/int64 columns, harvested from parquet
+    * footers when the manifest is built. This is the Iceberg-style
+    * manifest statistics layer: a filtered scan consults these numbers
+    * ON THE DRIVER and never plans a partition for a file whose range
+    * can't match — at 100 TB the difference between "open 100k footers"
+    * and "read one manifest". Stats are optional (absent for files
+    * written before this field, or for stat-less foreign writers) and
+    * advisory: a file without stats is always scanned.
+    */
+  case class ColumnStats(min: Long, max: Long)
+  case class FileEntry(path: String, size: Long,
+                       stats: Map[String, ColumnStats] = Map.empty)
   /** `dir` is set for hive-partitioned tables (partition values are
     * directory-encoded, so readers need the base dir, not bare files).
     */
@@ -104,10 +115,55 @@ object Snapshot {
     while (it.hasNext) {
       val st = it.next()
       if (st.getPath.getName.endsWith(".parquet"))
-        out += FileEntry(st.getPath.toString, st.getLen)
+        out += FileEntry(st.getPath.toString, st.getLen, footerStats(st.getPath))
     }
     out.sortBy(_.path).toSeq
   }
+
+  /** Harvest per-file min/max for int32/int64 columns from the parquet
+    * footer (one metadata read per file, done once at manifest-build
+    * time). A column appears only if EVERY row group has trustworthy
+    * statistics; integer stats are exact in parquet-mr, so presence ⇒
+    * correctness. Errors degrade to "no stats" — pruning is always
+    * advisory.
+    */
+  private def footerStats(p: Path): Map[String, ColumnStats] =
+    try {
+      val inputFile = org.apache.parquet.hadoop.util.HadoopInputFile
+        .fromPath(p, new org.apache.hadoop.conf.Configuration())
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(inputFile)
+      try {
+        import scala.jdk.CollectionConverters._
+        val acc = scala.collection.mutable.Map.empty[String, ColumnStats]
+        val dropped = scala.collection.mutable.Set.empty[String]
+        reader.getFooter.getBlocks.asScala.foreach { b =>
+          b.getColumns.asScala.foreach { c =>
+            val name = c.getPath.toDotString
+            if (!dropped(name)) {
+              val st = c.getStatistics
+              val bounds: Option[(Long, Long)] =
+                if (st == null || st.isEmpty || !st.hasNonNullValue) None
+                else (st.genericGetMin, st.genericGetMax) match {
+                  case (mn: java.lang.Long, mx: java.lang.Long) =>
+                    Some((mn.longValue(), mx.longValue()))
+                  case (mn: java.lang.Integer, mx: java.lang.Integer) =>
+                    Some((mn.longValue(), mx.longValue()))
+                  case _ => None
+                }
+              bounds match {
+                case Some((mn, mx)) =>
+                  acc.updateWith(name) {
+                    case Some(prev) => Some(ColumnStats(math.min(prev.min, mn), math.max(prev.max, mx)))
+                    case None => Some(ColumnStats(mn, mx))
+                  }
+                case None => dropped += name; acc.remove(name)
+              }
+            }
+          }
+        }
+        acc.toMap
+      } finally reader.close()
+    } catch { case _: Exception => Map.empty }
 
   /** Batch-queryable face of a snapshot: manifest → file list →
     * parquet scan. Filters/pruning push into the scan as usual.

@@ -82,14 +82,15 @@ class SnapshotSource extends TableProvider {
     val (root, tag, table) = coords(options)
     entryFor(options) match {
       case Some(entry) =>
-        SnapshotTable(table, schema, entry.files.map(_.path),
+        SnapshotTable(table, schema, entry.files,
           entry.files.map(_.size).sum, entry.rows, root, tag)
       case None => SnapshotTable(table, schema, Nil, 0L, 0L, root, tag)
     }
   }
 }
 
-case class SnapshotTable(tableName: String, tableSchema: StructType, files: Seq[String],
+case class SnapshotTable(tableName: String, tableSchema: StructType,
+                         files: Seq[Snapshot.FileEntry],
                          totalBytes: Long, rows: Long, root: String = "", tag: String = "")
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite {
@@ -105,7 +106,7 @@ case class SnapshotTable(tableName: String, tableSchema: StructType, files: Seq[
     new SnapshotWriteBuilder(root, tag, tableName, info)
 }
 
-class SnapshotScanBuilder(dataSchema: StructType, files: Seq[String],
+class SnapshotScanBuilder(dataSchema: StructType, files: Seq[Snapshot.FileEntry],
                           totalBytes: Long = 0L, rows: Long = 0L)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters with SupportsPushDownAggregates {
@@ -171,7 +172,7 @@ class SnapshotScanBuilder(dataSchema: StructType, files: Seq[String],
   }
   override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] = pushed
   override def build(): Scan =
-    if (pushedAggs.nonEmpty) SnapshotAggScan(files, pushedAggs)
+    if (pushedAggs.nonEmpty) SnapshotAggScan(files.map(_.path), pushedAggs)
     else SnapshotScan(dataSchema, required, files, pushed, totalBytes, rows)
 }
 
@@ -416,7 +417,8 @@ object SnapshotFilters {
     }
 }
 
-case class SnapshotScan(dataSchema: StructType, required: StructType, files: Seq[String],
+case class SnapshotScan(dataSchema: StructType, required: StructType,
+                        files: Seq[Snapshot.FileEntry],
                         filters: Seq[org.apache.spark.sql.sources.Filter] = Nil,
                         totalBytes: Long = 0L, rows: Long = 0L)
     extends Scan with Batch with SupportsReportStatistics {
@@ -441,13 +443,61 @@ case class SnapshotScan(dataSchema: StructType, required: StructType, files: Seq
       if (rows > 0) util.OptionalLong.of(rows) else util.OptionalLong.empty()
   }
   override def toBatch: Batch = this
+
+  /** Manifest-statistics file pruning: a file whose recorded
+    * int-column range cannot satisfy the pushed predicates gets NO
+    * input partition — the driver skips it using manifest numbers
+    * alone, before any footer or data I/O. Files without stats always
+    * scan (pruning is advisory, never a correctness dependency).
+    */
+  private lazy val selected: Seq[Snapshot.FileEntry] =
+    files.filter(f => filters.forall(SnapshotFilePruning.mayMatch(f.stats, _)))
+
   override def planInputPartitions(): Array[InputPartition] =
-    files.map(f => SnapshotInputPartition(f): InputPartition).toArray
+    selected.map(f => SnapshotInputPartition(f.path): InputPartition).toArray
   override def createReaderFactory(): PartitionReaderFactory =
     SnapshotReaderFactory(required.json, dataSchema.json, filters)
   override def description(): String =
-    s"GraftSnapshotScan(files=${files.size}, columns=${required.fieldNames.mkString(",")}, " +
+    s"GraftSnapshotScan(files=${files.size}, skippedByStats=${files.size - selected.size}, " +
+      s"columns=${required.fieldNames.mkString(",")}, " +
       s"pushedFilters=[${filters.mkString(", ")}])"
+}
+
+/** Driver-side may-match test of a source filter against per-file
+  * integer column ranges. Conservative by construction: unknown
+  * columns, non-integral values and untracked predicate shapes all
+  * return true. Null semantics: comparison predicates never match
+  * null cells, so [min, max] of the non-null values bounds every row
+  * a comparison could accept; IsNull/IsNotNull are not prunable from
+  * min/max alone and always pass.
+  */
+object SnapshotFilePruning {
+  import org.apache.spark.sql.sources._
+
+  def mayMatch(stats: Map[String, Snapshot.ColumnStats], f: Filter): Boolean = f match {
+    case And(l, r) => mayMatch(stats, l) && mayMatch(stats, r)
+    case Or(l, r) => mayMatch(stats, l) || mayMatch(stats, r)
+    case EqualTo(a, v) => bound(stats, a, v).forall { case (s, x) => s.min <= x && x <= s.max }
+    case GreaterThan(a, v) => bound(stats, a, v).forall { case (s, x) => s.max > x }
+    case GreaterThanOrEqual(a, v) => bound(stats, a, v).forall { case (s, x) => s.max >= x }
+    case LessThan(a, v) => bound(stats, a, v).forall { case (s, x) => s.min < x }
+    case LessThanOrEqual(a, v) => bound(stats, a, v).forall { case (s, x) => s.min <= x }
+    case In(a, vs) => vs.isEmpty || vs.exists(v => mayMatch(stats, EqualTo(a, v)))
+    case _ => true
+  }
+
+  /** The (stats, value) pair when the column has recorded stats AND
+    * the comparison value is an integral number; None ⇒ can't prune.
+    */
+  private def bound(stats: Map[String, Snapshot.ColumnStats], attr: String,
+                    v: Any): Option[(Snapshot.ColumnStats, Long)] =
+    stats.get(attr).flatMap(s => v match {
+      case n: java.lang.Long => Some((s, n.longValue()))
+      case n: java.lang.Integer => Some((s, n.longValue()))
+      case n: java.lang.Short => Some((s, n.longValue()))
+      case n: java.lang.Byte => Some((s, n.longValue()))
+      case _ => None
+    })
 }
 
 case class SnapshotInputPartition(file: String) extends InputPartition
@@ -632,7 +682,7 @@ case class SnapshotBatchWrite(root: String, tag: String, table: String,
       catch { case _: java.io.FileNotFoundException => None }
     val priorEntry = if (truncateFirst) None else prior.flatMap(_.tables.get(table))
     val files = (priorEntry.map(_.files).getOrElse(Nil) ++
-      committed.map(m => Snapshot.FileEntry(m.path, m.size))).sortBy(_.path)
+      committed.map(m => Snapshot.FileEntry(m.path, m.size, m.stats))).sortBy(_.path)
     val rows = priorEntry.map(_.rows).getOrElse(0L) + committed.map(_.rows).sum
     val entry = Snapshot.TableEntry(files, rows, Snapshot.signatureOf(schema, rows),
       schemaJson = Some(schema.json))
@@ -649,7 +699,8 @@ case class SnapshotBatchWrite(root: String, tag: String, table: String,
   }
 }
 
-case class SnapshotCommitMessage(path: String, size: Long, rows: Long)
+case class SnapshotCommitMessage(path: String, size: Long, rows: Long,
+                                 stats: Map[String, Snapshot.ColumnStats] = Map.empty)
     extends org.apache.spark.sql.connector.write.WriterCommitMessage
 
 case class SnapshotWriterFactory(dir: String, schemaJson: String)
@@ -710,6 +761,15 @@ class SnapshotDataWriter(dir: String, partitionId: Int, taskId: Long, schema: St
   }
   private val factory = new org.apache.parquet.example.data.simple.SimpleGroupFactory(parquetSchema)
   private var rows = 0L
+  // running min/max for int32/int64-backed columns → manifest file
+  // stats, so DSv2-written files are prunable without a footer read
+  private val statIdx: Seq[Int] = schema.fields.indices.filter(i =>
+    schema.fields(i).dataType match {
+      case LongType | IntegerType | DateType => true
+      case _ => false
+    })
+  private val statMin = scala.collection.mutable.Map.empty[Int, Long]
+  private val statMax = scala.collection.mutable.Map.empty[Int, Long]
 
   override def write(row: InternalRow): Unit = {
     val g = factory.newGroup()
@@ -728,13 +788,25 @@ class SnapshotDataWriter(dir: String, partitionId: Int, taskId: Long, schema: St
       i += 1
     }
     writer.write(g)
+    statIdx.foreach { i =>
+      if (!row.isNullAt(i)) {
+        val v = schema.fields(i).dataType match {
+          case LongType => row.getLong(i)
+          case _ => row.getInt(i).toLong
+        }
+        statMin.updateWith(i)(o => Some(o.fold(v)(math.min(_, v))))
+        statMax.updateWith(i)(o => Some(o.fold(v)(math.max(_, v))))
+      }
+    }
     rows += 1L
   }
 
   override def commit(): org.apache.spark.sql.connector.write.WriterCommitMessage = {
     writer.close()
     val fs = path.getFileSystem(conf)
-    SnapshotCommitMessage(path.toString, fs.getFileStatus(path).getLen, rows)
+    val stats = statMin.keys.map(i => schema.fields(i).name ->
+      Snapshot.ColumnStats(statMin(i), statMax(i))).toMap
+    SnapshotCommitMessage(path.toString, fs.getFileStatus(path).getLen, rows, stats)
   }
 
   override def abort(): Unit = {

@@ -236,6 +236,56 @@ class SnapshotSourceSpec extends SparkSpec {
     assert(chain.contains("primitive columns"), chain)
   }
 
+  test("manifest stats prune whole files from the scan plan") {
+    val r = Files.createTempDirectory("snap_prune").toString
+    // 4 range-disjoint files → per-file n_nationkey ranges in the manifest
+    Snapshot.export(spark, Map("nation" ->
+      Tables.nation(spark, sf).repartitionByRange(4, col("n_nationkey"))), r, "t1")
+    val entry = Snapshot.readManifest(spark, r, "t1").tables("nation")
+    assert(entry.files.length == 4)
+    assert(entry.files.forall(_.stats.contains("n_nationkey")),
+      "export must harvest footer min/max for integer columns")
+
+    def partitionsFor(filters: org.apache.spark.sql.sources.Filter*): Int = {
+      val schema = org.apache.spark.sql.types.DataType
+        .fromJson(entry.schemaJson.get).asInstanceOf[org.apache.spark.sql.types.StructType]
+      val b = new graft.sources.SnapshotScanBuilder(schema, entry.files)
+      b.pushFilters(filters.toArray)
+      b.build().toBatch.planInputPartitions().length
+    }
+    import org.apache.spark.sql.sources.{EqualTo, GreaterThan}
+    assert(partitionsFor() == 4, "no filter → all files planned")
+    assert(partitionsFor(EqualTo("n_nationkey", 3L)) == 1,
+      "point lookup must plan exactly the one file whose range covers it")
+    assert(partitionsFor(GreaterThan("n_nationkey", 1000L)) == 0,
+      "out-of-range predicate must plan zero partitions")
+    // end-to-end: the pruned scan still returns exact results
+    val one = spark.read.format("graft.sources.SnapshotSource")
+      .option("root", r).option("tag", "t1").option("table", "nation").load()
+      .where(col("n_nationkey") === 3)
+    assert(one.count() == 1)
+    assert(one.queryExecution.executedPlan.toString.contains("skippedByStats=3"))
+  }
+
+  test("DSv2-written files carry manifest stats and prune") {
+    val r = Files.createTempDirectory("snap_wstats").toString
+    val src = Tables.nation(spark, sf)
+      .repartitionByRange(4, col("n_nationkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    src.write.format("graft.sources.SnapshotSource")
+      .option("root", r).option("tag", "g1").option("table", "n")
+      .option("schema", src.schema.json).mode("append").save()
+    val entry = Snapshot.readManifest(spark, r, "g1").tables("n")
+    assert(entry.files.nonEmpty)
+    assert(entry.files.forall(_.stats.contains("n_nationkey")))
+    val hit = spark.read.format("graft.sources.SnapshotSource")
+      .option("root", r).option("tag", "g1").option("table", "n").load()
+      .where(col("n_nationkey") === 7)
+    assert(hit.count() == 1)
+    assert(hit.queryExecution.executedPlan.toString.contains("skippedByStats"),
+      "written files must participate in stats pruning")
+  }
+
   test("missing table and missing options fail with clear errors") {
     val e = intercept[Exception] {
       spark.read.format("graft.sources.SnapshotSource")

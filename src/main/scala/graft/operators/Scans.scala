@@ -242,6 +242,47 @@ object Scans {
       .orderBy("o_orderstatus")
   }
 
+  /** §2.13 (round-4) table OPTIMIZE — the layout-maintenance operator
+    * (Delta OPTIMIZE / Iceberg rewrite_data_files shape): generation 1
+    * is written hash-scattered (every file spans the full key range, so
+    * manifest stats prune nothing); the optimize pass rewrites it
+    * range-clustered on the key through the same DSv2 writer, and the
+    * truncate commit swaps the manifest to the new layout. After the
+    * rewrite each file owns a disjoint key range, so a point/range
+    * predicate plans a single file instead of all of them —
+    * SnapshotSourceSpec measures exactly that flip. Data is
+    * bit-identical across generations (the oracle checks values, the
+    * spec checks pruning). At 100 TB this is the nightly job that keeps
+    * a write-optimized table read-optimized.
+    */
+  private[graft] val optimizeRoots = scala.collection.concurrent.TrieMap.empty[(String, String), String]
+
+  def snapshotOptimize(s: SparkSession, dir: String): DataFrame = {
+    graft.SessionToken.sweep(optimizeRoots)(graft.SessionToken.deleteDir)
+    val root = optimizeRoots.getOrElseUpdate((graft.SessionToken(s), dir),
+      java.nio.file.Files.createTempDirectory("graft_optimize").toString)
+    val src = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    def writeAs(df: DataFrame, tag: String): Unit =
+      df.write.format("graft.sources.SnapshotSource")
+        .option("root", root).option("tag", tag).option("table", "orders_opt")
+        .option("schema", src.schema.json)
+        .mode("overwrite").save()
+    // gen1: write-optimized layout (hash-scattered, 8 files)
+    writeAs(src.repartition(8), "gen1")
+    val gen1 = s.read.format("graft.sources.SnapshotSource")
+      .option("root", root).option("tag", "gen1").option("table", "orders_opt").load()
+    // optimize: rewrite range-clustered on the key, 4 target files
+    writeAs(gen1.repartitionByRange(4, col("o_orderkey"))
+      .sortWithinPartitions("o_orderkey"), "gen2")
+    s.read.format("graft.sources.SnapshotSource")
+      .option("root", root).option("tag", "gen2").option("table", "orders_opt").load()
+      .where(col("o_orderkey") < 1000)
+      .agg(count(lit(1)).as("n"), min(col("o_orderkey")).as("min_key"),
+        max(col("o_orderkey")).as("max_key"),
+        dbl(sum(col("o_totalprice").cast("decimal(18,2)"))).as("total"))
+  }
+
   /** Metadata-only aggregation through the DSv2 source: count/min/max
     * answered from parquet FOOTER statistics (SupportsPushDownAggregates
     * — the plan shows GraftSnapshotAggScan and no data pages are read).
@@ -304,6 +345,7 @@ object Scans {
     "q_write_partitioned" -> writePartitioned,
     "q_scan_dpp" -> scanDpp,
     "q_snapshot_write" -> snapshotWrite,
+    "q_snapshot_optimize" -> snapshotOptimize,
     "q_scan_parquet" -> scanParquet,
     "q_source_csv" -> sourceCsv,
     "q_source_text" -> sourceText,
@@ -335,6 +377,13 @@ object Scans {
         |  min(o_orderkey) AS min_key,
         |  max(o_orderkey) AS max_key
         |FROM orders""".stripMargin,
+    "q_snapshot_optimize" ->
+      """SELECT count(*) AS n,
+        |  min(o_orderkey) AS min_key,
+        |  max(o_orderkey) AS max_key,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders
+        |WHERE o_orderkey < 1000""".stripMargin,
     "q_snapshot_write" ->
       """SELECT o_orderstatus, count(*) AS n,
         |  min(o_orderkey) AS min_key,

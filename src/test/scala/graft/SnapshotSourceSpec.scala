@@ -286,6 +286,30 @@ class SnapshotSourceSpec extends SparkSpec {
       "written files must participate in stats pruning")
   }
 
+  test("optimize flips a scatter layout to a prunable range layout") {
+    val df = q("q_snapshot_optimize")
+    assert(df.count() == 1)
+    // the optimized (gen2) layout prunes a point predicate to one file,
+    // while the scattered gen1 layout cannot prune at all
+    // the memoized root for (this session, this sf dir)
+    val root = graft.operators.Scans.optimizeRoots((graft.SessionToken(spark), sf))
+    def plannedFiles(tag: String): Int = {
+      val entry = Snapshot.readManifest(spark, root, tag).tables("orders_opt")
+      val schema = org.apache.spark.sql.types.DataType
+        .fromJson(entry.schemaJson.get).asInstanceOf[org.apache.spark.sql.types.StructType]
+      val b = new graft.sources.SnapshotScanBuilder(schema, entry.files)
+      b.pushFilters(Array(org.apache.spark.sql.sources.EqualTo("o_orderkey", 42L)))
+      b.build().toBatch.planInputPartitions().length
+    }
+    assert(plannedFiles("gen1") == 8, "scattered layout: every file may hold the key")
+    assert(plannedFiles("gen2") == 1, "optimized layout: exactly one file can")
+    // generations carry identical data
+    def readTag(tag: String) = spark.read.format("graft.sources.SnapshotSource")
+      .option("root", root).option("tag", tag).option("table", "orders_opt").load()
+    assert(readTag("gen1").exceptAll(readTag("gen2")).count() == 0)
+    assert(readTag("gen2").exceptAll(readTag("gen1")).count() == 0)
+  }
+
   test("missing table and missing options fail with clear errors") {
     val e = intercept[Exception] {
       spark.read.format("graft.sources.SnapshotSource")

@@ -179,7 +179,41 @@ object Composite {
     s.sql(sqlApiText)
   }
 
+  /** §2.13 (round-4) second shared-text SQL: CTE + two window frames +
+    * dim join, one string executed verbatim by BOTH engines (like
+    * [[sqlApiText]]) — the portability proof for the analytic-SQL
+    * subset (CTEs, window functions, decimal arithmetic, modulus).
+    * Window sums run in DECIMAL (exact/associative); only the final
+    * projection casts to DOUBLE.
+    */
+  private[graft] val sqlWindowText =
+    """WITH cust_orders AS (
+      |  SELECT o_custkey, o_orderkey,
+      |    CAST(o_totalprice AS DECIMAL(18,2)) AS price
+      |  FROM orders),
+      |ranked AS (
+      |  SELECT o_custkey, o_orderkey, price,
+      |    row_number() OVER (PARTITION BY o_custkey
+      |                       ORDER BY price DESC, o_orderkey) AS rk,
+      |    sum(price) OVER (PARTITION BY o_custkey) AS cust_total,
+      |    count(*) OVER (PARTITION BY o_custkey) AS n_orders
+      |  FROM cust_orders)
+      |SELECT c_custkey, c_mktsegment, o_orderkey,
+      |  CAST(price AS DOUBLE) AS top_price,
+      |  CAST(cust_total AS DOUBLE) AS cust_total,
+      |  n_orders
+      |FROM ranked JOIN customer ON o_custkey = c_custkey
+      |WHERE rk = 1 AND c_custkey % 10 = 0
+      |ORDER BY c_custkey""".stripMargin
+
+  def sqlWindow(s: SparkSession, dir: String): DataFrame = {
+    Tables.customer(s, dir).createOrReplaceTempView("customer")
+    Tables.orders(s, dir).createOrReplaceTempView("orders")
+    s.sql(sqlWindowText)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sql_window" -> sqlWindow,
     "q_tpch_q3" -> tpchQ3,
     "q_tpch_q5" -> tpchQ5,
     "q_tpch_q18" -> tpchQ18,
@@ -188,6 +222,7 @@ object Composite {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_sql_window" -> sqlWindowText,
     "q_tpch_q3" ->
       """SELECT l_orderkey,
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))

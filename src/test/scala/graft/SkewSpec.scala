@@ -9,6 +9,42 @@ import graft.sources.Tables
   */
 class SkewSpec extends SparkSpec {
 
+  test("AQE splits the hot partition of a skewed sort-merge join") {
+    // fresh session: AQE skew-join with thresholds scaled to fixture
+    // size (the production defaults are 256 MB — same mechanism,
+    // smaller numbers), broadcast off so the join stays a shuffle SMJ
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.adaptive.enabled", "true")
+    s2.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    s2.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    s2.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    s2.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+    s2.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s2.conf.set("spark.sql.shuffle.partitions", "8")
+    val o = Tables.orders(s2, sf).select(col("o_orderkey"), col("o_custkey"))
+    val hotKey = o.agg(min("o_orderkey")).head.getLong(0)
+    // fact with one pathological key: ×200k on hotKey, ×1 elsewhere
+    // round-robin repartition AFTER the explode: AQE splits a skewed
+    // reduce partition at MAPPER boundaries, so the hot key must span
+    // several map tasks (with one mapper the skew is detected but
+    // unsplittable and the rule declines)
+    val fact = o
+      .withColumn("m", when(col("o_orderkey") === hotKey, 200000).otherwise(1))
+      .select(col("o_orderkey"), explode(expr("sequence(1, m)")).as("rep"))
+      .repartition(8)
+    val joined = fact.join(o.withColumnRenamed("o_orderkey", "k"),
+      col("o_orderkey") === col("k"))
+    // execute THIS DataFrame's QueryExecution so its adaptive plan
+    // finalizes (count() would plan a separate query on top)
+    val n = joined.collect().length.toLong
+    val expected = o.count() - 1 + 200000
+    assert(n == expected, "skew handling must not change the result")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("skew=true"),
+      s"AQE must mark the skewed join for partition splitting:\n$plan")
+  }
+
   test("saltedJoin equals plain join on a hot-keyed fact (events × type dims)") {
     import spark.implicits._
     val events = Tables.events(spark, sf) // event_type: 5 hot keys

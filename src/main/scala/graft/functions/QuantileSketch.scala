@@ -1,0 +1,55 @@
+package graft.functions
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+
+/** Mergeable bounded-memory quantile sketch as a typed
+  * `Aggregator[IN, BUF, OUT]` — the distributed-sketch discipline
+  * (bounded buffer per partial, associative merge) with a twist that
+  * keeps it ORACLE-CHECKABLE: the "sample" is the K rows with the
+  * smallest portable hash of their unique id (a bottom-k sample, the
+  * mergeable-uniform-sample construction from the distinct-sketch
+  * literature). Bottom-k of a set is a pure function of the SET —
+  * independent of partitioning, merge order, or executor count — so
+  * unlike a randomized t-digest the estimate is bit-reproducible and
+  * the DuckDB oracle can recompute it with a global ORDER BY/LIMIT.
+  * Engine and oracle use different algorithms (streaming bounded
+  * buffer vs global sort) and must meet at the same answer.
+  *
+  * Estimate: the empirical q-quantile of the K-row sample — the value
+  * at sorted index floor((n−1)·q). Memory is O(K) per group at every
+  * stage; a 100 TB scan carries K rows per partial, not the column.
+  */
+class QuantileSketch(k: Int, q: Double)
+    extends Aggregator[(Long, Double), Seq[(Long, Long, Double)], Option[Double]] {
+
+  private def hash(id: Long): Long = (id * 2654435761L) & 0xffffffffL
+
+  override def zero: Seq[(Long, Long, Double)] = Nil
+
+  /** Insert one (id, value): keep the K smallest (hash, id) rows. The
+    * buffer stays sorted by (hash, id), so trimming is a dropRight.
+    */
+  override def reduce(b: Seq[(Long, Long, Double)], in: (Long, Double)): Seq[(Long, Long, Double)] = {
+    val (id, v) = in
+    val item = (hash(id), id, v)
+    if (b.length >= k && implicitly[Ordering[(Long, Long, Double)]].compare(item, b.last) >= 0) b
+    else (b :+ item).sorted.take(k)
+  }
+
+  override def merge(a: Seq[(Long, Long, Double)], b: Seq[(Long, Long, Double)]): Seq[(Long, Long, Double)] =
+    (a ++ b).sorted.take(k)
+
+  override def finish(b: Seq[(Long, Long, Double)]): Option[Double] =
+    if (b.isEmpty) None
+    else {
+      val values = b.map(_._3).sorted
+      Some(values(((values.length - 1) * q).toInt))
+    }
+
+  override def bufferEncoder: Encoder[Seq[(Long, Long, Double)]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Long, Long, Double)]]()
+
+  override def outputEncoder: Encoder[Option[Double]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Option[Double]]()
+}

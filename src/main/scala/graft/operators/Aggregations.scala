@@ -122,6 +122,26 @@ object Aggregations {
       .orderBy("l_returnflag")
   }
 
+  /** §2.13 (round-4) mergeable bounded-memory quantile sketch
+    * (graft.functions.QuantileSketch): per-group median estimate from
+    * a K=128 bottom-k-by-portable-hash sample. The buffer is O(K) at
+    * every stage (partial, shuffle, merge) — the sketch discipline a
+    * 100 TB percentile needs — yet the bottom-k construction is a pure
+    * function of the data set, so the DuckDB oracle recomputes the
+    * identical estimate with a global sort: streaming bounded buffer
+    * vs ORDER BY/LIMIT, two algorithms, one deterministic answer.
+    */
+  def aggSketchQuantile(s: SparkSession, dir: String): DataFrame = {
+    val sk = udaf(new graft.functions.QuantileSketch(128, 0.5))
+    Tables.lineitem(s, dir)
+      .select(col("l_returnflag"),
+        (col("l_orderkey") * 4096 + col("l_linenumber")).as("id"),
+        col("l_quantity").cast("double").as("v"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), sk(col("id"), col("v")).as("med_est"))
+      .orderBy("l_returnflag")
+  }
+
   /** Hot-key aggregation through the explicit two-stage salting path
     * (graft.operators.Skew): events has only 5 event_type values, the
     * canonical skew shape. Stage 1 spreads each hot key over 8 salt
@@ -238,7 +258,8 @@ object Aggregations {
     "q_agg_cube" -> aggCube,
     "q_agg_grouping_sets" -> aggGroupingSets,
     "q_agg_sort_first_last" -> aggSortFirstLast,
-    "q_udaf_weighted" -> udafWeighted
+    "q_udaf_weighted" -> udafWeighted,
+    "q_agg_sketch_quantile" -> aggSketchQuantile
   )
 
   val oracle: Map[String, String] = Map(
@@ -366,6 +387,24 @@ object Aggregations {
         |      FROM orders)
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+    "q_agg_sketch_quantile" ->
+      """WITH t AS (
+        |  SELECT l_returnflag, l_orderkey * 4096 + l_linenumber AS id,
+        |    CAST(l_quantity AS DOUBLE) AS v
+        |  FROM lineitem),
+        |counts AS (SELECT l_returnflag, count(*) AS n FROM t GROUP BY l_returnflag),
+        |h AS (SELECT l_returnflag, id, v,
+        |  (id * 2654435761) % 4294967296 AS h FROM t),
+        |samp AS (SELECT l_returnflag, v,
+        |  row_number() OVER (PARTITION BY l_returnflag ORDER BY h, id) AS rk FROM h),
+        |keep AS (SELECT l_returnflag, v FROM samp WHERE rk <= 128),
+        |ranked AS (SELECT l_returnflag, v,
+        |  row_number() OVER (PARTITION BY l_returnflag ORDER BY v) AS vr,
+        |  count(*) OVER (PARTITION BY l_returnflag) AS sn FROM keep)
+        |SELECT c.l_returnflag AS l_returnflag, c.n AS n, r.v AS med_est
+        |FROM ranked r JOIN counts c ON r.l_returnflag = c.l_returnflag
+        |WHERE r.vr = CAST(floor((r.sn - 1) * 0.5) AS BIGINT) + 1
+        |ORDER BY l_returnflag""".stripMargin,
     "q_udaf_weighted" ->
       """SELECT l_returnflag,
         |  CAST(CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)

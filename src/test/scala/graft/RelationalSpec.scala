@@ -16,6 +16,28 @@ class RelationalSpec extends SparkSpec {
     assert(total == expected)
   }
 
+  test("quantile sketch: partition-layout independent, estimate near the true median") {
+    val sk = org.apache.spark.sql.functions.udaf(new graft.functions.QuantileSketch(128, 0.5))
+    val base = graft.sources.Tables.lineitem(spark, sf)
+      .select(col("l_returnflag"),
+        (col("l_orderkey") * 4096 + col("l_linenumber")).as("id"),
+        col("l_quantity").cast("double").as("v"))
+    def run(parts: Int) = base.repartition(parts)
+      .groupBy("l_returnflag").agg(sk(col("id"), col("v")).as("est"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val one = run(1)
+    // bottom-k is a set function: any partitioning must give the SAME
+    // sample, hence the same estimate — the mergeability proof
+    assert(run(13) == one && run(4) == one)
+    // estimate's rank is near the true median rank (sample error band)
+    one.foreach { case (flag, est) =>
+      val vals = base.where(col("l_returnflag") === flag)
+        .select("v").collect().map(_.getDouble(0)).sorted
+      val rank = vals.count(_ <= est).toDouble / vals.length
+      assert(rank > 0.3 && rank < 0.7, s"$flag: est=$est sits at rank $rank")
+    }
+  }
+
   test("dpp: fact scan carries a dynamic partition filter, values match filter semantics") {
     val df = q("q_scan_dpp")
     val plan = df.queryExecution.executedPlan.toString

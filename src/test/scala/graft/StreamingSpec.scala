@@ -96,6 +96,42 @@ class StreamingSpec extends SparkSpec {
       batchForm.exceptAll(finalState).count() == 0)
   }
 
+  test("streamed DSv2 sink: per-microbatch appends converge to the batch write") {
+    // orders streamed as 3 micro-batches, each appended through the
+    // SnapshotSource DSv2 writer — the streaming ingestion face of the
+    // manifest-swap commit: every micro-batch lands as immutable files
+    // plus one manifest update, and the final table equals the
+    // one-shot batch write regardless of micro-batch boundaries.
+    val src = graft.sources.Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    val logDir = java.nio.file.Files.createTempDirectory("dsv2_stream_in").toString
+    (0 until 3).foreach { i =>
+      src.where(pmod(col("o_orderkey"), lit(3)) === i)
+        .coalesce(1).write.mode("append").parquet(logDir)
+    }
+    val root = java.nio.file.Files.createTempDirectory("dsv2_stream_out").toString
+    val sq = spark.readStream.schema(src.schema)
+      .option("maxFilesPerTrigger", 1).parquet(logDir)
+      .writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batch.toDF().write.format("graft.sources.SnapshotSource")
+          .option("root", root).option("tag", "live").option("table", "orders_stream")
+          .option("schema", src.schema.json)
+          .mode("append").save()
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    sq.awaitTermination()
+    val streamed = spark.read.format("graft.sources.SnapshotSource")
+      .option("root", root).option("tag", "live").option("table", "orders_stream").load()
+    assert(streamed.count() == src.count())
+    assert(streamed.exceptAll(src).count() == 0 && src.exceptAll(streamed).count() == 0)
+    // one manifest, one generation per micro-batch: ≥3 files committed
+    val entry = graft.sources.Snapshot.readManifest(spark, root, "live")
+      .tables("orders_stream")
+    assert(entry.files.length >= 3 && entry.rows == src.count())
+  }
+
   test("stream-static enrichment join equals the batch form") {
     val dim = graft.sources.Tables.customer(spark, sf)
       .select(col("c_custkey"), col("c_mktsegment"))

@@ -188,6 +188,35 @@ object Snapshot {
       .filter(t => f.exists(manifestPath(root, t))).toSeq.sorted
   }
 
+  /** Vacuum: delete data files under `root` referenced by NO manifest —
+    * the orphan-sweep companion to the DSv2 writer's truncate commit
+    * (which swaps the manifest and leaves the previous generation's
+    * files on disk) and to crashed writes (files landed, commit never
+    * did). Walks every manifest first, so a file referenced by ANY tag
+    * (including parents linked incrementally) survives. Like every
+    * metadata-pointer table format, this assumes a quiesced root — a
+    * production deployment adds a modification-time grace window so an
+    * in-flight uncommitted write is never swept; fixtures are
+    * single-writer so the window is zero here.
+    */
+  def vacuum(s: SparkSession, root: String): Seq[String] = {
+    val f = fs(s, root)
+    val referenced = listTags(s, root).flatMap { t =>
+      readManifest(s, root, t).tables.values.flatMap(_.files)
+        .map(fe => f.makeQualified(new Path(fe.path)).toString)
+    }.toSet
+    val doomed = scala.collection.mutable.ArrayBuffer.empty[String]
+    val it = f.listFiles(new Path(root), true)
+    while (it.hasNext) {
+      val st = it.next()
+      val q = f.makeQualified(st.getPath).toString
+      if (st.getPath.getName.endsWith(".parquet") && !referenced.contains(q))
+        doomed += q
+    }
+    doomed.foreach(p => f.delete(new Path(p), false))
+    doomed.sorted.toSeq
+  }
+
   /** Retention: keep the `n` newest tags (lexicographic tag order —
     * callers use sortable tags like ISO timestamps) plus any ancestor
     * snapshot still referenced by a kept manifest's file links.

@@ -570,6 +570,15 @@ class SnapshotPartitionReader(file: String, required: StructType,
     // isAdjustedToUTC=false reads as TimestampNTZType)
     case TimestampType | TimestampNTZType => g.getLong(fieldIdx, 0)
     case DateType => g.getInteger(fieldIdx, 0)
+    // decimals follow Spark's parquet convention: INT32 unscaled for
+    // precision <= 9, INT64 for <= 18 (wider would be FIXED_LEN_BYTE_ARRAY
+    // — out of scope, raised honestly below)
+    case dt: DecimalType if dt.precision <= 9 =>
+      org.apache.spark.sql.types.Decimal.createUnsafe(
+        g.getInteger(fieldIdx, 0).toLong, dt.precision, dt.scale)
+    case dt: DecimalType if dt.precision <= 18 =>
+      org.apache.spark.sql.types.Decimal.createUnsafe(
+        g.getLong(fieldIdx, 0), dt.precision, dt.scale)
     case ArrayType(et, _) =>
       val wrapper = g.getGroup(fieldIdx, 0)
       val n = wrapper.getFieldRepetitionCount(0)
@@ -744,6 +753,10 @@ class SnapshotDataWriter(dir: String, partitionId: Int, taskId: Long, schema: St
           LogicalTypeAnnotation.TimeUnit.MICROS)).named(f.name)
       case DateType => Types.optional(INT32)
         .as(LogicalTypeAnnotation.dateType()).named(f.name)
+      case dt: DecimalType if dt.precision <= 9 => Types.optional(INT32)
+        .as(LogicalTypeAnnotation.decimalType(dt.scale, dt.precision)).named(f.name)
+      case dt: DecimalType if dt.precision <= 18 => Types.optional(INT64)
+        .as(LogicalTypeAnnotation.decimalType(dt.scale, dt.precision)).named(f.name)
       case other => throw new UnsupportedOperationException(
         s"SnapshotSource write supports primitive columns; got ${f.name}: $other")
     }
@@ -783,6 +796,10 @@ class SnapshotDataWriter(dir: String, partitionId: Int, taskId: Long, schema: St
         case BooleanType => g.add(i, row.getBoolean(i))
         case StringType  =>
           g.add(i, Binary.fromConstantByteArray(row.getUTF8String(i).getBytes))
+        case dt: DecimalType if dt.precision <= 9 =>
+          g.add(i, row.getDecimal(i, dt.precision, dt.scale).toUnscaledLong.toInt)
+        case dt: DecimalType if dt.precision <= 18 =>
+          g.add(i, row.getDecimal(i, dt.precision, dt.scale).toUnscaledLong)
         case other => throw new IllegalStateException(s"unreachable: $other")
       }
       i += 1

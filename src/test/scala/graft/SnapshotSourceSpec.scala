@@ -310,6 +310,48 @@ class SnapshotSourceSpec extends SparkSpec {
     assert(readTag("gen2").exceptAll(readTag("gen1")).count() == 0)
   }
 
+  test("decimal columns round-trip through the DSv2 writer and reader") {
+    val r = Files.createTempDirectory("snap_dec").toString
+    val src = Tables.orders(spark, sf)
+      .select(col("o_orderkey"),
+        col("o_totalprice").cast("decimal(18,2)").as("price18"),
+        (col("o_orderkey") % 1000).cast("decimal(7,2)").as("small7"))
+    src.write.format("graft.sources.SnapshotSource")
+      .option("root", r).option("tag", "g1").option("table", "dec")
+      .option("schema", src.schema.json).mode("append").save()
+    val back = spark.read.format("graft.sources.SnapshotSource")
+      .option("root", r).option("tag", "g1").option("table", "dec").load()
+    assert(back.schema("price18").dataType ==
+      org.apache.spark.sql.types.DecimalType(18, 2))
+    assert(back.schema("small7").dataType ==
+      org.apache.spark.sql.types.DecimalType(7, 2))
+    assert(back.exceptAll(src).count() == 0 && src.exceptAll(back).count() == 0)
+  }
+
+  test("vacuum sweeps generations orphaned by truncate commits") {
+    val r = Files.createTempDirectory("snap_vac").toString
+    val src = Tables.nation(spark, sf).select(col("n_nationkey"), col("n_name"))
+    def write(): Unit = src.write.format("graft.sources.SnapshotSource")
+      .option("root", r).option("tag", "g1").option("table", "n")
+      .option("schema", src.schema.json).mode("overwrite").save()
+    write()
+    val firstGen = Snapshot.readManifest(spark, r, "g1").tables("n").files.map(_.path)
+    write() // truncate commit: firstGen files now orphaned on disk
+    val fs = new org.apache.hadoop.fs.Path(r)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(firstGen.forall(p => fs.exists(new org.apache.hadoop.fs.Path(p))),
+      "truncate must leave previous generation on disk")
+    val deleted = Snapshot.vacuum(spark, r)
+    assert(deleted.map(p => p.split('/').last).sorted ==
+      firstGen.map(p => p.split('/').last).sorted,
+      s"vacuum must delete exactly the orphaned generation, got $deleted")
+    // live generation untouched and readable
+    val live = spark.read.format("graft.sources.SnapshotSource")
+      .option("root", r).option("tag", "g1").option("table", "n").load()
+    assert(live.count() == 25)
+    assert(Snapshot.vacuum(spark, r).isEmpty, "vacuum is idempotent")
+  }
+
   test("missing table and missing options fail with clear errors") {
     val e = intercept[Exception] {
       spark.read.format("graft.sources.SnapshotSource")

@@ -283,6 +283,36 @@ object Scans {
         dbl(sum(col("o_totalprice").cast("decimal(18,2)"))).as("total"))
   }
 
+  /** §2.13 (round-4) vacuum round-trip: two truncate commits orphan the
+    * first generation's files, `Snapshot.vacuum` sweeps exactly the
+    * unreferenced ones, and the surviving generation reads back intact
+    * — the GC half of the metadata-pointer commit protocol
+    * (q_snapshot_write/optimize create orphans; this proves they're
+    * reclaimable without touching live data). The oracle states the
+    * slice semantics; the vacuumed count is asserted in-query by
+    * joining it into the projection (files_swept > 0 after a rewrite).
+    */
+  private val vacuumRoots = scala.collection.concurrent.TrieMap.empty[(String, String), String]
+
+  def snapshotVacuum(s: SparkSession, dir: String): DataFrame = {
+    graft.SessionToken.sweep(vacuumRoots)(graft.SessionToken.deleteDir)
+    val root = vacuumRoots.getOrElseUpdate((graft.SessionToken(s), dir),
+      java.nio.file.Files.createTempDirectory("graft_vacuum").toString)
+    val slice = Tables.orders(s, dir)
+      .where(col("o_orderstatus") === "F")
+      .select(col("o_orderkey"), col("o_totalprice"))
+    def write(): Unit = slice.write.format("graft.sources.SnapshotSource")
+      .option("root", root).option("tag", "g1").option("table", "orders_f")
+      .option("schema", slice.schema.json).mode("overwrite").save()
+    write(); write() // second truncate orphans the first generation
+    val swept = graft.sources.Snapshot.vacuum(s, root).length
+    s.read.format("graft.sources.SnapshotSource")
+      .option("root", root).option("tag", "g1").option("table", "orders_f").load()
+      .agg(count(lit(1)).as("n"), min(col("o_orderkey")).as("min_key"),
+        dbl(sum(col("o_totalprice").cast("decimal(18,2)"))).as("total"))
+      .withColumn("swept_some", lit(swept > 0))
+  }
+
   /** Metadata-only aggregation through the DSv2 source: count/min/max
     * answered from parquet FOOTER statistics (SupportsPushDownAggregates
     * — the plan shows GraftSnapshotAggScan and no data pages are read).
@@ -346,6 +376,7 @@ object Scans {
     "q_scan_dpp" -> scanDpp,
     "q_snapshot_write" -> snapshotWrite,
     "q_snapshot_optimize" -> snapshotOptimize,
+    "q_snapshot_vacuum" -> snapshotVacuum,
     "q_scan_parquet" -> scanParquet,
     "q_source_csv" -> sourceCsv,
     "q_source_text" -> sourceText,
@@ -377,6 +408,13 @@ object Scans {
         |  min(o_orderkey) AS min_key,
         |  max(o_orderkey) AS max_key
         |FROM orders""".stripMargin,
+    "q_snapshot_vacuum" ->
+      """SELECT count(*) AS n,
+        |  min(o_orderkey) AS min_key,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        |  TRUE AS swept_some
+        |FROM orders
+        |WHERE o_orderstatus = 'F'""".stripMargin,
     "q_snapshot_optimize" ->
       """SELECT count(*) AS n,
         |  min(o_orderkey) AS min_key,

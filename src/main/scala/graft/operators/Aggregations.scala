@@ -142,6 +142,23 @@ object Aggregations {
       .orderBy("l_returnflag")
   }
 
+  /** §2.13 (round-4) custom HLL (graft.functions.HllSketch): per-type
+    * distinct users from 1 KB of registers per group — the
+    * register-array sketch sibling of the bottom-k quantile sketch,
+    * with the exact distinct count alongside so every row carries its
+    * own error witness. No oracle (64-bit wrapping multiply isn't
+    * DuckDB-expressible); rows-only driver check + RelationalSpec
+    * error/mergeability proofs.
+    */
+  def aggHllCustom(s: SparkSession, dir: String): DataFrame = {
+    val hll = udaf(new graft.functions.HllSketch)
+    Tables.events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("exact_d"),
+        hll(col("user_id")).as("est_d"))
+      .orderBy("event_type")
+  }
+
   /** Hot-key aggregation through the explicit two-stage salting path
     * (graft.operators.Skew): events has only 5 event_type values, the
     * canonical skew shape. Stage 1 spreads each hot key over 8 salt
@@ -259,7 +276,8 @@ object Aggregations {
     "q_agg_grouping_sets" -> aggGroupingSets,
     "q_agg_sort_first_last" -> aggSortFirstLast,
     "q_udaf_weighted" -> udafWeighted,
-    "q_agg_sketch_quantile" -> aggSketchQuantile
+    "q_agg_sketch_quantile" -> aggSketchQuantile,
+    "q_agg_hll_custom" -> aggHllCustom
   )
 
   val oracle: Map[String, String] = Map(

@@ -38,6 +38,23 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("custom HLL: within error bound, register merge is layout-independent") {
+    val rows = q("q_agg_hll_custom").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (exact, est) = (r.getLong(1), r.getLong(2))
+      assert(math.abs(est - exact).toDouble / exact < 0.05,
+        s"${r.getString(0)}: est=$est exact=$exact")
+    }
+    // element-wise-max merge ⇒ any partitioning yields identical registers
+    val hll = org.apache.spark.sql.functions.udaf(new graft.functions.HllSketch)
+    val ev = graft.sources.Tables.events(spark, sf)
+    def run(parts: Int) = ev.repartition(parts)
+      .groupBy("event_type").agg(hll(col("user_id")).as("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(run(1) == run(17) && run(1) == run(3))
+  }
+
   test("dpp: fact scan carries a dynamic partition filter, values match filter semantics") {
     val df = q("q_scan_dpp")
     val plan = df.queryExecution.executedPlan.toString

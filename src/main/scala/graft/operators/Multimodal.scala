@@ -7,6 +7,12 @@ import graft.sources.Tables
 /** Extracted feature row for an opaque media blob. */
 case class MediaFeatures(doc_id: Long, n_bytes: Int, sum_bytes: Long, max_byte: Int)
 
+/** Result row of the resize stage: original/new dimensions and the
+  * sampled-byte checksum standing in for the resized payload digest.
+  */
+case class ResizedMedia(doc_id: Long, orig_side: Int, new_side: Int,
+                        orig_bytes: Long, new_bytes: Long, sample_sum: Long)
+
 /** Multimodal-column plumbing: media as opaque `binary` columns with
   * typed metadata, processed by per-partition batch functions — the
   * Scala analogue of a Pandas-UDF/mapInPandas stage.
@@ -126,13 +132,63 @@ object Multimodal {
       .withColumn("bytes_saved", (col("n_copies") - 1) * col("seg_bytes"))
       .orderBy("digest")
 
+  /** §2.13 (round-4) resize shape: each blob is treated as a square
+    * "image" (side = ⌊√bytes⌋, the decode-stub's geometry), halved in
+    * each dimension; the "resized payload" is modeled by the stride-4
+    * byte sample whose sum is emitted as checksum. DECODE/RESAMPLE IS
+    * THE STUB (no codecs in the container) — the partition-wise typed
+    * pipeline, binary handling, and per-row metadata arithmetic are
+    * the real plumbing a JNI/ImageIO resize would drop into. ASCII
+    * guard as in multimodalChunks so the byte arithmetic stays
+    * oracle-expressible from text alone.
+    */
+  def resizeMedia(s: SparkSession, df: DataFrame,
+                  idCol: String, mediaCol: String): DataFrame = {
+    import s.implicits._
+    df.select(col(idCol).cast("long"), col(mediaCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { iter =>
+        iter.map { case (id, bytes) =>
+          val side = math.sqrt(bytes.length.toDouble).toInt
+          val newSide = side / 2
+          var sum = 0L
+          var i = 0
+          while (i < bytes.length) { sum += bytes(i) & 0xff; i += 4 }
+          ResizedMedia(id, side, newSide, bytes.length.toLong,
+            newSide.toLong * newSide, sum)
+        }
+      }
+      .toDF()
+  }
+
+  def multimodalResize(s: SparkSession, dir: String): DataFrame = {
+    val blobs = Tables.documents(s, dir)
+      .where(col("doc_id") < 100 && length(col("text")) > 0 &&
+        octet_length(col("text")) === length(col("text")))
+      .select(col("doc_id"), col("text").cast("binary").as("media"))
+    resizeMedia(s, blobs, "doc_id", "media").orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_multimodal_resize" -> multimodalResize,
     "q_multimodal_features" -> multimodalFeatures,
     "q_multimodal_chunks" -> multimodalChunks,
     "q_multimodal_dedup" -> multimodalDedup
   )
 
   val oracle: Map[String, String] = Map(
+    "q_multimodal_resize" ->
+      """SELECT doc_id,
+        |  CAST(floor(sqrt(CAST(length(text) AS DOUBLE))) AS INTEGER) AS orig_side,
+        |  CAST(CAST(floor(sqrt(CAST(length(text) AS DOUBLE))) AS INTEGER) // 2 AS INTEGER) AS new_side,
+        |  CAST(length(text) AS BIGINT) AS orig_bytes,
+        |  CAST(CAST(floor(sqrt(CAST(length(text) AS DOUBLE))) AS BIGINT) // 2
+        |    * (CAST(floor(sqrt(CAST(length(text) AS DOUBLE))) AS BIGINT) // 2) AS BIGINT) AS new_bytes,
+        |  CAST(list_aggregate(list_transform(range(1, length(text) + 1, 4),
+        |    i -> ascii(substring(text, CAST(i AS INTEGER), 1))), 'sum') AS BIGINT) AS sample_sum
+        |FROM documents
+        |WHERE doc_id < 100 AND length(text) > 0 AND strlen(text) = length(text)
+        |ORDER BY doc_id""".stripMargin,
     "q_multimodal_dedup" ->
       """WITH seg AS (
         |  SELECT doc_id, substr(text, 1, 64) AS seg FROM documents),

@@ -355,7 +355,26 @@ object TextOps {
       .orderBy(desc("bm25"), asc("doc_id"))
   }
 
+  /** §2.13 (round-4) BPE-ish token counting: alongside the whitespace
+    * count, tokens by the subword-flavoured regex
+    * `[a-z]+|[0-9]+|[^a-z0-9 ]` (letter runs, digit runs, solitary
+    * punctuation — the GPT-2 pre-tokenizer's shape without the
+    * merges). A pure map-side projection (regexp_extract_all is
+    * engine-native on both sides; the alternation uses only syntax
+    * Java regex and RE2 interpret identically), so the cost at 100 TB
+    * is one scan — exactly how corpus token budgeting runs.
+    */
+  def textTokensBpe(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)"))
+          .cast("long").as("n_bpe"),
+        size(split(col("text"), " ")).cast("long").as("n_ws"))
+      .where(col("doc_id") < 50)
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_tokens_bpe" -> textTokensBpe,
     "q_text_bm25" -> textBm25,
     "q_text_inverted_index" -> invertedIndex,
     "q_text_lm_score" -> textLmScore,
@@ -376,6 +395,13 @@ object TextOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_text_tokens_bpe" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_bpe,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws
+        |FROM documents
+        |WHERE doc_id < 50
+        |ORDER BY doc_id""".stripMargin,
     "q_text_bm25" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),

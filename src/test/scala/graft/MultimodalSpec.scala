@@ -42,6 +42,21 @@ class MultimodalSpec extends SparkSpec {
     assert(df.count() == direct.count())
   }
 
+  test("resize halves the stub geometry and samples a quarter of bytes") {
+    val df = q("q_multimodal_resize").cache()
+    assert(df.count() > 0)
+    df.collect().foreach { r =>
+      val (side, newSide) = (r.getInt(1), r.getInt(2))
+      val (orig, newBytes) = (r.getLong(3), r.getLong(4))
+      assert(side.toLong * side <= orig && (side + 1).toLong * (side + 1) > orig,
+        "side is floor(sqrt(bytes))")
+      assert(newSide == side / 2 && newBytes == newSide.toLong * newSide)
+      // stride-4 sample sum of printable ASCII is bounded per sampled byte
+      val sampled = (orig + 3) / 4
+      assert(r.getLong(5) <= sampled * 127 && r.getLong(5) >= sampled * 9)
+    }
+  }
+
   test("contract query: n_bytes equals documents.n_chars (ASCII corpus)") {
     val feats = q("q_multimodal_features")
     val joined = feats.join(graft.sources.Tables.documents(spark, sf), Seq("doc_id"))

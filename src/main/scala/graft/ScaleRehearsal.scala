@@ -118,25 +118,9 @@ object ScaleRehearsal {
     // PageRank at ×K: the cloned corpus multiplies every (lang, source)
     // bucket ×K, so each iteration's join + exchange carries ×K rows —
     // proves the joins-as-pregel loop scales linearly per iteration.
-    time("pagerank_inflated") {
-      val docs = docsK.select(col("doc_id"), col("lang"), col("source"))
-      val reps = docs.groupBy(col("lang"), col("source")).agg(min(col("doc_id")).as("rep"))
-      val first = docs.agg(min(col("doc_id")), count(lit(1))).head
-      val (gmin, n) = (first.getLong(0), first.getLong(1))
-      val edges = docs.join(reps, Seq("lang", "source"))
-        .select(col("doc_id").as("src"),
-          when(col("doc_id") === col("rep"), lit(gmin)).otherwise(col("rep")).as("dst"))
-        .localCheckpoint()
-      val ids = docs.select(col("doc_id").as("id"))
-      var ranks = ids.withColumn("r", lit(1.0 / n).cast("decimal(28,18)"))
-      for (_ <- 1 to 3) {
-        val contrib = edges.join(ranks, col("src") === col("id"))
-          .groupBy(col("dst")).agg(sum(col("r")).cast("decimal(28,18)").as("in_r"))
-        ranks = ids.join(contrib, col("id") === col("dst"), "left")
-          .select(col("id"), coalesce(col("in_r"), lit(0).cast("decimal(28,18)")).as("r"))
-      }
-      ranks
-    }
+    time("pagerank_inflated")(
+      graft.operators.Graph.pageRankImpl(
+        docsK.select(col("doc_id"), col("lang"), col("source"))))
 
     // Triangle counting at ×K: cloned orders repeat the same part
     // pairs, so the DISTINCT edge set is unchanged while the pair
@@ -144,31 +128,11 @@ object ScaleRehearsal {
     // at-scale cost center (edge extraction from a fact table dwarfs
     // the wedge join once edges are deduped). Proves that phase
     // scales linearly.
-    time("triangles_inflated") {
-      val liShard = li.where(pmod(col("l_orderkey"), lit(5)) === 0)
-        .select(col("l_orderkey"), col("l_partkey"))
-      val e0 = liShard.as("a").join(liShard.as("b"), Seq("l_orderkey"))
-        .where(col("a.l_partkey") < col("b.l_partkey"))
-        .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v")).distinct()
-      val deg = e0.select(col("u").as("k")).unionAll(e0.select(col("v")))
-        .groupBy(col("k")).agg(count(lit(1)).as("d"))
-      val e = e0
-        .join(deg.withColumnRenamed("k", "u").withColumnRenamed("d", "du"), "u")
-        .join(deg.withColumnRenamed("k", "v").withColumnRenamed("d", "dv"), "v")
-        .select(
-          when(struct(col("du"), col("u")) < struct(col("dv"), col("v")), col("u"))
-            .otherwise(col("v")).as("s"),
-          when(struct(col("du"), col("u")) < struct(col("dv"), col("v")), col("v"))
-            .otherwise(col("u")).as("t"),
-          when(struct(col("du"), col("u")) < struct(col("dv"), col("v")), col("dv"))
-            .otherwise(col("du")).as("dt"))
-        .localCheckpoint()
-      e.as("x").join(e.as("y"),
-          col("x.s") === col("y.s") &&
-            struct(col("x.dt"), col("x.t")) < struct(col("y.dt"), col("y.t")))
-        .select(col("x.s").as("a"), col("x.t").as("b"), col("y.t").as("c"))
-        .join(e.select(col("s").as("b"), col("t").as("c")), Seq("b", "c"), "left_semi")
-    }
+    time("triangles_inflated")(
+      graft.operators.Graph.trianglesImpl(
+        li.where(pmod(col("l_orderkey"), lit(5)) === 0)
+          .select(col("l_orderkey"), col("l_partkey"))))
+
     spark.stop()
   }
 }

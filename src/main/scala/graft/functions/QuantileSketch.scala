@@ -23,7 +23,14 @@ import org.apache.spark.sql.expressions.Aggregator
 class QuantileSketch(k: Int, q: Double)
     extends Aggregator[(Long, Double), Seq[(Long, Long, Double)], Option[Double]] {
 
-  private def hash(id: Long): Long = (id * 2654435761L) & 0xffffffffL
+  /** Portable hash expressible in DuckDB BIGINT arithmetic WITHOUT
+    * overflow at any fixture scale: the id is reduced mod a prime
+    * first, so the multiply stays ≤ 1000003·2654435761 ≈ 2.7e15 —
+    * DuckDB raises on 64-bit overflow (it doesn't wrap like the JVM),
+    * so `id * 2654435761` directly would error once ids pass ~3.5e9.
+    * Collisions from the mod are broken by the (hash, id) ordering.
+    */
+  private def hash(id: Long): Long = ((id % 1000003L) * 2654435761L) & 0xffffffffL
 
   override def zero: Seq[(Long, Long, Double)] = Nil
 

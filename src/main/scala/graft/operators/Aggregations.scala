@@ -412,7 +412,7 @@ object Aggregations {
         |  FROM lineitem),
         |counts AS (SELECT l_returnflag, count(*) AS n FROM t GROUP BY l_returnflag),
         |h AS (SELECT l_returnflag, id, v,
-        |  (id * 2654435761) % 4294967296 AS h FROM t),
+        |  ((id % 1000003) * 2654435761) % 4294967296 AS h FROM t),
         |samp AS (SELECT l_returnflag, v,
         |  row_number() OVER (PARTITION BY l_returnflag ORDER BY h, id) AS rk FROM h),
         |keep AS (SELECT l_returnflag, v FROM samp WHERE rk <= 128),

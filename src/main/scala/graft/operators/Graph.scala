@@ -173,10 +173,15 @@ object Graph {
     * (pregel-style message passing as joins); 3 fixed iterations keep
     * the oracle expressible as chained CTEs.
     */
-  def pageRank(s: SparkSession, dir: String): DataFrame = {
+  def pageRank(s: SparkSession, dir: String): DataFrame =
+    pageRankImpl(Tables.documents(s, dir).select(col("doc_id"), col("lang"), col("source")))
+
+  /** Parameterized core shared with ScaleRehearsal (pagerank_inflated)
+    * so the rehearsal measures THIS algorithm, not a copy.
+    */
+  private[graft] def pageRankImpl(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     val d28 = DecimalType(28, 18)
-    val docs = Tables.documents(s, dir).select(col("doc_id"), col("lang"), col("source"))
     val reps = docs.groupBy(col("lang"), col("source")).agg(min(col("doc_id")).as("rep"))
     val firstRow = docs.agg(min(col("doc_id")).as("g"), count(lit(1)).as("n")).head
     val (gmin, n) = (firstRow.getLong(0), firstRow.getLong(1))
@@ -223,10 +228,16 @@ object Graph {
     * triangles with the naive id-ordered a<b<c 3-way self-join: two
     * structurally different algorithms, one answer.
     */
-  def triangles(s: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(s, dir)
+  def triangles(s: SparkSession, dir: String): DataFrame =
+    trianglesImpl(Tables.lineitem(s, dir)
       .where(pmod(col("l_orderkey"), lit(5)) === 0)
-      .select(col("l_orderkey"), col("l_partkey"))
+      .select(col("l_orderkey"), col("l_partkey")))
+
+  /** Parameterized core shared with ScaleRehearsal (triangles_inflated)
+    * so the rehearsal measures THIS algorithm, not a copy. `li` is any
+    * (l_orderkey, l_partkey) co-occurrence frame.
+    */
+  private[graft] def trianglesImpl(li: DataFrame): DataFrame = {
     val e0 = li.as("a").join(li.as("b"), Seq("l_orderkey"))
       .where(col("a.l_partkey") < col("b.l_partkey"))
       .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))

@@ -52,10 +52,26 @@ object Snapshot {
   import org.json4s.jackson.Serialization
   private implicit val fmts: Formats = Serialization.formats(NoTypeHints)
 
+  /** Atomic swap: the manifest is written to a temp sibling and
+    * renamed into place (rename is atomic on HDFS/local FS), so a
+    * reader sees the old manifest or the new one — never a truncated
+    * in-progress file. Writing with overwrite=true directly would
+    * destroy the live manifest the instant the stream opens. Hadoop
+    * rename won't replace an existing destination, so the old file is
+    * deleted first: that narrows the failure window to a transient
+    * manifest-not-found (a clean, retryable error) instead of a
+    * permanently corrupt half-written JSON; an object-store deployment
+    * would use a conditional PUT here instead.
+    */
   def writeManifest(s: SparkSession, root: String, m: Manifest): Unit = {
+    val f = fs(s, root)
     val p = manifestPath(root, m.tag)
-    val out = fs(s, root).create(p, true)
+    val tmp = new Path(p.getParent, s".${p.getName}.tmp-${java.util.UUID.randomUUID()}")
+    val out = f.create(tmp, false)
     try out.write(Serialization.write(m).getBytes("UTF-8")) finally out.close()
+    if (f.exists(p)) f.delete(p, false) // local RawLocalFileSystem rename won't replace
+    if (!f.rename(tmp, p))
+      throw new java.io.IOException(s"manifest commit failed: rename $tmp -> $p")
   }
 
   def readManifest(s: SparkSession, root: String, tag: String): Manifest = {

@@ -84,14 +84,18 @@ class SnapshotSource extends TableProvider {
       case Some(entry) =>
         SnapshotTable(table, schema, entry.files,
           entry.files.map(_.size).sum, entry.rows, root, tag)
-      case None => SnapshotTable(table, schema, Nil, 0L, 0L, root, tag)
+      // write target only: reading it must still fail loudly (see
+      // newScanBuilder) — a typo'd tag/table on a READ that happens to
+      // carry the schema option must not become a silent empty result
+      case None => SnapshotTable(table, schema, Nil, 0L, 0L, root, tag, existed = false)
     }
   }
 }
 
 case class SnapshotTable(tableName: String, tableSchema: StructType,
                          files: Seq[Snapshot.FileEntry],
-                         totalBytes: Long, rows: Long, root: String = "", tag: String = "")
+                         totalBytes: Long, rows: Long, root: String = "", tag: String = "",
+                         existed: Boolean = true)
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite {
   import org.apache.spark.sql.connector.write._
@@ -100,8 +104,11 @@ case class SnapshotTable(tableName: String, tableSchema: StructType,
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE)
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    if (!existed) throw new IllegalArgumentException(
+      s"table $tableName not in snapshot $tag — it exists only as a write target")
     new SnapshotScanBuilder(tableSchema, files, totalBytes, rows)
+  }
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new SnapshotWriteBuilder(root, tag, tableName, info)
 }
@@ -682,10 +689,13 @@ case class SnapshotBatchWrite(root: String, tag: String, table: String,
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     SnapshotWriterFactory(s"$root/$tag/$table", schemaJson)
 
-  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+  override def commit(messages: Array[WriterCommitMessage]): Unit = SnapshotBatchWrite.commitLock.synchronized {
     val s = SparkSession.active
     val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
-    val committed = messages.collect { case m: SnapshotCommitMessage => m }
+    // rows == 0 partials never opened a file (lazy writer) — drop them
+    // so empty partitions / empty micro-batches don't accrete 0-row
+    // files (and scan partitions) in the manifest forever
+    val committed = messages.collect { case m: SnapshotCommitMessage if m.rows > 0 => m }
     val prior =
       try Some(Snapshot.readManifest(s, root, tag))
       catch { case _: java.io.FileNotFoundException => None }
@@ -706,6 +716,17 @@ case class SnapshotBatchWrite(root: String, tag: String, table: String,
       p.getFileSystem(conf).delete(p, false)
     }
   }
+}
+
+object SnapshotBatchWrite {
+  /** Serializes the manifest read-modify-write of commit() within this
+    * JVM, so parallel writers in one application (e.g. two streaming
+    * queries appending to the same table) cannot lose each other's
+    * files. Cross-application coordination needs a conditional-PUT /
+    * lock service and is documented out of scope (single-writer-per-
+    * table deployment assumption, like early Delta on S3).
+    */
+  private[sources] val commitLock = new Object
 }
 
 case class SnapshotCommitMessage(path: String, size: Long, rows: Long,
@@ -732,8 +753,11 @@ class SnapshotDataWriter(dir: String, partitionId: Int, taskId: Long, schema: St
   import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
   import org.apache.parquet.io.api.Binary
 
+  // partitionId+taskId dedup retries within one application; the UUID
+  // makes names collision-free across applications appending to the
+  // same table from fresh JVMs (where taskIds restart at 0)
   private val path = new org.apache.hadoop.fs.Path(
-    f"$dir/part-$partitionId%05d-$taskId.parquet")
+    f"$dir/part-$partitionId%05d-$taskId-${java.util.UUID.randomUUID()}.parquet")
   private val conf = new Configuration()
 
   private val parquetSchema: MessageType = {
@@ -765,7 +789,9 @@ class SnapshotDataWriter(dir: String, partitionId: Int, taskId: Long, schema: St
     b.named("spark_schema")
   }
 
-  private val writer = {
+  // opened on the first row: an empty partition must leave NO file
+  // behind (its commit message is dropped by BatchWrite.commit)
+  private lazy val writer = {
     org.apache.parquet.hadoop.example.GroupWriteSupport.setSchema(parquetSchema, conf)
     org.apache.parquet.hadoop.example.ExampleParquetWriter
       .builder(org.apache.parquet.hadoop.util.HadoopOutputFile.fromPath(path, conf))
@@ -819,6 +845,7 @@ class SnapshotDataWriter(dir: String, partitionId: Int, taskId: Long, schema: St
   }
 
   override def commit(): org.apache.spark.sql.connector.write.WriterCommitMessage = {
+    if (rows == 0) return SnapshotCommitMessage(path.toString, 0L, 0L)
     writer.close()
     val fs = path.getFileSystem(conf)
     val stats = statMin.keys.map(i => schema.fields(i).name ->
@@ -826,7 +853,7 @@ class SnapshotDataWriter(dir: String, partitionId: Int, taskId: Long, schema: St
     SnapshotCommitMessage(path.toString, fs.getFileStatus(path).getLen, rows, stats)
   }
 
-  override def abort(): Unit = {
+  override def abort(): Unit = if (rows > 0) {
     try writer.close() catch { case _: Exception => () }
     path.getFileSystem(conf).delete(path, false)
   }

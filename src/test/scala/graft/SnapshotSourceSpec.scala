@@ -361,5 +361,16 @@ class SnapshotSourceSpec extends SparkSpec {
     intercept[Exception] {
       spark.read.format("graft.sources.SnapshotSource").option("root", root).load()
     }
+    // a READ of a missing table must fail even when a schema option is
+    // present (the write-creation channel) — never a silent empty scan
+    val e2 = intercept[Exception] {
+      spark.read.format("graft.sources.SnapshotSource")
+        .option("root", root).option("tag", "t1").option("table", "nope")
+        .option("schema", Tables.nation(spark, sf).schema.json).load()
+        .count()
+    }
+    val chain2 = Iterator.iterate(e2: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString("|")
+    assert(chain2.contains("write target"), chain2)
   }
 }

@@ -1,0 +1,221 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** §2.14 (round-4, session 3) frontier/statistics operators: Pareto
+  * skyline, per-group mode, PMI collocations, and a fully-oracled
+  * count-min sketch. Shared discipline as the rest of the engine:
+  * shuffles only on real keys, tiny derived tables broadcast back,
+  * doubles never aggregated raw, every output totally ordered.
+  */
+object Frontier {
+
+  /** 2-D Pareto skyline of the part table (minimize p_retailprice,
+    * maximize p_size): a part is dominated if some other part is
+    * no-worse in both dimensions and strictly better in one.
+    *
+    * NOT the quadratic NOT-EXISTS self-join (that's the oracle's
+    * formulation): a 2-D skyline is a running-max scan over the
+    * price-sorted *distinct-price* maxima —
+    *   1. groupBy(price) → max(size): map-side combinable, ONE
+    *      exchange, collapses the fact table to |distinct prices|;
+    *   2. running max of size over strictly-cheaper prices on that
+    *      collapsed table (a single small-partition window — the
+    *      collapsed table is dimension-sized, not fact-sized);
+    *   3. a part survives iff its (price, size) equals a surviving
+    *      (price, max-size) pair — broadcast semi join back, so the
+    *      fact table is scanned exactly twice and never self-joined.
+    * Parts tied on both dimensions don't dominate each other
+    * (dominance needs one strict inequality), so all of them survive
+    * — exactly what the pair semi-join yields.
+    */
+  def skyline(s: SparkSession, dir: String): DataFrame = {
+    val part = Tables.part(s, dir)
+    val perPrice = part.groupBy(col("p_retailprice"))
+      .agg(max(col("p_size")).as("msize"))
+    val prev = Window.orderBy(col("p_retailprice"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val frontier = perPrice
+      .withColumn("prevmax", max(col("msize")).over(prev))
+      .where(col("prevmax").isNull || col("msize") > col("prevmax"))
+      .select(col("p_retailprice").as("f_price"), col("msize"))
+    part.join(broadcast(frontier),
+        col("p_retailprice") === col("f_price") && col("p_size") === col("msize"),
+        "left_semi")
+      .select(col("p_partkey"), col("p_name"), col("p_retailprice"), col("p_size"))
+      .orderBy("p_partkey")
+  }
+
+  /** Per-group mode: the most frequent nation within each market
+    * segment, ties broken toward the smallest nation key. Two
+    * map-side-combinable aggregates and zero windows — the mode is an
+    * argmax over (count, key) expressed as `min(struct(-cnt, key))`,
+    * the same struct-ordering trick as q_agg_argmin, so no per-group
+    * row_number sort materializes at any scale.
+    */
+  def aggMode(s: SparkSession, dir: String): DataFrame = {
+    val cnts = Tables.customer(s, dir)
+      .groupBy(col("c_mktsegment"), col("c_nationkey"))
+      .agg(count(lit(1)).as("cnt"))
+    cnts.groupBy(col("c_mktsegment"))
+      .agg(
+        min(struct((-col("cnt")).as("neg"), col("c_nationkey").as("nk"))).as("m"),
+        sum(col("cnt")).as("n_customers"))
+      .select(
+        col("c_mktsegment"),
+        col("m.nk").as("mode_nation"),
+        (-col("m.neg")).as("mode_cnt"),
+        col("n_customers"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** PMI collocations: bigrams whose parts co-occur far more than
+    * their unigram frequencies predict — the classic phrase-mining /
+    * tokenizer-vocabulary signal. pmi(x,y) = ln( p(xy) / (p(x)p(y)) )
+    * over corpus unigram/bigram distributions; top 20 by PMI.
+    *
+    * Scale: one exchange for unigram counts, one for bigram counts
+    * (both map-side combinable); the bigram→unigram probability joins
+    * SHUFFLE on the token (corpus vocabularies don't broadcast — same
+    * rule as q_text_lm_score); the two 1-row totals DO broadcast. The
+    * ln() is computed in float64 with identical op order on both
+    * engines and rounded to DECIMAL(18,9), so ordering and hashing
+    * are ulp-stable; the final cut is TakeOrderedAndProject on
+    * (pmi desc, bigram) — a total order, no bounded-size global sort.
+    */
+  def collocations(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.BigramGenerator.register(s)
+    val docs = Tables.documents(s, dir)
+      .select(expr("filter(split(text, ' '), t -> t != '')").as("ts"))
+    val uni = docs.select(explode(col("ts")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("ucnt"))
+    val utot = uni.agg(sum(col("ucnt")).cast("double").as("t"))
+    val btot = docs.agg(
+      sum(greatest(size(col("ts")) - 1, lit(0))).cast("double").as("tb"))
+    val bi = docs.select(expr("bigrams(ts)"))
+      .groupBy(col("bigram")).agg(count(lit(1)).as("bcnt"))
+      .where(col("bcnt") >= 3)
+      .withColumn("x", expr("split_part(bigram, ' ', 1)"))
+      .withColumn("y", expr("split_part(bigram, ' ', 2)"))
+    val ux = uni.select(col("tok").as("x"), col("ucnt").as("ux"))
+    val uy = uni.select(col("tok").as("y"), col("ucnt").as("uy"))
+    bi.join(ux, "x").join(uy, "y")
+      .crossJoin(broadcast(utot)).crossJoin(broadcast(btot))
+      .withColumn("pmi",
+        log((col("bcnt").cast("double") / col("tb")) /
+          ((col("ux").cast("double") / col("t")) * (col("uy").cast("double") / col("t"))))
+          .cast("decimal(18,9)").cast("double"))
+      .select(col("bigram"), col("bcnt"), col("pmi"))
+      .orderBy(desc("pmi"), asc("bigram"))
+      .limit(20)
+  }
+
+  /** Count-min heavy hitters with the sketch's own estimates: build
+    * one d×w count-min grid over ALL events (6 KB regardless of input
+    * size — the O(1)-memory frequency pass), then report, for every
+    * user whose exact count clears the heavy-hitter bar, the exact
+    * count next to the sketch estimate. est ≥ exact always (counters
+    * only overcount); FrontierSpec proves the inequality, grid
+    * layout-independence, and the exact-replay equality.
+    *
+    * Scale: the sketch aggregate is a single partial+final agg whose
+    * state never exceeds d·w counters per partial; the exact groupBy
+    * is the |users| exchange any heavy-hitter report needs; the 1-row
+    * sketch broadcasts onto the qualified users for estimation — at
+    * 100 TB the sketch pass can run WITHOUT the exact pass to find
+    * candidate keys first (the classic two-phase heavy-hitter plan).
+    */
+  def aggCountmin(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.CountMin
+    val cmsAgg = udaf(new CountMin)
+    val ev = Tables.events(s, dir)
+    val sketch = ev.agg(cmsAgg(col("user_id")).as("sk"))
+    val exact = ev.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("exact_cnt"))
+      .where(col("exact_cnt") >= 20)
+    // row-j estimate: grid[j*W + ((uid*A_j + B_j) mod P) mod W] (1-based element_at)
+    def cell(j: Int): Column = element_at(col("sk"),
+      lit(j * CountMin.W + 1) +
+        pmod(pmod(col("user_id") * CountMin.A(j) + CountMin.B(j), lit(CountMin.P)),
+          lit(CountMin.W.toLong)).cast("int"))
+    exact.crossJoin(broadcast(sketch))
+      .withColumn("est_cnt", least(cell(0), cell(1), cell(2)))
+      .select(col("user_id"), col("exact_cnt"), col("est_cnt"))
+      .orderBy("user_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_skyline" -> skyline,
+    "q_agg_mode" -> aggMode,
+    "q_text_collocations" -> collocations,
+    "q_agg_countmin" -> aggCountmin)
+
+  val oracle: Map[String, String] = Map(
+    "q_skyline" ->
+      """SELECT p_partkey, p_name, p_retailprice, p_size
+        |FROM part a
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM part b
+        |  WHERE b.p_retailprice <= a.p_retailprice AND b.p_size >= a.p_size
+        |    AND (b.p_retailprice < a.p_retailprice OR b.p_size > a.p_size))
+        |ORDER BY p_partkey""".stripMargin,
+    "q_agg_mode" ->
+      """WITH c AS (
+        |  SELECT c_mktsegment, c_nationkey, count(*) AS cnt
+        |  FROM customer GROUP BY c_mktsegment, c_nationkey),
+        |r AS (
+        |  SELECT c_mktsegment, c_nationkey, cnt,
+        |    CAST(sum(cnt) OVER (PARTITION BY c_mktsegment) AS BIGINT) AS tot,
+        |    row_number() OVER (PARTITION BY c_mktsegment
+        |                       ORDER BY cnt DESC, c_nationkey) AS rn
+        |  FROM c)
+        |SELECT c_mktsegment, c_nationkey AS mode_nation, cnt AS mode_cnt,
+        |  tot AS n_customers
+        |FROM r WHERE rn = 1 ORDER BY c_mktsegment""".stripMargin,
+    "q_text_collocations" ->
+      """WITH tk AS (
+        |  SELECT list_filter(string_split(text, ' '), t -> t <> '') AS ts
+        |  FROM documents),
+        |u AS (
+        |  SELECT tok, count(*) AS ucnt
+        |  FROM (SELECT unnest(ts) AS tok FROM tk) GROUP BY tok),
+        |ut AS (SELECT CAST(sum(ucnt) AS DOUBLE) AS t FROM u),
+        |bt AS (SELECT CAST(sum(greatest(len(ts) - 1, 0)) AS DOUBLE) AS tb FROM tk),
+        |b AS (
+        |  SELECT bigram, count(*) AS bcnt
+        |  FROM (SELECT unnest(list_transform(range(1, len(ts)),
+        |          i -> ts[i] || ' ' || ts[i + 1])) AS bigram FROM tk)
+        |  GROUP BY bigram HAVING count(*) >= 3)
+        |SELECT bigram, bcnt,
+        |  CAST(CAST(ln((CAST(bcnt AS DOUBLE) / tb) /
+        |    ((CAST(ux.ucnt AS DOUBLE) / t) * (CAST(uy.ucnt AS DOUBLE) / t)))
+        |    AS DECIMAL(18,9)) AS DOUBLE) AS pmi
+        |FROM b
+        |JOIN u ux ON split_part(bigram, ' ', 1) = ux.tok
+        |JOIN u uy ON split_part(bigram, ' ', 2) = uy.tok
+        |CROSS JOIN ut CROSS JOIN bt
+        |ORDER BY pmi DESC, bigram
+        |LIMIT 20""".stripMargin,
+    "q_agg_countmin" ->
+      """WITH c AS (
+        |  SELECT user_id, count(*) AS exact_cnt FROM events GROUP BY user_id),
+        |h AS (
+        |  SELECT user_id, exact_cnt, j,
+        |    ((user_id * (CASE j WHEN 0 THEN 48271 WHEN 1 THEN 69621 ELSE 40692 END)
+        |      + (CASE j WHEN 0 THEN 11 WHEN 1 THEN 23 ELSE 37 END))
+        |     % 1000003) % 256 AS b
+        |  FROM c CROSS JOIN (SELECT unnest([0, 1, 2]) AS j)),
+        |bs AS (
+        |  SELECT j, b, CAST(sum(exact_cnt) AS BIGINT) AS s
+        |  FROM h GROUP BY j, b),
+        |est AS (
+        |  SELECT user_id, min(s) AS est_cnt FROM h JOIN bs USING (j, b)
+        |  GROUP BY user_id)
+        |SELECT c.user_id, c.exact_cnt, e.est_cnt
+        |FROM c JOIN est e USING (user_id)
+        |WHERE c.exact_cnt >= 20
+        |ORDER BY user_id""".stripMargin)
+}

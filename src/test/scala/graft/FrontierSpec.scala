@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Round-4 session-3 operator invariants: Pareto skyline (window
+  * algorithm ≡ quadratic definition), per-group mode, PMI
+  * collocations, and the count-min sketch (overcount bound, partition
+  * layout independence, exact grid replay).
+  */
+class FrontierSpec extends SparkSpec {
+
+  test("skyline: running-max algorithm equals the quadratic dominance definition") {
+    val fast = q("q_skyline").cache()
+    val part = Tables.part(spark, sf)
+      .select("p_partkey", "p_name", "p_retailprice", "p_size")
+    // naive: a point survives iff no dominator exists (the oracle's shape)
+    val dominated = part.as("a").join(part.as("b"),
+      col("b.p_retailprice") <= col("a.p_retailprice") &&
+        col("b.p_size") >= col("a.p_size") &&
+        (col("b.p_retailprice") < col("a.p_retailprice") ||
+          col("b.p_size") > col("a.p_size")), "left_semi")
+    val naive = part.except(dominated)
+    assert(fast.count() > 0)
+    assert(fast.except(naive).count() == 0 && naive.except(fast).count() == 0)
+    // no skyline point dominates another (mutual non-dominance)
+    val inner = fast.as("a").join(fast.as("b"),
+      col("b.p_retailprice") <= col("a.p_retailprice") &&
+        col("b.p_size") >= col("a.p_size") &&
+        (col("b.p_retailprice") < col("a.p_retailprice") ||
+          col("b.p_size") > col("a.p_size")))
+    assert(inner.count() == 0)
+  }
+
+  test("mode: reported count is the segment max; customers conserved") {
+    val df = q("q_agg_mode").cache()
+    val cnts = Tables.customer(spark, sf)
+      .groupBy("c_mktsegment", "c_nationkey").agg(count(lit(1)).as("cnt"))
+    val maxes = cnts.groupBy("c_mktsegment").agg(max("cnt").as("mx"))
+    assert(df.join(maxes, "c_mktsegment")
+      .where(col("mode_cnt") =!= col("mx")).count() == 0)
+    assert(df.agg(sum("n_customers")).head.getLong(0) ==
+      Tables.customer(spark, sf).count())
+    // the reported nation really has that count in that segment
+    assert(df.join(cnts,
+      df("c_mktsegment") === cnts("c_mktsegment") &&
+        df("mode_nation") === cnts("c_nationkey") &&
+        df("mode_cnt") === cnts("cnt"), "left_anti").count() == 0)
+  }
+
+  test("collocations: top-20 cut is totally ordered, counts clear the floor") {
+    val rows = q("q_text_collocations").collect()
+    assert(rows.length > 0 && rows.length <= 20)
+    assert(rows.forall(_.getLong(1) >= 3))
+    // (pmi desc, bigram asc) is a strict total order — engine-deterministic
+    val keys = rows.map(r => (-r.getDouble(2), r.getString(0)))
+    assert(keys.sameElements(keys.sorted))
+    assert(keys.distinct.length == keys.length)
+  }
+
+  test("countmin: estimates never undercount and replay the exact grid") {
+    val df = q("q_agg_countmin").cache()
+    assert(df.count() > 0)
+    assert(df.where(col("est_cnt") < col("exact_cnt")).count() == 0)
+    // replay: est = min over rows j of (sum of counts of keys sharing bucket j)
+    import graft.functions.CountMin
+    val counts = Tables.events(spark, sf)
+      .groupBy("user_id").agg(count(lit(1)).as("cnt"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = counts.map { case (u, _) =>
+      u -> (0 until CountMin.D).map { j =>
+        val b = CountMin.bucket(j, u)
+        counts.collect { case (v, c) if CountMin.bucket(j, v) == b => c }.sum
+      }.min
+    }
+    df.collect().foreach { r =>
+      assert(r.getLong(2) == expected(r.getLong(0)),
+        s"user ${r.getLong(0)}: est ${r.getLong(2)} != replay ${expected(r.getLong(0))}")
+    }
+  }
+
+  test("countmin: sketch grid is partition-layout independent") {
+    import graft.functions.CountMin
+    val agg = udaf(new CountMin)
+    val ev = Tables.events(spark, sf).select("user_id")
+    val grids = Seq(1, 4, 13).map { n =>
+      ev.repartition(n).agg(agg(col("user_id"))).head.getSeq[Long](0)
+    }
+    assert(grids.forall(_ == grids.head))
+  }
+}

@@ -24,7 +24,7 @@ object SparkEntry {
       SimilarityOps.queries ++ NearDup.queries ++ Multimodal.queries ++
       Analytics.queries ++ Compaction.queries ++ Graph.queries ++
       Composite.queries ++ Merge.queries ++ Corpus.queries ++
-      Frontier.queries ++
+      Frontier.queries ++ Clustering.queries ++
       graft.streaming.StreamingQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -36,6 +36,6 @@ object SparkEntry {
       SimilarityOps.oracle ++ NearDup.oracle ++ Multimodal.oracle ++
       Analytics.oracle ++ Compaction.oracle ++ Graph.oracle ++
       Composite.oracle ++ Merge.oracle ++ Corpus.oracle ++
-      Frontier.oracle ++
+      Frontier.oracle ++ Clustering.oracle ++
       graft.streaming.StreamingQueries.oracle
 }

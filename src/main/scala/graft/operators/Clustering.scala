@@ -1,0 +1,134 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** §2.14 (round-4, session 3) deterministic k-means over the
+  * embeddings table — the clustering stage of a training-data
+  * pipeline (corpus bucketing, PQ codebook training, topic sharding).
+  *
+  * Engine-portable determinism is the whole design: float math makes
+  * k-means irreproducible across engines AND across partition layouts
+  * (sum order perturbs centroids), so every step here is exact
+  * integer arithmetic — coordinates quantize once to
+  * `round(x·1e6 + 2e6)` (the +2e6 shift keeps values positive, so
+  * floor-division and truncating division agree between engines),
+  * distances are exact integer sums of squares (≤7.2e13 at dim 64,
+  * far inside BIGINT), centroid updates are integer mean (`div`), and
+  * the assignment argmin breaks ties by centroid id. The result is a
+  * pure function of the value SET — identical on any executor count
+  * (ClusteringSpec proves it) and replayable by DuckDB in plain SQL,
+  * which makes this a fully ORACLED clustering, not a seeded one.
+  *
+  * Scale shape (the feature-parallel SQL formulation): points explode
+  * to (vec, dim, q) once; each Lloyd iteration is the k×dim centroid
+  * table BROADCAST onto the points (centroids are always tiny), a
+  * map-side-combinable (vec, cid) partial-distance agg — the explode
+  * ×k blowup collapses BEFORE the shuffle — then an argmin-by-struct
+  * and a (cid, dim) mean agg: two exchanges per iteration, none of
+  * them fact×fact. Init is the first k vectors by id (deterministic,
+  * no RNG). The float-native twin (codegen float_dot, used by the
+  * q_sim_* family) is faster per op but not bit-reproducible; this is
+  * the auditable path.
+  */
+object Clustering {
+
+  private val K = 4
+  private val Iters = 2
+
+  /** (vec_id, d, q): coordinates quantized to exact positive BIGINTs. */
+  private[graft] def points(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "x")))
+      .select(col("vec_id"), col("d"),
+        round(col("x").cast("double") * 1000000.0 + 2000000.0).cast("long").as("q"))
+
+  /** Initial centroids: the K lowest vec_ids, cid = their rank. */
+  private[graft] def initCentroids(s: SparkSession, dir: String): DataFrame = {
+    val ids = Tables.embeddings(s, dir)
+      .select("vec_id").orderBy("vec_id").limit(K)
+      .withColumn("cid", row_number().over(Window.orderBy("vec_id")) - 1)
+    points(s, dir).join(broadcast(ids), "vec_id")
+      .select(col("cid"), col("d"), col("q").as("c"))
+  }
+
+  /** Assign each vector to its nearest centroid (exact integer
+    * distance, ties to the lower cid). Emits (vec_id, cid, dist).
+    */
+  private[graft] def assign(pts: DataFrame, cent: DataFrame): DataFrame =
+    pts.join(broadcast(cent), "d")
+      .groupBy(col("vec_id"), col("cid"))
+      .agg(sum((col("q") - col("c")) * (col("q") - col("c"))).as("dist"))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("dist"), col("cid"))).as("m"))
+      .select(col("vec_id"), col("m.cid").as("cid"), col("m.dist").as("dist"))
+
+  /** Integer-mean centroid update (positive sums, so floor == trunc). */
+  private[graft] def update(pts: DataFrame, asg: DataFrame): DataFrame =
+    pts.join(asg.select("vec_id", "cid"), "vec_id")
+      .groupBy(col("cid"), col("d"))
+      .agg(expr("sum(q) div count(1)").as("c"))
+
+  /** Final per-cluster report: size + exact quantized inertia. */
+  def clusterKmeans(s: SparkSession, dir: String): DataFrame = {
+    val pts = points(s, dir)
+    var cent = initCentroids(s, dir)
+    for (_ <- 1 to Iters) cent = update(pts, assign(pts, cent))
+    assign(pts, cent)
+      .groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_vecs"), sum(col("dist")).as("inertia_q"))
+      .orderBy("cid")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cluster_kmeans" -> clusterKmeans)
+
+  val oracle: Map[String, String] = Map(
+    "q_cluster_kmeans" ->
+      """WITH pts AS (
+        |  SELECT vec_id, s.d AS d, s.q AS q FROM (
+        |    SELECT vec_id, unnest(list_transform(range(1, len(embedding) + 1),
+        |      i -> {'d': i, 'q': CAST(round(CAST(embedding[i] AS DOUBLE)
+        |                                    * 1000000.0 + 2000000.0) AS BIGINT)})) AS s
+        |    FROM embeddings)),
+        |init AS (
+        |  SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cid
+        |  FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 4)),
+        |c0 AS (SELECT cid, d, q AS c FROM pts JOIN init USING (vec_id)),
+        |a0 AS (
+        |  SELECT vec_id, cid, dist FROM (
+        |    SELECT vec_id, cid, dist,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+        |    FROM (SELECT p.vec_id, c.cid,
+        |            CAST(sum((p.q - c.c) * (p.q - c.c)) AS BIGINT) AS dist
+        |          FROM pts p JOIN c0 c USING (d) GROUP BY p.vec_id, c.cid))
+        |  WHERE rn = 1),
+        |c1 AS (
+        |  SELECT cid, d, CAST(sum(q) AS BIGINT) // count(*) AS c
+        |  FROM pts JOIN (SELECT vec_id, cid FROM a0) USING (vec_id)
+        |  GROUP BY cid, d),
+        |a1 AS (
+        |  SELECT vec_id, cid, dist FROM (
+        |    SELECT vec_id, cid, dist,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+        |    FROM (SELECT p.vec_id, c.cid,
+        |            CAST(sum((p.q - c.c) * (p.q - c.c)) AS BIGINT) AS dist
+        |          FROM pts p JOIN c1 c USING (d) GROUP BY p.vec_id, c.cid))
+        |  WHERE rn = 1),
+        |c2 AS (
+        |  SELECT cid, d, CAST(sum(q) AS BIGINT) // count(*) AS c
+        |  FROM pts JOIN (SELECT vec_id, cid FROM a1) USING (vec_id)
+        |  GROUP BY cid, d),
+        |a2 AS (
+        |  SELECT vec_id, cid, dist FROM (
+        |    SELECT vec_id, cid, dist,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+        |    FROM (SELECT p.vec_id, c.cid,
+        |            CAST(sum((p.q - c.c) * (p.q - c.c)) AS BIGINT) AS dist
+        |          FROM pts p JOIN c2 c USING (d) GROUP BY p.vec_id, c.cid))
+        |  WHERE rn = 1)
+        |SELECT cid, count(*) AS n_vecs, CAST(sum(dist) AS BIGINT) AS inertia_q
+        |FROM a2 GROUP BY cid ORDER BY cid""".stripMargin)
+}

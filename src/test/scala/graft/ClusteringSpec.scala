@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Clustering
+import graft.sources.Tables
+
+/** Deterministic k-means invariants: Lloyd monotonicity, vector
+  * conservation, and bit-identical results under any partition layout
+  * (the property float-math k-means cannot have).
+  */
+class ClusteringSpec extends SparkSpec {
+
+  test("kmeans: sizes conserve vectors; Lloyd iterations never increase inertia") {
+    val out = q("q_cluster_kmeans").cache()
+    val n = Tables.embeddings(spark, sf).count()
+    assert(out.agg(sum("n_vecs")).head.getLong(0) == n)
+    // inertia under init centroids >= inertia after 2 Lloyd rounds
+    val pts = Clustering.points(spark, sf).cache()
+    val a0 = Clustering.assign(pts, Clustering.initCentroids(spark, sf))
+    val i0 = a0.agg(sum("dist")).head.getLong(0)
+    val c1 = Clustering.update(pts, a0)
+    val i1 = Clustering.assign(pts, c1).agg(sum("dist")).head.getLong(0)
+    val iFinal = out.agg(sum("inertia_q")).head.getLong(0)
+    assert(i1 <= i0, s"first Lloyd round increased inertia: $i0 -> $i1")
+    assert(iFinal <= i1, s"second Lloyd round increased inertia: $i1 -> $iFinal")
+  }
+
+  test("kmeans: result is partition-layout independent") {
+    val base = q("q_cluster_kmeans").collect().toSeq
+    val pts = Clustering.points(spark, sf)
+    Seq(1, 7).foreach { parts =>
+      var cent = Clustering.initCentroids(spark, sf)
+      val shuffled = pts.repartition(parts)
+      for (_ <- 1 to 2) cent = Clustering.update(shuffled, Clustering.assign(shuffled, cent))
+      val out = Clustering.assign(shuffled, cent)
+        .groupBy(col("cid"))
+        .agg(count(lit(1)).as("n_vecs"), sum(col("dist")).as("inertia_q"))
+        .orderBy("cid").collect().toSeq
+      assert(out == base, s"layout $parts diverged")
+    }
+  }
+
+  test("kmeans: every vector is assigned to its genuinely nearest final centroid") {
+    // recompute distances naively on the driver from the quantized points
+    val pts = Clustering.points(spark, sf).collect()
+      .groupBy(_.getLong(0)).map { case (v, rows) =>
+        v -> rows.map(r => r.getInt(1) -> r.getLong(2)).toMap
+      }
+    var cent = Clustering.initCentroids(spark, sf)
+    val ptsDf = Clustering.points(spark, sf)
+    for (_ <- 1 to 2) cent = Clustering.update(ptsDf, Clustering.assign(ptsDf, cent))
+    val cents = cent.collect().groupBy(_.getInt(0)).map { case (c, rows) =>
+      c -> rows.map(r => r.getInt(1) -> r.getLong(2)).toMap
+    }
+    val asg = Clustering.assign(ptsDf, cent).collect()
+    asg.foreach { r =>
+      val (v, chosen, dist) = (r.getLong(0), r.getInt(1), r.getLong(2))
+      val dists = cents.map { case (c, cd) =>
+        c -> pts(v).map { case (d, qv) => val df = qv - cd(d); df * df }.sum
+      }
+      val best = dists.minBy { case (c, dd) => (dd, c) }
+      assert(best._1 == chosen && best._2 == dist,
+        s"vec $v: assigned $chosen@$dist, nearest is ${best._1}@${best._2}")
+    }
+  }
+}

@@ -147,11 +147,106 @@ object Frontier {
       .orderBy("user_id")
   }
 
+  /** Exact-moment Pearson correlation per group (quantity vs extended
+    * price within each return flag). The five moments are EXACT
+    * decimal sums — map-side-combinable, associative, one exchange —
+    * and only the final correlation formula runs in float64, with
+    * explicit parenthesization mirrored in the oracle so both engines
+    * execute the identical correctly-rounded op sequence, then a
+    * DECIMAL(9,6) presentation round. Spark's builtin `corr` keeps
+    * running double moments (partition-order-dependent); this is the
+    * deterministic formulation a regression-test pipeline needs.
+    */
+  def aggCorr(s: SparkSession, dir: String): DataFrame = {
+    val q = dec(col("l_quantity"))
+    val p = dec(col("l_extendedprice"))
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(q).as("sx"), sum(p).as("sy"),
+        sum(q * p).as("sxy"), sum(q * q).as("sxx"), sum(p * p).as("syy"))
+      .select(col("l_returnflag"), col("n"),
+        (((col("n") * col("sxy").cast("double") - col("sx").cast("double") * col("sy").cast("double")) /
+          (sqrt(col("n") * col("sxx").cast("double") - col("sx").cast("double") * col("sx").cast("double")) *
+            sqrt(col("n") * col("syy").cast("double") - col("sy").cast("double") * col("sy").cast("double"))))
+          .cast("decimal(9,6)").cast("double")).as("corr_qty_price"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Robust (median/MAD) outlier detection per event type — the
+    * heavy-tail-safe twin of q_anomaly_zscore: a value is anomalous if
+    * its absolute deviation from the group median exceeds 3× the
+    * median absolute deviation. Medians are LOWER medians (the
+    * ⌈n/2⌉-th order statistic) — an element of the data, no
+    * interpolation — so every comparison is on exact doubles and both
+    * engines agree bit-for-bit.
+    *
+    * Exact medians cost one per-group sort each (two total). That is
+    * the honest price of rank statistics at any scale: the window
+    * partitions on event_type so each group sorts independently, and
+    * the two tiny median tables broadcast back onto the fact. The
+    * O(1)-memory alternative when exactness isn't required is
+    * q_agg_sketch_quantile.
+    */
+  def anomalyMad(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("event_type"), col("value"))
+    def lowerMedian(df: DataFrame, valueCol: String, out: String): DataFrame = {
+      val w = Window.partitionBy(col("event_type")).orderBy(col(valueCol))
+      df.withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy(col("event_type"))))
+        .where(col("rn") === expr("(n + 1) div 2"))
+        .select(col("event_type"), col(valueCol).as(out))
+    }
+    val med = lowerMedian(ev, "value", "med")
+    val dev = ev.join(broadcast(med), "event_type")
+      .withColumn("dev", abs(col("value") - col("med")))
+    val mad = lowerMedian(dev.select(col("event_type"), col("dev")), "dev", "mad")
+    dev.join(broadcast(mad), "event_type")
+      .where(col("mad") > 0 && col("dev") > lit(3.0) * col("mad"))
+      .select(col("event_id"), col("event_type"), col("value"), col("med"), col("mad"))
+      .orderBy("event_id")
+  }
+
+  /** 2-D grid-binned distance self-join: pairs of parts within one
+    * size unit AND ten price units of each other, counted per brand —
+    * the spatial-join shape (points within radius r) that generalizes
+    * q_join_range_bin to two dimensions. Each part hashes to one
+    * (size, price÷10) grid cell; the probe side explodes to its 3×3
+    * neighbor cells, so candidate generation is a plain shuffled EQUI
+    * join on the cell key (9× one side, never the quadratic
+    * theta-join nested loop) and each true pair meets exactly once
+    * (the build row has exactly one cell). Exact band predicates +
+    * a < b ordering filter after the hash join.
+    */
+  def joinGrid2d(s: SparkSession, dir: String): DataFrame = {
+    val part = Tables.part(s, dir)
+      .select(col("p_partkey"), col("p_brand"), col("p_size"), col("p_retailprice"))
+    val build = part
+      .withColumn("cs", col("p_size"))
+      .withColumn("cp", floor(col("p_retailprice") / 10.0))
+    val probe = part.toDF(part.columns.map(_ + "_a"): _*)
+      .withColumn("cs", explode(array(col("p_size_a") - 1, col("p_size_a"), col("p_size_a") + 1)))
+      .withColumn("cp0", floor(col("p_retailprice_a") / 10.0))
+      .withColumn("cp", explode(array(col("cp0") - 1, col("cp0"), col("cp0") + 1)))
+    probe.join(build, Seq("cs", "cp"))
+      .where(col("p_partkey_a") < col("p_partkey") &&
+        abs(col("p_size_a") - col("p_size")) <= 1 &&
+        abs(col("p_retailprice_a") - col("p_retailprice")) <= 10.0)
+      .groupBy(col("p_brand_a").as("p_brand"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("p_brand")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_skyline" -> skyline,
     "q_agg_mode" -> aggMode,
     "q_text_collocations" -> collocations,
-    "q_agg_countmin" -> aggCountmin)
+    "q_agg_countmin" -> aggCountmin,
+    "q_agg_corr" -> aggCorr,
+    "q_anomaly_mad" -> anomalyMad,
+    "q_join_grid_2d" -> joinGrid2d)
 
   val oracle: Map[String, String] = Map(
     "q_skyline" ->
@@ -199,6 +294,47 @@ object Frontier {
         |CROSS JOIN ut CROSS JOIN bt
         |ORDER BY pmi DESC, bigram
         |LIMIT 20""".stripMargin,
+    "q_agg_corr" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  CAST(CAST(
+        |    (count(*) * CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |      - CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) * CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE))
+        |    / (sqrt(count(*) * CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |         - CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) * CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE))
+        |       * sqrt(count(*) * CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |         - CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) * CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)))
+        |  AS DECIMAL(9,6)) AS DOUBLE) AS corr_qty_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_anomaly_mad" ->
+      """WITH e AS (SELECT event_id, event_type, value FROM events),
+        |r AS (
+        |  SELECT event_type, value,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM e),
+        |med AS (SELECT event_type, value AS med FROM r WHERE rn = (n + 1) // 2),
+        |d AS (
+        |  SELECT e.event_id, e.event_type, e.value, med.med,
+        |    abs(e.value - med.med) AS dev
+        |  FROM e JOIN med USING (event_type)),
+        |r2 AS (
+        |  SELECT event_type, dev,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY dev) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM d),
+        |mad AS (SELECT event_type, dev AS mad FROM r2 WHERE rn = (n + 1) // 2)
+        |SELECT d.event_id, d.event_type, d.value, d.med, m.mad
+        |FROM d JOIN mad m USING (event_type)
+        |WHERE m.mad > 0 AND d.dev > 3.0 * m.mad
+        |ORDER BY d.event_id""".stripMargin,
+    "q_join_grid_2d" ->
+      """SELECT a.p_brand AS p_brand, count(*) AS n_pairs
+        |FROM part a JOIN part b
+        |  ON a.p_partkey < b.p_partkey
+        | AND abs(a.p_size - b.p_size) <= 1
+        | AND abs(a.p_retailprice - b.p_retailprice) <= 10.0
+        |GROUP BY a.p_brand
+        |ORDER BY p_brand""".stripMargin,
     "q_agg_countmin" ->
       """WITH c AS (
         |  SELECT user_id, count(*) AS exact_cnt FROM events GROUP BY user_id),

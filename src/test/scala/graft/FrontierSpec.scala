@@ -79,6 +79,58 @@ class FrontierSpec extends SparkSpec {
     }
   }
 
+  test("corr: coefficients lie in [-1, 1] and match a driver-side exact replay") {
+    val rows = q("q_agg_corr").collect()
+    assert(rows.nonEmpty)
+    // replay with exact BigDecimal moments per group
+    val data = Tables.lineitem(spark, sf)
+      .select("l_returnflag", "l_quantity", "l_extendedprice").collect()
+      .groupBy(_.getString(0))
+    rows.foreach { r =>
+      val c = r.getDouble(2)
+      assert(c >= -1.0 && c <= 1.0, s"${r.getString(0)}: corr $c out of range")
+      val g = data(r.getString(0))
+      def d2(v: Double) = BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+      val n = g.length.toDouble
+      val (sx, sy, sxy, sxx, syy) = g.foldLeft((BigDecimal(0), BigDecimal(0),
+        BigDecimal(0), BigDecimal(0), BigDecimal(0))) { case ((a, b, ab, aa, bb), row) =>
+        val (x, y) = (d2(row.getDouble(1)), d2(row.getDouble(2)))
+        (a + x, b + y, ab + x * y, aa + x * x, bb + y * y)
+      }
+      val expect = BigDecimal(
+        (n * sxy.toDouble - sx.toDouble * sy.toDouble) /
+          (math.sqrt(n * sxx.toDouble - sx.toDouble * sx.toDouble) *
+            math.sqrt(n * syy.toDouble - sy.toDouble * sy.toDouble)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(c == expect, s"${r.getString(0)}: engine $c != replay $expect")
+    }
+  }
+
+  test("mad: flagged deviations exceed 3*mad; median is a group element") {
+    val df = q("q_anomaly_mad").cache()
+    assert(df.count() > 0)
+    assert(df.where(abs(col("value") - col("med")) <= lit(3.0) * col("mad")).count() == 0)
+    // med really occurs as a value of its group
+    val ev = Tables.events(spark, sf).select("event_type", "value")
+    assert(df.select("event_type", "med").distinct()
+      .join(ev, df("event_type") === ev("event_type") && col("med") === col("value"), "left_anti")
+      .count() == 0)
+  }
+
+  test("grid join: banded equi-join equals the quadratic theta join") {
+    val fast = q("q_join_grid_2d")
+    val part = Tables.part(spark, sf)
+      .select("p_partkey", "p_brand", "p_size", "p_retailprice")
+    val naive = part.as("a").join(part.as("b"),
+        col("a.p_partkey") < col("b.p_partkey") &&
+          abs(col("a.p_size") - col("b.p_size")) <= 1 &&
+          abs(col("a.p_retailprice") - col("b.p_retailprice")) <= 10.0)
+      .groupBy(col("a.p_brand").as("p_brand"))
+      .agg(count(lit(1)).as("n_pairs"))
+    assert(fast.count() > 0)
+    assert(fast.except(naive).count() == 0 && naive.except(fast).count() == 0)
+  }
+
   test("countmin: sketch grid is partition-layout independent") {
     import graft.functions.CountMin
     val agg = udaf(new CountMin)

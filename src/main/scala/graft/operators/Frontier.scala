@@ -239,7 +239,24 @@ object Frontier {
       .orderBy("p_brand")
   }
 
+  /** Exact distinct users per event type via the mergeable bitmap
+    * aggregator ([[graft.functions.BitmapDistinct]]): one partial+final
+    * agg whose per-group state is a bitset over the id space — exact
+    * like count(DISTINCT) but with an idempotent OR-merge (duplicate
+    * delivery and retries are harmless) and NO per-row hash-set churn.
+    * The oracle is simply count(DISTINCT user_id): two different
+    * mechanisms, one exact answer.
+    */
+  def aggBitmapDistinct(s: SparkSession, dir: String): DataFrame = {
+    val bm = udaf(new graft.functions.BitmapDistinct)
+    Tables.events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(bm(col("user_id")).as("n_users"), count(lit(1)).as("n_events"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_agg_bitmap_distinct" -> aggBitmapDistinct,
     "q_skyline" -> skyline,
     "q_agg_mode" -> aggMode,
     "q_text_collocations" -> collocations,
@@ -249,6 +266,10 @@ object Frontier {
     "q_join_grid_2d" -> joinGrid2d)
 
   val oracle: Map[String, String] = Map(
+    "q_agg_bitmap_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users,
+        |  count(*) AS n_events
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_skyline" ->
       """SELECT p_partkey, p_name, p_retailprice, p_size
         |FROM part a

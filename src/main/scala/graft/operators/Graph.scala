@@ -270,10 +270,48 @@ object Graph {
       .orderBy("p_partkey")
   }
 
+  /** §2.14 (round-4, session 3) bounded-round min-label propagation
+    * over the co-purchase graph — the synchronous community-seeding
+    * shape (2 fixed rounds, NOT run to fixpoint: that's
+    * q_dedup_clusters' job; bounded rounds are what production
+    * community detection actually ships, because each round is a full
+    * join over the edge list and the round count is the cost knob).
+    *
+    * Per round: neighbor-min messages via ONE equi join on the
+    * directed edge list + a map-side-combinable min agg, then
+    * least(own, incoming) — the pregel-as-joins pattern shared with
+    * q_graph_pagerank. All-integer label domain, so every round is
+    * exact and the oracle replays it in chained CTEs.
+    */
+  def labelProp(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .where(pmod(col("l_orderkey"), lit(5)) === 0)
+      .select(col("l_orderkey"), col("l_partkey"))
+    val e0 = li.as("a").join(li.as("b"), Seq("l_orderkey"))
+      .where(col("a.l_partkey") < col("b.l_partkey"))
+      .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+      .distinct()
+    val e = e0.select(col("u").as("src"), col("v").as("dst"))
+      .unionAll(e0.select(col("v").as("src"), col("u").as("dst")))
+      .localCheckpoint()
+    var lab = e.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("lbl"))
+    for (_ <- 1 to 2) {
+      val msgs = e.join(lab.withColumnRenamed("id", "src"), "src")
+        .groupBy(col("dst").as("id")).agg(min(col("lbl")).as("ml"))
+      lab = lab.join(msgs, "id")
+        .select(col("id"), least(col("lbl"), col("ml")).as("lbl"))
+    }
+    lab.groupBy(col("lbl").as("label"))
+      .agg(count(lit(1)).as("n_nodes"))
+      .orderBy("label")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_clusters" -> dedupClusters,
     "q_graph_pagerank" -> pageRank,
-    "q_graph_triangles" -> triangles
+    "q_graph_triangles" -> triangles,
+    "q_graph_label_prop" -> labelProp
   )
 
   /** The oracle exploits the band structure instead of recursing: with
@@ -318,6 +356,26 @@ object Graph {
        |FROM r3 ORDER BY pr DESC, doc_id""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_graph_label_prop" ->
+      """WITH li AS (
+        |  SELECT l_orderkey, l_partkey FROM lineitem WHERE l_orderkey % 5 = 0),
+        |e0 AS (
+        |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+        |  WHERE a.l_partkey < b.l_partkey),
+        |e AS (SELECT u AS src, v AS dst FROM e0
+        |      UNION ALL SELECT v AS src, u AS dst FROM e0),
+        |l0 AS (SELECT DISTINCT src AS id, src AS lbl FROM e),
+        |m1 AS (SELECT e.dst AS id, min(l0.lbl) AS ml
+        |       FROM e JOIN l0 ON e.src = l0.id GROUP BY e.dst),
+        |l1 AS (SELECT l0.id, least(l0.lbl, m1.ml) AS lbl
+        |       FROM l0 JOIN m1 USING (id)),
+        |m2 AS (SELECT e.dst AS id, min(l1.lbl) AS ml
+        |       FROM e JOIN l1 ON e.src = l1.id GROUP BY e.dst),
+        |l2 AS (SELECT l1.id, least(l1.lbl, m2.ml) AS lbl
+        |       FROM l1 JOIN m2 USING (id))
+        |SELECT lbl AS label, count(*) AS n_nodes
+        |FROM l2 GROUP BY lbl ORDER BY label""".stripMargin,
     "q_graph_triangles" ->
       """WITH li AS (
         |  SELECT l_orderkey, l_partkey FROM lineitem WHERE l_orderkey % 5 = 0),

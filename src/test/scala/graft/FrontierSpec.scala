@@ -131,6 +131,46 @@ class FrontierSpec extends SparkSpec {
     assert(fast.except(naive).count() == 0 && naive.except(fast).count() == 0)
   }
 
+  test("bitmap distinct: equals countDistinct; OR-merge is duplicate-proof and layout-free") {
+    val bm = udaf(new graft.functions.BitmapDistinct)
+    val ev = Tables.events(spark, sf).select("event_type", "user_id")
+    val exact = ev.groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("want"))
+    val got = q("q_agg_bitmap_distinct")
+    assert(got.join(exact, "event_type")
+      .where(col("n_users") =!= col("want")).count() == 0)
+    // idempotence: delivering every row twice must not change the count
+    val doubled = ev.unionAll(ev).repartition(7)
+      .groupBy("event_type").agg(bm(col("user_id")).as("n2"))
+    assert(got.join(doubled, "event_type")
+      .where(col("n_users") =!= col("n2")).count() == 0)
+    // layout independence
+    val one = ev.repartition(1)
+      .groupBy("event_type").agg(bm(col("user_id")).as("n1"))
+    assert(got.join(one, "event_type")
+      .where(col("n_users") =!= col("n1")).count() == 0)
+  }
+
+  test("label prop: labels only decrease, communities conserve nodes, roots are self-labeled") {
+    val df = q("q_graph_label_prop").cache()
+    assert(df.count() > 0)
+    val labels = df.select("label").collect().map(_.getLong(0))
+    assert(labels.distinct.length == labels.length)
+    // node conservation: sum of community sizes == node count of the graph
+    val li = Tables.lineitem(spark, sf)
+      .where(pmod(col("l_orderkey"), lit(5)) === 0)
+      .select(col("l_orderkey"), col("l_partkey"))
+    val nodes = li.as("a").join(li.as("b"), Seq("l_orderkey"))
+      .where(col("a.l_partkey") =!= col("b.l_partkey"))
+      .select(col("a.l_partkey").as("id")).distinct().count()
+    assert(df.agg(sum("n_nodes")).head.getLong(0) == nodes)
+    // each label is itself one of the graph's node ids
+    val nodeSet = li.as("a").join(li.as("b"), Seq("l_orderkey"))
+      .where(col("a.l_partkey") =!= col("b.l_partkey"))
+      .select(col("a.l_partkey").as("id")).distinct()
+    assert(df.join(nodeSet, df("label") === nodeSet("id"), "left_anti").count() == 0)
+  }
+
   test("countmin: sketch grid is partition-layout independent") {
     import graft.functions.CountMin
     val agg = udaf(new CountMin)

@@ -133,6 +133,57 @@ object ScaleRehearsal {
         li.where(pmod(col("l_orderkey"), lit(5)) === 0)
           .select(col("l_orderkey"), col("l_partkey"))))
 
+    // k-means at ×K: cloned embeddings (re-keyed vec_id) grow the
+    // point set ×K while centroids stay k×dim — every iteration's
+    // broadcast stays constant-size and the (vec, cid) partial agg
+    // grows linearly. Proves the feature-parallel Lloyd dataflow has
+    // no super-linear term.
+    // re-key clones into ×K blocks (NOT interleaved): the k-means init
+    // takes the lowest vec_ids, and interleaved re-keying would hand it
+    // K clones of one vector (identical centroids → degenerate run)
+    val embK = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .withColumn("rep", explode(expr(s"sequence(1, $k)")))
+      .withColumn("vec_id", col("vec_id") + col("rep") * lit(1000000L))
+      .drop("rep")
+    time("kmeans_inflated")(graft.operators.Clustering.kmeansImpl(embK))
+
+    // Grid join at ×K: clones land on identical (size, price) points,
+    // so every original pair multiplies ×K² and each clone cluster
+    // adds K(K−1)/2 zero-distance pairs — near-dup density goes
+    // pathological exactly like the ngram rehearsal. Proves the
+    // 3×3-cell equi-join survives output blowup without the candidate
+    // generation itself degrading (candidates stay one hash join).
+    val partK = spark.read.parquet(s"$sfDir/part.parquet")
+      .withColumn("rep", explode(expr(s"sequence(1, $k)")))
+      .withColumn("p_partkey", col("p_partkey") * k + col("rep"))
+      .drop("rep")
+    time("grid2d_inflated") {
+      val base = partK.select(col("p_partkey"), col("p_brand"), col("p_size"), col("p_retailprice"))
+      val build = base
+        .withColumn("cs", col("p_size"))
+        .withColumn("cp", floor(col("p_retailprice") / 10.0))
+      val probe = base.toDF(base.columns.map(_ + "_a"): _*)
+        .withColumn("cs", explode(array(col("p_size_a") - 1, col("p_size_a"), col("p_size_a") + 1)))
+        .withColumn("cp0", floor(col("p_retailprice_a") / 10.0))
+        .withColumn("cp", explode(array(col("cp0") - 1, col("cp0"), col("cp0") + 1)))
+      probe.join(build, Seq("cs", "cp"))
+        .where(col("p_partkey_a") < col("p_partkey") &&
+          abs(col("p_size_a") - col("p_size")) <= 1 &&
+          abs(col("p_retailprice_a") - col("p_retailprice")) <= 10.0)
+        .groupBy(col("p_brand_a")).agg(count(lit(1)))
+    }
+
+    // Count-min at ×K: the event stream grows ×K, the sketch stays
+    // 3×256 longs at every partial — the O(1)-state frequency pass.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true") // events.ts is TIMESTAMP(NANOS)
+    val evK = spark.read.parquet(s"$sfDir/events.parquet")
+      .withColumn("rep", explode(expr(s"sequence(1, $k)")))
+      .select(col("user_id"))
+    time("countmin_inflated") {
+      val cms = org.apache.spark.sql.functions.udaf(new graft.functions.CountMin)
+      evK.agg(cms(col("user_id")))
+    }
+
     spark.stop()
   }
 }

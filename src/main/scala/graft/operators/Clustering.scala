@@ -39,20 +39,26 @@ object Clustering {
   private val Iters = 2
 
   /** (vec_id, d, q): coordinates quantized to exact positive BIGINTs. */
-  private[graft] def points(s: SparkSession, dir: String): DataFrame =
-    Tables.embeddings(s, dir)
+  private[graft] def pointsOf(emb: DataFrame): DataFrame =
+    emb
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "x")))
       .select(col("vec_id"), col("d"),
         round(col("x").cast("double") * 1000000.0 + 2000000.0).cast("long").as("q"))
 
+  private[graft] def points(s: SparkSession, dir: String): DataFrame =
+    pointsOf(Tables.embeddings(s, dir))
+
   /** Initial centroids: the K lowest vec_ids, cid = their rank. */
-  private[graft] def initCentroids(s: SparkSession, dir: String): DataFrame = {
-    val ids = Tables.embeddings(s, dir)
+  private[graft] def initCentroidsOf(emb: DataFrame): DataFrame = {
+    val ids = emb
       .select("vec_id").orderBy("vec_id").limit(K)
       .withColumn("cid", row_number().over(Window.orderBy("vec_id")) - 1)
-    points(s, dir).join(broadcast(ids), "vec_id")
+    pointsOf(emb).join(broadcast(ids), "vec_id")
       .select(col("cid"), col("d"), col("q").as("c"))
   }
+
+  private[graft] def initCentroids(s: SparkSession, dir: String): DataFrame =
+    initCentroidsOf(Tables.embeddings(s, dir))
 
   /** Assign each vector to its nearest centroid (exact integer
     * distance, ties to the lower cid). Emits (vec_id, cid, dist).
@@ -71,16 +77,22 @@ object Clustering {
       .groupBy(col("cid"), col("d"))
       .agg(expr("sum(q) div count(1)").as("c"))
 
-  /** Final per-cluster report: size + exact quantized inertia. */
-  def clusterKmeans(s: SparkSession, dir: String): DataFrame = {
-    val pts = points(s, dir)
-    var cent = initCentroids(s, dir)
+  /** Parameterized core shared with ScaleRehearsal (kmeans_inflated)
+    * so the rehearsal measures THIS dataflow, not a copy.
+    */
+  private[graft] def kmeansImpl(emb: DataFrame): DataFrame = {
+    val pts = pointsOf(emb)
+    var cent = initCentroidsOf(emb)
     for (_ <- 1 to Iters) cent = update(pts, assign(pts, cent))
     assign(pts, cent)
       .groupBy(col("cid"))
       .agg(count(lit(1)).as("n_vecs"), sum(col("dist")).as("inertia_q"))
       .orderBy("cid")
   }
+
+  /** Final per-cluster report: size + exact quantized inertia. */
+  def clusterKmeans(s: SparkSession, dir: String): DataFrame =
+    kmeansImpl(Tables.embeddings(s, dir))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_cluster_kmeans" -> clusterKmeans)

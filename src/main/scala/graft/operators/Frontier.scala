@@ -255,7 +255,122 @@ object Frontier {
       .orderBy("event_type")
   }
 
+  /** Rolling 5-row regression slope of order total vs. order date per
+    * customer — trend detection over a bounded trailing window. The
+    * five regression moments are EXACT window sums (integer day-x,
+    * DECIMAL(18,2) y), one window exchange on the customer partition;
+    * only the final slope formula runs in float64 (mirrored op order,
+    * DECIMAL(18,9) presentation). Degenerate windows (fewer than 3
+    * rows, or all same-day → zero x-variance) yield NULL on both
+    * engines rather than an engine-specific Inf/NaN.
+    */
+  def winRollingSlope(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+        datediff(col("o_orderdate"), lit("1992-01-01").cast("date")).as("x"),
+        dec(col("o_totalprice")).as("y"))
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(-4, Window.currentRow)
+    val num = col("n") * col("sxy").cast("double") - col("sx").cast("double") * col("sy").cast("double")
+    val den = col("n") * col("sxx").cast("double") - col("sx").cast("double") * col("sx").cast("double")
+    o.withColumn("n", count(lit(1)).over(w))
+      .withColumn("sx", sum(col("x").cast("long")).over(w))
+      .withColumn("sy", sum(col("y")).over(w))
+      .withColumn("sxy", sum(col("x") * col("y")).over(w))
+      .withColumn("sxx", sum(col("x").cast("long") * col("x")).over(w))
+      .select(col("o_orderkey"), col("o_custkey"), col("n"),
+        when(col("n") >= 3 && den =!= 0.0, (num / den).cast("decimal(18,9)").cast("double"))
+          .as("slope"))
+      .orderBy("o_orderkey")
+  }
+
+  /** Shannon entropy of each language's token distribution — corpus
+    * diversity/degeneracy scoring (a collapsed or boilerplate shard
+    * shows low entropy). p·ln(p) terms are computed in float64 with
+    * identical op order and rounded to DECIMAL(18,9) before the sum,
+    * so the per-language reduction is exact and associative. Two
+    * combinable exchanges ((lang, tok) then lang); per-language
+    * totals are a tiny broadcast back onto the token counts.
+    */
+  def aggEntropy(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("lang"), explode(expr("filter(split(text, ' '), t -> t != '')")).as("tok"))
+    val cnt = toks.groupBy(col("lang"), col("tok")).agg(count(lit(1)).as("cnt"))
+    val tot = cnt.groupBy(col("lang"))
+      .agg(sum(col("cnt")).as("n_tokens"), count(lit(1)).as("n_types"))
+    cnt.join(broadcast(tot), "lang")
+      .withColumn("p", col("cnt").cast("double") / col("n_tokens").cast("double"))
+      .withColumn("term", (-(col("p") * log(col("p")))).cast("decimal(18,9)"))
+      .groupBy(col("lang"))
+      .agg(max(col("n_tokens")).as("n_tokens"), max(col("n_types")).as("n_types"),
+        dbl(sum(col("term"))).as("entropy"))
+      .orderBy("lang")
+  }
+
+  /** Gini coefficient of order-value concentration per market segment
+    * — the inequality/skew audit (is 80% of revenue in 1% of
+    * orders?). Uses the rank formula G = (2·Σi·xᵢ − (n+1)·Σx)/(n·Σx)
+    * over ascending totals: one shuffle join to the segment dim, one
+    * per-segment sort window for ranks, exact DECIMAL rank-weighted
+    * sums (rank ties carry equal x, so Σi·xᵢ is tie-order invariant
+    * and the result engine-deterministic), float64 only in the final
+    * mirrored formula.
+    */
+  def aggGini(s: SparkSession, dir: String): DataFrame = {
+    val seg = Tables.customer(s, dir).select(col("c_custkey"), col("c_mktsegment"))
+    val o = Tables.orders(s, dir)
+      .join(seg, col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment"), col("o_orderkey"), dec(col("o_totalprice")).as("x"))
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("x"), col("o_orderkey"))
+    val g = o.withColumn("i", row_number().over(w))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("i").cast("long") * col("x")).as("sixi"))
+    g.select(col("c_mktsegment"), col("n"),
+      (((lit(2.0) * col("sixi").cast("double") - (col("n") + 1) * col("sx").cast("double")) /
+        (col("n") * col("sx").cast("double"))).cast("decimal(9,6)").cast("double")).as("gini"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** Fuzzy near-dup verification by edit distance inside (lang,
+    * n_chars) bands — the candidate-generate/verify pattern: banding
+    * gives a plain equi join (each doc probes its own and adjacent
+    * length buckets, the same trick as the MinHash/cluster operators),
+    * and the quadratic-cost levenshtein runs ONLY on banded
+    * candidates, never all pairs. Both engines implement standard
+    * Levenshtein, so the distances are exact integers. The report is
+    * the 20 MOST similar pairs (threshold-free — a fixed cutoff is
+    * corpus-dependent and can go empty), totally ordered by
+    * (dist, doc_a, doc_b) → TakeOrderedAndProject.
+    *
+    * EXPLICIT BOUND: doc_id < 1000 on both sides — edit distance is
+    * O(len²) per pair, and the bound keeps the verified set
+    * bench-stable at every SF (same discipline as q_dedup_clusters).
+    */
+  def dedupEditDistance(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+      .where(col("doc_id") < 1000)
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("text"))
+    val probe = d.toDF(d.columns.map(_ + "_a"): _*)
+      .withColumn("bucket", explode(array(col("n_chars_a") - 1, col("n_chars_a"), col("n_chars_a") + 1)))
+      .withColumnRenamed("lang_a", "lang")
+    val build = d.withColumn("bucket", col("n_chars"))
+    probe.join(build, Seq("lang", "bucket"))
+      .where(col("doc_id_a") < col("doc_id") &&
+        abs(col("n_chars_a") - col("n_chars")) <= 1)
+      .select(col("doc_id_a").as("doc_a"), col("doc_id").as("doc_b"), col("lang"),
+        levenshtein(col("text_a"), col("text")).as("edit_dist"))
+      .orderBy(col("edit_dist"), col("doc_a"), col("doc_b"))
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_win_rolling_slope" -> winRollingSlope,
+    "q_agg_entropy" -> aggEntropy,
+    "q_agg_gini" -> aggGini,
+    "q_dedup_edit_distance" -> dedupEditDistance,
     "q_agg_bitmap_distinct" -> aggBitmapDistinct,
     "q_skyline" -> skyline,
     "q_agg_mode" -> aggMode,
@@ -266,6 +381,71 @@ object Frontier {
     "q_join_grid_2d" -> joinGrid2d)
 
   val oracle: Map[String, String] = Map(
+    "q_win_rolling_slope" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, o_custkey, o_orderdate,
+        |    datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS x,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS y
+        |  FROM orders),
+        |m AS (
+        |  SELECT o_orderkey, o_custkey,
+        |    count(*) OVER w AS n,
+        |    sum(CAST(x AS BIGINT)) OVER w AS sx,
+        |    sum(y) OVER w AS sy,
+        |    sum(x * y) OVER w AS sxy,
+        |    sum(CAST(x AS BIGINT) * x) OVER w AS sxx
+        |  FROM o
+        |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |               ROWS BETWEEN 4 PRECEDING AND CURRENT ROW))
+        |SELECT o_orderkey, o_custkey, n,
+        |  CASE WHEN n >= 3
+        |        AND (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) <> 0.0
+        |    THEN CAST(CAST(
+        |      (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |      / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |      AS DECIMAL(18,9)) AS DOUBLE)
+        |    ELSE NULL END AS slope
+        |FROM m ORDER BY o_orderkey""".stripMargin,
+    "q_agg_entropy" ->
+      """WITH toks AS (
+        |  SELECT lang, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS tok
+        |  FROM documents),
+        |c AS (SELECT lang, tok, count(*) AS cnt FROM toks GROUP BY lang, tok),
+        |t AS (SELECT lang, CAST(sum(cnt) AS BIGINT) AS n_tokens, count(*) AS n_types
+        |      FROM c GROUP BY lang)
+        |SELECT c.lang, max(t.n_tokens) AS n_tokens, max(t.n_types) AS n_types,
+        |  CAST(sum(CAST(-((CAST(cnt AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+        |        * ln(CAST(cnt AS DOUBLE) / CAST(n_tokens AS DOUBLE))) AS DECIMAL(18,9)))
+        |    AS DOUBLE) AS entropy
+        |FROM c JOIN t USING (lang)
+        |GROUP BY c.lang ORDER BY c.lang""".stripMargin,
+    "q_agg_gini" ->
+      """WITH o AS (
+        |  SELECT c.c_mktsegment, x.o_orderkey,
+        |    CAST(x.o_totalprice AS DECIMAL(18,2)) AS x
+        |  FROM orders x JOIN customer c ON x.o_custkey = c.c_custkey),
+        |r AS (
+        |  SELECT c_mktsegment, x, o_orderkey,
+        |    row_number() OVER (PARTITION BY c_mktsegment ORDER BY x, o_orderkey) AS i
+        |  FROM o),
+        |g AS (
+        |  SELECT c_mktsegment, count(*) AS n, sum(x) AS sx,
+        |    sum(CAST(i AS BIGINT) * x) AS sixi
+        |  FROM r GROUP BY c_mktsegment)
+        |SELECT c_mktsegment, n,
+        |  CAST(CAST(
+        |    (2.0 * CAST(sixi AS DOUBLE) - (n + 1) * CAST(sx AS DOUBLE))
+        |    / (n * CAST(sx AS DOUBLE)) AS DECIMAL(9,6)) AS DOUBLE) AS gini
+        |FROM g ORDER BY c_mktsegment""".stripMargin,
+    "q_dedup_edit_distance" ->
+      """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.lang,
+        |  CAST(levenshtein(a.text, b.text) AS INTEGER) AS edit_dist
+        |FROM documents a JOIN documents b
+        |  ON a.lang = b.lang AND a.doc_id < b.doc_id
+        | AND abs(a.n_chars - b.n_chars) <= 1
+        |WHERE a.doc_id < 1000 AND b.doc_id < 1000
+        |ORDER BY edit_dist, doc_a, doc_b
+        |LIMIT 20""".stripMargin,
     "q_agg_bitmap_distinct" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users,
         |  count(*) AS n_events

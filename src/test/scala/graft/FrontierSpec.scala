@@ -171,6 +171,62 @@ class FrontierSpec extends SparkSpec {
     assert(df.join(nodeSet, df("label") === nodeSet("id"), "left_anti").count() == 0)
   }
 
+  test("rolling slope: every order emits a row; short/degenerate windows are NULL") {
+    val df = q("q_win_rolling_slope").cache()
+    assert(df.count() == Tables.orders(spark, sf).count())
+    // windows shorter than 3 rows must be NULL
+    assert(df.where(col("n") < 3 && col("slope").isNotNull).count() == 0)
+    assert(df.where(col("n") > 5).count() == 0) // trailing frame capped at 5 rows
+  }
+
+  test("entropy: bounded by ln(n_types), positive for diverse corpora") {
+    val rows = q("q_agg_entropy").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (types, h) = (r.getLong(2), r.getDouble(3))
+      assert(h >= 0.0 && h <= math.log(types.toDouble) + 1e-6,
+        s"${r.getString(0)}: H=$h outside [0, ln($types)]")
+    }
+  }
+
+  test("gini: coefficients in [0,1); uniform values give gini ~ 0") {
+    val rows = q("q_agg_gini").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val g = r.getDouble(2)
+      assert(g >= 0.0 && g < 1.0, s"${r.getString(0)}: gini $g out of range")
+    }
+    // constant distribution → (2*Σi*x - (n+1)*n*x) / (n*n*x) = 0
+    import spark.implicits._
+    val const = Seq.tabulate(100)(i => (i.toLong, "S", BigDecimal(10.00)))
+      .toDF("o_orderkey", "c_mktsegment", "x")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("c_mktsegment")).orderBy(col("x"), col("o_orderkey"))
+    val g0 = const.withColumn("i", row_number().over(w))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("i").cast("long") * col("x")).as("sixi"))
+      .select(((lit(2.0) * col("sixi").cast("double") - (col("n") + 1) * col("sx").cast("double")) /
+        (col("n") * col("sx").cast("double"))).as("gini"))
+      .head.getDouble(0)
+    assert(math.abs(g0) < 1e-12)
+  }
+
+  test("edit distance: banded top-20 equals the unblocked exhaustive top-20") {
+    val fast = q("q_dedup_edit_distance").collect()
+    assert(fast.length > 0)
+    val d = Tables.documents(spark, sf).where(col("doc_id") < 1000)
+      .select("doc_id", "lang", "n_chars", "text")
+    val naive = d.as("a").join(d.as("b"),
+        col("a.lang") === col("b.lang") && col("a.doc_id") < col("b.doc_id") &&
+          abs(col("a.n_chars") - col("b.n_chars")) <= 1)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"), col("a.lang"),
+        levenshtein(col("a.text"), col("b.text")).as("edit_dist"))
+      .orderBy(col("edit_dist"), col("doc_a"), col("doc_b")).limit(20).collect()
+    assert(fast.map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSeq ==
+      naive.map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSeq)
+  }
+
   test("countmin: sketch grid is partition-layout independent") {
     import graft.functions.CountMin
     val agg = udaf(new CountMin)

@@ -366,7 +366,59 @@ object Frontier {
       .limit(20)
   }
 
+  /** Batch sessionization: split each user's event stream into
+    * sessions at >30-minute silences (the gaps-and-islands break
+    * trick on integer epoch-micro gaps — no interval arithmetic, so
+    * the break predicate is engine-exact), then one
+    * map-side-combinable per-session aggregate. ONE window exchange
+    * on user_id serves both the break flag and the running session
+    * id; the streaming twin with watermarked state is
+    * q_stream_session / q_stream_session_custom.
+    */
+  def winSessionize(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("ts"), unix_micros(col("ts")).as("us"))
+      .withColumn("brk",
+        when(col("us") - lag(col("us"), 1).over(w) <= 1800000000L, 0L).otherwise(1L))
+      .withColumn("session_id", sum(col("brk")).over(run))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("sess_start"),
+        (max(col("us")) - min(col("us"))).as("duration_us"))
+      .orderBy("user_id", "session_id")
+  }
+
+  /** 7-day rolling distinct active users per day WITHOUT a self-join:
+    * collapse to distinct (user, day) once, then each user-day
+    * contributes presence to the ≤7 window-end days it can influence
+    * (a bounded map-side explode), and one distinct-count per end day
+    * finishes. The naive formulation joins the fact table to a
+    * calendar range per day — quadratic re-scanning at corpus scale;
+    * this shape is two combinable exchanges and a ×7 row expansion,
+    * the standard scalable rolling-distinct plan. Report only days
+    * that actually occur (trailing phantom days are dropped by a semi
+    * join against the observed-day set).
+    */
+  def winRollingDau(s: SparkSession, dir: String): DataFrame = {
+    val ud = Tables.events(s, dir)
+      .select(date_trunc("DAY", col("ts")).as("day"), col("user_id"))
+      .distinct()
+    val expanded = ud.select(
+      explode(sequence(col("day"), col("day") + expr("interval 6 days"),
+        expr("interval 1 day"))).as("day"),
+      col("user_id"))
+    expanded
+      .join(ud.select("day").distinct(), Seq("day"), "left_semi")
+      .groupBy(col("day"))
+      .agg(countDistinct(col("user_id")).as("dau7"))
+      .orderBy("day")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_win_sessionize" -> winSessionize,
+    "q_win_rolling_dau" -> winRollingDau,
     "q_win_rolling_slope" -> winRollingSlope,
     "q_agg_entropy" -> aggEntropy,
     "q_agg_gini" -> aggGini,
@@ -381,6 +433,37 @@ object Frontier {
     "q_join_grid_2d" -> joinGrid2d)
 
   val oracle: Map[String, String] = Map(
+    "q_win_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        |  FROM events),
+        |b AS (
+        |  SELECT user_id, event_id, ts, us,
+        |    CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |              <= 1800000000 THEN 0 ELSE 1 END AS brk
+        |  FROM e),
+        |sess AS (
+        |  SELECT user_id, ts, us,
+        |    CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM b)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |  min(ts) AS sess_start,
+        |  CAST(max(us) - min(us) AS BIGINT) AS duration_us
+        |FROM sess GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
+    "q_win_rolling_dau" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day, user_id
+        |  FROM events),
+        |ex AS (
+        |  SELECT ud.day + (o.i * INTERVAL 1 DAY) AS day, ud.user_id
+        |  FROM ud CROSS JOIN (SELECT unnest(range(0, 7)) AS i) o),
+        |days AS (SELECT DISTINCT day FROM ud)
+        |SELECT e.day, count(DISTINCT e.user_id) AS dau7
+        |FROM ex e JOIN days d USING (day)
+        |GROUP BY e.day ORDER BY day""".stripMargin,
     "q_win_rolling_slope" ->
       """WITH o AS (
         |  SELECT o_orderkey, o_custkey, o_orderdate,

@@ -253,7 +253,57 @@ object SimilarityOps {
       .limit(10)
   }
 
+  /** Product quantization (PQ) ANN with asymmetric-distance lookup
+    * tables — the codebook compression half of production ANN (IVF
+    * gives the routing half, SQ8 the bandwidth half; this completes
+    * the family). 64 dims split into M=4 subspaces of 16; each
+    * subspace has a 16-codeword codebook (the first 16 vectors'
+    * subvectors — deterministic sampling init, no RNG); every vector
+    * encodes to 4 codes = 4 BYTES at rest (64× smaller than float32);
+    * query scoring is the classic ADC trick: precompute the 4×16
+    * query-to-codeword table, then each candidate's distance is FOUR
+    * table lookups + a sum, never a float dot product.
+    *
+    * Everything runs on round(x·1e6+2e6)-quantized integers (the
+    * q_cluster_kmeans discipline), so encoding, the ADC table, and
+    * the final distances are exact integers and the WHOLE PQ pipeline
+    * is oracled in DuckDB — none of the float-ANN reproducibility
+    * caveats. Scale: codebook and ADC table are tiny broadcasts; the
+    * encode pass is linear with map-side-combinable aggs; at serving
+    * scale only the 4-byte codes are rescanned.
+    */
+  def simAnnPq(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(s, dir)
+    val pts = emb
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "x")))
+      .select(col("vec_id"), expr("d div 16").as("m"), col("d"),
+        round(col("x").cast("double") * 1000000.0 + 2000000.0).cast("long").as("q"))
+    val ids = emb.select("vec_id").orderBy("vec_id").limit(16)
+      .withColumn("c", row_number().over(Window.orderBy("vec_id")) - 1)
+    val cb = pts.join(broadcast(ids), "vec_id")
+      .select(col("m"), col("c"), col("d"), col("q").as("cq"))
+    val enc = pts.join(broadcast(cb), Seq("m", "d"))
+      .groupBy(col("vec_id"), col("m"), col("c"))
+      .agg(sum((col("q") - col("cq")) * (col("q") - col("cq"))).as("dist"))
+      .groupBy(col("vec_id"), col("m"))
+      .agg(min(struct(col("dist"), col("c"))).as("mm"))
+      .select(col("vec_id"), col("m"), col("mm.c").as("c"))
+    val qp = pts.where(col("vec_id") === 0).select(col("m"), col("d"), col("q").as("qq"))
+    val adc = qp.join(broadcast(cb), Seq("m", "d"))
+      .groupBy(col("m"), col("c"))
+      .agg(sum((col("qq") - col("cq")) * (col("qq") - col("cq"))).as("contrib"))
+    enc.where(col("vec_id") =!= 0)
+      .join(broadcast(adc), Seq("m", "c"))
+      .groupBy(col("vec_id")).agg(sum(col("contrib")).as("pq_dist"))
+      .join(emb.select(col("vec_id"), col("label")), "vec_id")
+      .select(col("vec_id"), col("label"), col("pq_dist"))
+      .orderBy(col("pq_dist"), col("vec_id"))
+      .limit(10)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sim_ann_pq" -> simAnnPq,
     "q_sim_quantized" -> simQuantized,
     "q_sim_ann_ivf" -> simAnnIvf,
     "q_sim_topk" -> simTopK,
@@ -273,6 +323,40 @@ object SimilarityOps {
     s"${dotSql.format(a, b)} / (${normSql.format(a)} * ${normSql.format(b)})"
 
   val oracle: Map[String, String] = Map(
+    "q_sim_ann_pq" ->
+      """WITH pts AS (
+        |  SELECT vec_id, (s.d - 1) // 16 AS m, s.d AS d, s.q AS q FROM (
+        |    SELECT vec_id, unnest(list_transform(range(1, len(embedding) + 1),
+        |      i -> {'d': i, 'q': CAST(round(CAST(embedding[i] AS DOUBLE)
+        |                                    * 1000000.0 + 2000000.0) AS BIGINT)})) AS s
+        |    FROM embeddings)),
+        |ids AS (
+        |  SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS c
+        |  FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 16)),
+        |cb AS (SELECT c, m, d, q AS cq FROM pts JOIN ids USING (vec_id)),
+        |ed AS (
+        |  SELECT p.vec_id, p.m, cb.c,
+        |    CAST(sum((p.q - cb.cq) * (p.q - cb.cq)) AS BIGINT) AS dist
+        |  FROM pts p JOIN cb ON p.m = cb.m AND p.d = cb.d
+        |  GROUP BY p.vec_id, p.m, cb.c),
+        |enc AS (
+        |  SELECT vec_id, m, c FROM (
+        |    SELECT vec_id, m, c,
+        |      row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, c) AS rn
+        |    FROM ed) WHERE rn = 1),
+        |qp AS (SELECT m, d, q AS qq FROM pts WHERE vec_id = 0),
+        |adc AS (
+        |  SELECT cb.m, cb.c,
+        |    CAST(sum((qp.qq - cb.cq) * (qp.qq - cb.cq)) AS BIGINT) AS contrib
+        |  FROM qp JOIN cb ON qp.m = cb.m AND qp.d = cb.d
+        |  GROUP BY cb.m, cb.c),
+        |dist AS (
+        |  SELECT e.vec_id, CAST(sum(a.contrib) AS BIGINT) AS pq_dist
+        |  FROM enc e JOIN adc a USING (m, c)
+        |  WHERE e.vec_id <> 0 GROUP BY e.vec_id)
+        |SELECT d.vec_id, emb.label, d.pq_dist
+        |FROM dist d JOIN embeddings emb USING (vec_id)
+        |ORDER BY pq_dist, vec_id LIMIT 10""".stripMargin,
     "q_knn_graph" ->
       s"""WITH p AS (
          |  SELECT a.vec_id AS src, b.vec_id AS dst,

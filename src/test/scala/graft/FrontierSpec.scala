@@ -227,6 +227,37 @@ class FrontierSpec extends SparkSpec {
       naive.map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSeq)
   }
 
+  test("sessionize: sessions partition events; adjacent sessions separated by >30min") {
+    val df = q("q_win_sessionize").cache()
+    assert(df.agg(sum("n_events")).head.getLong(0) ==
+      Tables.events(spark, sf).count())
+    assert(df.where(col("duration_us") < 0).count() == 0)
+    // next session's start is > previous session's end + 30 minutes
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("session_id")
+    val gaps = df
+      .withColumn("end_us", unix_micros(col("sess_start")) + col("duration_us"))
+      .withColumn("prev_end", lag(col("end_us"), 1).over(w))
+      .where(col("prev_end").isNotNull &&
+        unix_micros(col("sess_start")) - col("prev_end") <= 1800000000L)
+    assert(gaps.count() == 0)
+  }
+
+  test("rolling DAU: explode formulation equals the naive range join") {
+    val fast = q("q_win_rolling_dau")
+    val ud = Tables.events(spark, sf)
+      .select(date_trunc("DAY", col("ts")).as("uday"), col("user_id")).distinct()
+    val days = ud.select(col("uday").as("day")).distinct()
+    val naive = days.join(ud,
+        col("uday") <= col("day") && col("uday") >= col("day") - expr("interval 6 days"))
+      .groupBy("day").agg(countDistinct("user_id").as("dau7"))
+    assert(fast.count() > 0)
+    assert(fast.except(naive).count() == 0 && naive.except(fast).count() == 0)
+    // rolling distinct can never be below the single-day distinct
+    val daily = ud.groupBy(col("uday").as("day")).agg(countDistinct("user_id").as("d1"))
+    assert(fast.join(daily, "day").where(col("dau7") < col("d1")).count() == 0)
+  }
+
   test("countmin: sketch grid is partition-layout independent") {
     import graft.functions.CountMin
     val agg = udaf(new CountMin)

@@ -113,6 +113,31 @@ class NearDupSpec extends SparkSpec {
     assert(recall >= 7, s"recall@10 = $recall/10 — int8 should barely perturb ranking")
   }
 
+  test("PQ ANN: 4-byte codes, well-formed; top-10 lands in the exact top quintile") {
+    import graft.operators.Clustering
+    val pq = q("q_sim_ann_pq").collect()
+    assert(pq.length == 10)
+    assert(pq.map(_.getLong(2)).forall(_ >= 0)) // ADC distances are exact non-negative ints
+    // exact integer-L2 ranking on the same quantized points (the ground truth PQ approximates)
+    val pts = Clustering.points(spark, sf)
+    val qp = pts.where(col("vec_id") === 0)
+      .select(col("d"), col("q").as("qq"))
+    val exact = pts.where(col("vec_id") =!= 0)
+      .join(qp, "d")
+      .groupBy("vec_id")
+      .agg(sum((col("q") - col("qq")) * (col("q") - col("qq"))).as("l2"))
+      .orderBy(col("l2"), col("vec_id")).limit(100)
+      .collect().map(_.getLong(0))
+    val got = pq.map(_.getLong(0)).toSet
+    val in50 = got.count(exact.take(50).toSet.contains)
+    val in100 = got.count(exact.toSet.contains)
+    // PQ with 16 sampled codewords per 16-dim subspace is coarse by design:
+    // it must concentrate results in the true neighborhood, not nail the
+    // exact top-10 (distance concentration makes that impossible untrained)
+    assert(in50 >= 7, s"only $in50/10 of PQ's top-10 are in the exact top-50")
+    assert(in100 >= 9, s"only $in100/10 of PQ's top-10 are in the exact top-100")
+  }
+
   test("dedup is idempotent: dedup(dedup(x)) == dedup(x) on exact dedup keepers") {
     val once = q("q_dedup_exact").select("keeper_id").collect().map(_.getLong(0)).toSet
     // re-dedup the kept set: all keepers are distinct texts → identity

@@ -157,4 +157,13 @@ class CompositeSpec extends SparkSpec {
     // row set (purchases) identical to the boundless as-of
     assert(tol.count() == q("q_join_asof").count())
   }
+
+  test("tpch q7: cross-border only, ship years bound the window, flows are directed") {
+    val df = q("q_tpch_q7").cache()
+    assert(df.count() > 0)
+    assert(df.where(col("supp_nation") === col("cust_nation")).count() == 0)
+    assert(df.where(col("l_year") < 1995 || col("l_year") > 1996).count() == 0)
+    // (supp, cust, year) is a key — directed flows never collapse
+    assert(df.select("supp_nation", "cust_nation", "l_year").distinct().count() == df.count())
+  }
 }

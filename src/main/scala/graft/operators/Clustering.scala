@@ -62,14 +62,30 @@ object Clustering {
 
   /** Assign each vector to its nearest centroid (exact integer
     * distance, ties to the lower cid). Emits (vec_id, cid, dist).
+    *
+    * The k centroids are PIVOTED to columns of a dim-sized lookup
+    * table, so the k distances accumulate as k parallel sum-aggregates
+    * in ONE map-side-combinable exchange on vec_id — no ×k row blowup
+    * and no second argmin exchange (the argmin is a width-k `least`
+    * over structs in the projection). A centroid that lost all its
+    * members pivots to NULL and is coalesced to +∞, so it can never
+    * win — identical to the oracle, where an emptied cluster simply
+    * disappears from the candidate set.
     */
-  private[graft] def assign(pts: DataFrame, cent: DataFrame): DataFrame =
-    pts.join(broadcast(cent), "d")
-      .groupBy(col("vec_id"), col("cid"))
-      .agg(sum((col("q") - col("c")) * (col("q") - col("c"))).as("dist"))
+  private[graft] def assign(pts: DataFrame, cent: DataFrame): DataFrame = {
+    val cw = cent.groupBy(col("d")).pivot("cid", 0 until K).agg(first(col("c")))
+    val sums = (0 until K).map { j =>
+      sum((col("q") - col(s"$j")) * (col("q") - col(s"$j"))).as(s"d$j")
+    }
+    val cands = (0 until K).map { j =>
+      struct(coalesce(col(s"d$j"), lit(Long.MaxValue)).as("dist"), lit(j).as("cid"))
+    }
+    pts.join(broadcast(cw), "d")
       .groupBy(col("vec_id"))
-      .agg(min(struct(col("dist"), col("cid"))).as("m"))
+      .agg(sums.head, sums.tail: _*)
+      .select(col("vec_id"), least(cands: _*).as("m"))
       .select(col("vec_id"), col("m.cid").as("cid"), col("m.dist").as("dist"))
+  }
 
   /** Integer-mean centroid update (positive sums, so floor == trunc). */
   private[graft] def update(pts: DataFrame, asg: DataFrame): DataFrame =
@@ -81,9 +97,17 @@ object Clustering {
     * so the rehearsal measures THIS dataflow, not a copy.
     */
   private[graft] def kmeansImpl(emb: DataFrame): DataFrame = {
-    val pts = pointsOf(emb)
+    // 5 stages reuse the exploded points; checkpoint once so each
+    // Lloyd round reads the materialized (vec, d, q) table instead of
+    // re-running the scan+explode lineage (same discipline as the
+    // iterative graph operators)
+    val pts = pointsOf(emb).localCheckpoint()
+    // centroids are k×dim rows — checkpoint each round so iteration
+    // N's plan doesn't re-optimize (and re-codegen) rounds 1..N-1
+    // nested inside it; the composed one-shot DAG was plan-compile
+    // bound, not I/O bound
     var cent = initCentroidsOf(emb)
-    for (_ <- 1 to Iters) cent = update(pts, assign(pts, cent))
+    for (_ <- 1 to Iters) cent = update(pts, assign(pts, cent)).localCheckpoint()
     assign(pts, cent)
       .groupBy(col("cid"))
       .agg(count(lit(1)).as("n_vecs"), sum(col("dist")).as("inertia_q"))

@@ -279,6 +279,7 @@ object SimilarityOps {
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "x")))
       .select(col("vec_id"), expr("d div 16").as("m"), col("d"),
         round(col("x").cast("double") * 1000000.0 + 2000000.0).cast("long").as("q"))
+      .localCheckpoint() // reused by codebook, encode, and ADC stages
     val ids = emb.select("vec_id").orderBy("vec_id").limit(16)
       .withColumn("c", row_number().over(Window.orderBy("vec_id")) - 1)
     val cb = pts.join(broadcast(ids), "vec_id")

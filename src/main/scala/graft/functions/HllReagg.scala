@@ -1,0 +1,39 @@
+package graft.functions
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+
+/** Two-level HLL re-aggregation — the materialized-view/cube story:
+  * [[HllRegisters]] emits a group's raw 1 KB register array instead
+  * of the estimate, and [[HllUnion]] merges stored register arrays
+  * (element-wise max) into a coarser group's estimate WITHOUT
+  * re-reading raw data. Because the merge is the SAME operation HLL
+  * uses internally (associative, commutative, idempotent), estimating
+  * a union of per-shard sketches is EXACTLY the register state of the
+  * one-shot sketch — FrontierSpec asserts bit-equality, not
+  * approximate closeness. This is how a 100 TB pipeline serves
+  * distinct counts at any rollup level: sketch once per finest cell
+  * at ingest, OR-merge upward forever.
+  *
+  * Both share [[HllSketch]]'s hashing/registers via composition, so
+  * the sketch family has exactly one definition of the estimator.
+  */
+class HllRegisters extends Aggregator[Long, Array[Byte], Array[Byte]] {
+  private val core = new HllSketch
+  override def zero: Array[Byte] = core.zero
+  override def reduce(b: Array[Byte], id: Long): Array[Byte] = core.reduce(b, id)
+  override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = core.merge(a, b)
+  override def finish(regs: Array[Byte]): Array[Byte] = regs
+  override def bufferEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+}
+
+class HllUnion extends Aggregator[Array[Byte], Array[Byte], Long] {
+  private val core = new HllSketch
+  override def zero: Array[Byte] = core.zero
+  override def reduce(b: Array[Byte], regs: Array[Byte]): Array[Byte] = core.merge(b, regs)
+  override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = core.merge(a, b)
+  override def finish(regs: Array[Byte]): Long = core.finish(regs)
+  override def bufferEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  override def outputEncoder: Encoder[Long] = Encoders.scalaLong
+}

@@ -125,6 +125,51 @@ object Composite {
       .orderBy("supp_nation", "cust_nation", "l_year")
   }
 
+  /** TPC-H Q12 shape (shipping-mode priority audit): per return flag,
+    * how many lineitems carry urgent/high vs other order priorities.
+    * One fact-fact equi join + conditional-sum CASE aggregation — the
+    * canonical "pivot a predicate into measure columns" report. Both
+    * conditional counts come from the SAME combinable aggregate pass;
+    * no second scan, no filter-and-union.
+    */
+  def tpchQ12(s: SparkSession, dir: String): DataFrame = {
+    val urgent = col("o_orderpriority") === "1-URGENT" || col("o_orderpriority") === "2-HIGH"
+    Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_returnflag"))
+      .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sum(when(urgent, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(urgent, 0L).otherwise(1L)).as("low_line_count"))
+      .orderBy("l_returnflag")
+  }
+
+  /** TPC-H Q14 shape (promo revenue share): percentage of one month's
+    * revenue from promo-class parts. The part class dim broadcasts
+    * onto the date-pruned fact slice; numerator and denominator are
+    * the same exact-decimal sum with and without the class predicate,
+    * in ONE aggregate pass; only the final 100·num/den ratio runs in
+    * float64 (mirrored op order, DECIMAL(9,6) presentation).
+    */
+  def tpchQ14(s: SparkSession, dir: String): DataFrame = {
+    val lo = lit("1995-09-01").cast("timestamp")
+    val hi = lit("1995-10-01").cast("timestamp")
+    val promo = col("p_type").startsWith("PROMO")
+    Tables.lineitem(s, dir)
+      .where(col("l_shipdate") >= lo && col("l_shipdate") < hi)
+      .select(col("l_partkey"),
+        (dec("l_extendedprice") * (one - dec("l_discount"))).as("rev"))
+      .join(broadcast(Tables.part(s, dir).select(col("p_partkey"), col("p_type"))),
+        col("l_partkey") === col("p_partkey"))
+      .agg(
+        sum(when(promo, col("rev")).otherwise(lit(0).cast("decimal(18,2)"))).as("promo"),
+        sum(col("rev")).as("total"))
+      .select(
+        ((lit(100.0) * col("promo").cast("double")) / col("total").cast("double"))
+          .cast("decimal(9,6)").cast("double").as("promo_revenue_pct"))
+  }
+
   /** Bloom-prefiltered semi join: orders of BUILDING-segment customers,
     * aggregated per priority.
     *
@@ -252,6 +297,8 @@ object Composite {
     "q_tpch_q3" -> tpchQ3,
     "q_tpch_q5" -> tpchQ5,
     "q_tpch_q7" -> tpchQ7,
+    "q_tpch_q12" -> tpchQ12,
+    "q_tpch_q14" -> tpchQ14,
     "q_tpch_q18" -> tpchQ18,
     "q_join_bloom" -> joinBloom,
     "q_sql_api" -> sqlApi
@@ -273,6 +320,26 @@ object Composite {
         |GROUP BY l_orderkey, o_orderdate, o_orderpriority
         |ORDER BY revenue DESC, o_orderdate, l_orderkey
         |LIMIT 10""".stripMargin,
+    "q_tpch_q12" ->
+      """SELECT l_returnflag,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |                THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_tpch_q14" ->
+      """SELECT CAST(CAST(
+        |    (100.0 * CAST(sum(CASE WHEN p_type LIKE 'PROMO%'
+        |      THEN CAST(l_extendedprice AS DECIMAL(18,2))
+        |           * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+        |      ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE))
+        |    / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |        * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+        |  AS DECIMAL(9,6)) AS DOUBLE) AS promo_revenue_pct
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1995-09-01'
+        |  AND l_shipdate < TIMESTAMP '1995-10-01'""".stripMargin,
     "q_tpch_q7" ->
       """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
         |  CAST(year(l_shipdate) AS INTEGER) AS l_year,

@@ -416,7 +416,60 @@ object Frontier {
       .orderBy("day")
   }
 
+  /** Running distinct count per user (event types seen so far, at
+    * every event): windows can't nest COUNT(DISTINCT), so the
+    * scalable formulation is the FIRST-OCCURRENCE FLAG trick — mark
+    * each (user, type)'s first row with row_number()==1, then a
+    * running sum of flags over the user timeline. Two window
+    * exchanges on bounded entity partitions; no per-row distinct
+    * state anywhere. The same flag trick is how cumulative-unique
+    * dashboards scale at 100 TB.
+    */
+  def winRunningDistinct(s: SparkSession, dir: String): DataFrame = {
+    val firstW = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    val cumW = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("is_new",
+        when(row_number().over(firstW) === 1, 1L).otherwise(0L))
+      .withColumn("n_types_seen", sum(col("is_new")).over(cumW))
+      .select(col("event_id"), col("user_id"), col("event_type"), col("n_types_seen"))
+      .orderBy("event_id")
+  }
+
+  /** Two-level HLL rollup: per-(type, day) register sketches unioned
+    * up to per-type estimates WITHOUT re-reading raw events — the
+    * materialized-view re-aggregation story ([[graft.functions
+    * .HllRegisters]]/[[graft.functions.HllUnion]]). Emits the
+    * re-aggregated estimate next to the direct one-level estimate and
+    * the exact count: the first two are BIT-EQUAL (register max-merge
+    * is associative), which FrontierSpec asserts. No oracle — the
+    * 64-bit wrapping hash isn't DuckDB-expressible (same declaration
+    * as q_agg_approx_hll/q_agg_hll_custom); driver records the
+    * rows-only check.
+    */
+  def aggHllUnion(s: SparkSession, dir: String): DataFrame = {
+    val regs = udaf(new graft.functions.HllRegisters)
+    val uni = udaf(new graft.functions.HllUnion)
+    val hll = udaf(new graft.functions.HllSketch)
+    val ev = Tables.events(s, dir)
+    val daily = ev.groupBy(col("event_type"), date_trunc("DAY", col("ts")).as("day"))
+      .agg(regs(col("user_id")).as("r"))
+    val two = daily.groupBy(col("event_type")).agg(uni(col("r")).as("est_reagg"))
+    val one = ev.groupBy(col("event_type"))
+      .agg(hll(col("user_id")).as("est_direct"),
+        countDistinct(col("user_id")).as("exact_d"))
+    two.join(one, "event_type")
+      .select(col("event_type"), col("est_reagg"), col("est_direct"), col("exact_d"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_agg_hll_union" -> aggHllUnion,
+    "q_win_running_distinct" -> winRunningDistinct,
     "q_win_sessionize" -> winSessionize,
     "q_win_rolling_dau" -> winRollingDau,
     "q_win_rolling_slope" -> winRollingSlope,
@@ -433,6 +486,21 @@ object Frontier {
     "q_join_grid_2d" -> joinGrid2d)
 
   val oracle: Map[String, String] = Map(
+    "q_win_running_distinct" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+        |  FROM events),
+        |f AS (
+        |  SELECT user_id, event_id, ts, event_type,
+        |    CASE WHEN row_number() OVER (PARTITION BY user_id, event_type
+        |                                 ORDER BY ts, event_id) = 1
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM e)
+        |SELECT event_id, user_id, event_type,
+        |  CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS n_types_seen
+        |FROM f ORDER BY event_id""".stripMargin,
     "q_win_sessionize" ->
       """WITH e AS (
         |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,

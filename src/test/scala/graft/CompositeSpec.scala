@@ -158,6 +158,30 @@ class CompositeSpec extends SparkSpec {
     assert(tol.count() == q("q_join_asof").count())
   }
 
+  test("tpch q12/q14: line counts conserve the join; promo share is a percentage") {
+    val q12 = q("q_tpch_q12").cache()
+    val joined = graft.sources.Tables.lineitem(spark, sf).count()
+    assert(q12.agg(sum(col("high_line_count") + col("low_line_count"))).head.getLong(0) == joined)
+    val pct = q("q_tpch_q14").head.getDouble(0)
+    assert(pct >= 0.0 && pct <= 100.0, s"promo pct $pct out of range")
+  }
+
+  test("new joins avoid nested loops; dims broadcast where expected") {
+    // grid join: candidate generation must be a hash equi join, never a
+    // cartesian/broadcast-nested-loop plan
+    val grid = q("q_join_grid_2d").queryExecution.executedPlan.toString
+    assert(!grid.contains("CartesianProduct") && !grid.contains("BroadcastNestedLoopJoin"),
+      s"grid join planned a nested loop:\n$grid")
+    // skyline: the frontier pair set comes back via a broadcast semi join
+    val sky = q("q_skyline").queryExecution.executedPlan.toString
+    assert(sky.contains("BroadcastHashJoin") && sky.contains("LeftSemi"),
+      s"skyline lost its broadcast semi join:\n$sky")
+    // q7: both nation dims broadcast
+    val q7 = q("q_tpch_q7").queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin".r.findAllIn(q7).size >= 2,
+      s"q7 nation dims not broadcast:\n$q7")
+  }
+
   test("tpch q7: cross-border only, ship years bound the window, flows are directed") {
     val df = q("q_tpch_q7").cache()
     assert(df.count() > 0)

@@ -258,6 +258,29 @@ class FrontierSpec extends SparkSpec {
     assert(fast.join(daily, "day").where(col("dau7") < col("d1")).count() == 0)
   }
 
+  test("running distinct: per-user final value equals the true distinct count; never decreases") {
+    val df = q("q_win_running_distinct").cache()
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+    val finals = df.withColumn("mx", max("n_types_seen").over(w))
+    val truth = Tables.events(spark, sf)
+      .groupBy("user_id").agg(countDistinct("event_type").as("want"))
+    assert(finals.select("user_id", "mx").distinct()
+      .join(truth, "user_id").where(col("mx") =!= col("want")).count() == 0)
+    assert(df.where(col("n_types_seen") < 1).count() == 0)
+  }
+
+  test("hll union: re-aggregated estimate is BIT-EQUAL to the direct sketch; error bounded") {
+    val rows = q("q_agg_hll_union").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2),
+        s"${r.getString(0)}: reagg ${r.getLong(1)} != direct ${r.getLong(2)}")
+      val (est, exact) = (r.getLong(1).toDouble, r.getLong(3).toDouble)
+      assert(math.abs(est - exact) / exact <= 0.05,
+        s"${r.getString(0)}: est $est vs exact $exact > 5%")
+    }
+  }
+
   test("countmin: sketch grid is partition-layout independent") {
     import graft.functions.CountMin
     val agg = udaf(new CountMin)

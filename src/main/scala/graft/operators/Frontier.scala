@@ -467,7 +467,42 @@ object Frontier {
       .orderBy("event_type")
   }
 
+  /** Market-basket lift: part pairs co-purchased more than their
+    * individual popularities predict — lift(a,b) =
+    * P(ab)/(P(a)·P(b)) over order baskets, the association-rule
+    * counterpart of q_text_collocations' PMI (same ratio, basket
+    * probability space, no logarithm). Pair generation is the basket
+    * self-join on the order key (baskets are bounded, so the blowup
+    * is per-basket C(k,2), never corpus-quadratic), counts are
+    * combinable aggregates, the 1-row basket total broadcasts, and
+    * the report is a threshold-free top-20 (a fixed support floor is
+    * corpus-dependent; production adds one as a knob) with a total
+    * (lift, pa, pb) order.
+    */
+  def basketLift(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val nOrders = li.select(col("l_orderkey")).distinct()
+      .agg(count(lit(1)).as("n_orders"))
+    val singles = li.groupBy(col("l_partkey")).agg(count(lit(1)).as("cnt"))
+    li.as("a").join(li.as("b"), Seq("l_orderkey"))
+      .where(col("a.l_partkey") < col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("pa"), col("b.l_partkey").as("pb"))
+      .agg(count(lit(1)).as("ab"))
+      .join(singles.select(col("l_partkey").as("pa"), col("cnt").as("ca")), "pa")
+      .join(singles.select(col("l_partkey").as("pb"), col("cnt").as("cb")), "pb")
+      .crossJoin(broadcast(nOrders))
+      .withColumn("lift",
+        ((col("ab").cast("double") * col("n_orders").cast("double")) /
+          (col("ca").cast("double") * col("cb").cast("double")))
+          .cast("decimal(12,6)").cast("double"))
+      .select(col("pa"), col("pb"), col("ab"), col("lift"))
+      .orderBy(desc("lift"), asc("pa"), asc("pb"))
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_basket_lift" -> basketLift,
     "q_agg_hll_union" -> aggHllUnion,
     "q_win_running_distinct" -> winRunningDistinct,
     "q_win_sessionize" -> winSessionize,
@@ -486,6 +521,26 @@ object Frontier {
     "q_join_grid_2d" -> joinGrid2d)
 
   val oracle: Map[String, String] = Map(
+    "q_basket_lift" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM li),
+        |s AS (SELECT l_partkey, count(*) AS cnt FROM li GROUP BY l_partkey),
+        |p AS (
+        |  SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS ab
+        |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+        |   AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2)
+        |SELECT pa, pb, ab,
+        |  CAST(CAST(
+        |    (CAST(ab AS DOUBLE) * CAST(n_orders AS DOUBLE))
+        |    / (CAST(sa.cnt AS DOUBLE) * CAST(sb.cnt AS DOUBLE))
+        |  AS DECIMAL(12,6)) AS DOUBLE) AS lift
+        |FROM p
+        |JOIN s sa ON p.pa = sa.l_partkey
+        |JOIN s sb ON p.pb = sb.l_partkey
+        |CROSS JOIN n
+        |ORDER BY lift DESC, pa, pb
+        |LIMIT 20""".stripMargin,
     "q_win_running_distinct" ->
       """WITH e AS (
         |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type

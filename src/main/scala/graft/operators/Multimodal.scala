@@ -169,7 +169,69 @@ object Multimodal {
     resizeMedia(s, blobs, "doc_id", "media").orderBy("doc_id")
   }
 
+  /** 64-bit block-mean perceptual hash (aHash) over a media blob:
+    * split the byte stream into 64 equal blocks, set bit i when block
+    * i's mean byte exceeds the whole-blob mean. Comparisons are
+    * CROSS-MULTIPLIED (blockSum·L > total·blockLen) so the signature
+    * is exact integer arithmetic end-to-end. Returned as two 32-bit
+    * words — a BIGINT sign-bit overflow trap exists in several SQL
+    * engines at bit 63, and two words sidestep it portably.
+    */
+  def phashWords(bytes: Array[Byte]): (Long, Long) = {
+    val L = bytes.length.toLong
+    var total = 0L
+    var i = 0
+    while (i < bytes.length) { total += bytes(i) & 0xff; i += 1 }
+    var hi = 0L
+    var lo = 0L
+    var b = 0
+    while (b < 64) {
+      val st = (b * L / 64).toInt
+      val en = ((b + 1) * L / 64).toInt
+      if (en > st) {
+        var s = 0L
+        var j = st
+        while (j < en) { s += bytes(j) & 0xff; j += 1 }
+        if (s * L > total * (en - st)) {
+          if (b < 32) lo |= 1L << b else hi |= 1L << (b - 32)
+        }
+      }
+      b += 1
+    }
+    (hi, lo)
+  }
+
+  /** Per-blob perceptual signature + the four 16-bit LSH bands used
+    * for hamming-neighbor search: blobs whose signatures differ in ≤3
+    * bits MUST share at least one band (pigeonhole over 4 bands), so
+    * near-dup search is a plain equi join on (band_idx, band_value) —
+    * the q_dedup_simhash dataflow, but over the BINARY media path:
+    * signatures come from bytes in a typed mapPartitions stage (where
+    * a real pixel decode would sit), while the oracle recomputes them
+    * from characters — ASCII makes the two provably identical.
+    */
+  def multimodalPhash(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val blobs = Tables.documents(s, dir)
+      .where(length(col("text")) > 0 &&
+        octet_length(col("text")) === length(col("text")))
+      .select(col("doc_id"), col("text").cast("binary").as("media"))
+    val sigs = blobs.as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val (hi, lo) = phashWords(bytes)
+        (id, hi, lo)
+      })
+      .toDF("doc_id", "sig_hi", "sig_lo")
+    sigs.select(col("doc_id"), col("sig_hi"), col("sig_lo"),
+        expr("sig_lo & 65535").as("b0"),
+        expr("(sig_lo >> 16) & 65535").as("b1"),
+        expr("sig_hi & 65535").as("b2"),
+        expr("(sig_hi >> 16) & 65535").as("b3"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_multimodal_phash" -> multimodalPhash,
     "q_multimodal_resize" -> multimodalResize,
     "q_multimodal_features" -> multimodalFeatures,
     "q_multimodal_chunks" -> multimodalChunks,
@@ -177,6 +239,32 @@ object Multimodal {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_multimodal_phash" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT)) AS cs,
+        |    CAST(length(text) AS BIGINT) AS L
+        |  FROM documents
+        |  WHERE length(text) > 0 AND strlen(text) = length(text)),
+        |t AS (SELECT doc_id, cs, L, list_aggregate(cs, 'sum') AS total FROM d),
+        |bits AS (
+        |  SELECT doc_id, i,
+        |    CASE WHEN ((i + 1) * L) // 64 > (i * L) // 64
+        |          AND list_aggregate(cs[(i * L) // 64 + 1 : ((i + 1) * L) // 64], 'sum') * L
+        |              > total * (((i + 1) * L) // 64 - (i * L) // 64)
+        |         THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS bit
+        |  FROM t CROSS JOIN (SELECT unnest(range(0, 64)) AS i)),
+        |w AS (
+        |  SELECT doc_id,
+        |    CAST(sum(CASE WHEN i >= 32 THEN bit * (CAST(1 AS BIGINT) << CAST(i - 32 AS INTEGER))
+        |                  ELSE 0 END) AS BIGINT) AS sig_hi,
+        |    CAST(sum(CASE WHEN i < 32 THEN bit * (CAST(1 AS BIGINT) << CAST(i AS INTEGER))
+        |                  ELSE 0 END) AS BIGINT) AS sig_lo
+        |  FROM bits GROUP BY doc_id)
+        |SELECT doc_id, sig_hi, sig_lo,
+        |  sig_lo % 65536 AS b0, (sig_lo // 65536) % 65536 AS b1,
+        |  sig_hi % 65536 AS b2, (sig_hi // 65536) % 65536 AS b3
+        |FROM w ORDER BY doc_id""".stripMargin,
     "q_multimodal_resize" ->
       """SELECT doc_id,
         |  CAST(floor(sqrt(CAST(length(text) AS DOUBLE))) AS INTEGER) AS orig_side,

@@ -281,6 +281,27 @@ class FrontierSpec extends SparkSpec {
     }
   }
 
+  test("basket lift: pair support bounded by singles; top lift replays exactly") {
+    val rows = q("q_basket_lift").collect()
+    assert(rows.length > 0 && rows.length <= 20)
+    val li = Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_partkey").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val orders = li.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val singles = li.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val n = orders.size.toDouble
+    rows.foreach { r =>
+      val (pa, pb, ab) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(pa < pb)
+      assert(ab <= math.min(singles(pa), singles(pb)))
+      val abTrue = orders.valuesIterator.count(s => s.contains(pa) && s.contains(pb)).toLong
+      assert(ab == abTrue, s"pair ($pa,$pb): support $ab != replay $abTrue")
+      val expect = BigDecimal((ab.toDouble * n) / (singles(pa).toDouble * singles(pb).toDouble))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getDouble(3) == expect, s"pair ($pa,$pb): lift ${r.getDouble(3)} != $expect")
+    }
+  }
+
   test("countmin: sketch grid is partition-layout independent") {
     import graft.functions.CountMin
     val agg = udaf(new CountMin)

@@ -62,4 +62,25 @@ class MultimodalSpec extends SparkSpec {
     val joined = feats.join(graft.sources.Tables.documents(spark, sf), Seq("doc_id"))
     assert(joined.where(col("n_bytes") =!= col("n_chars")).count() == 0)
   }
+
+  test("phash: bands recompose the signature; hamming<=3 pairs always share a band") {
+    val rows = q("q_multimodal_phash").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (hi, lo) = (r.getLong(1), r.getLong(2))
+      assert((hi >> 32) == 0 && (lo >> 32) == 0, "words must be 32-bit")
+      assert(r.getLong(3) == (lo & 0xffff) && r.getLong(4) == ((lo >> 16) & 0xffff) &&
+        r.getLong(5) == (hi & 0xffff) && r.getLong(6) == ((hi >> 16) & 0xffff))
+    }
+    // the LSH guarantee the bands exist for: d(sig) <= 3 => >=1 identical band
+    val sigs = rows.map(r => (r.getLong(1), r.getLong(2),
+      Seq(r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))))
+    for (i <- sigs.indices; j <- (i + 1) until sigs.length) {
+      val d = java.lang.Long.bitCount(sigs(i)._1 ^ sigs(j)._1) +
+        java.lang.Long.bitCount(sigs(i)._2 ^ sigs(j)._2)
+      if (d <= 3)
+        assert(sigs(i)._3.zip(sigs(j)._3).exists { case (a, b) => a == b },
+          s"pair $i,$j hamming $d shares no band")
+    }
+  }
 }

@@ -501,7 +501,52 @@ object Frontier {
       .limit(20)
   }
 
+  /** Interval×interval OVERLAP join — the genuinely-hard range-join
+    * variant (q_join_interval is point-in-window; q_join_range_bin is
+    * point×point): price-span intervals [p_retailprice,
+    * p_retailprice + p_size] of Brand#1x parts overlapped against
+    * Brand#2x parts, counted per brand pair.
+    *
+    * No equi key exists, so the naive plan is a quadratic nested
+    * loop. The banded construction generalizes range_bin's trick to
+    * intervals WITHOUT a dedup pass: bin width ≥ max interval length
+    * (50), each interval covers ≤2 bins; pass 1 explodes side A over
+    * its covered bins and keys B by its START bin with
+    * bs∈[as,ae] — B's start-bin is covered by A exactly once, so each
+    * such pair meets exactly once; pass 2 mirrors for as∈(bs,be]
+    * (strict, so a start-tie isn't double-counted). The union is
+    * provably the closed-interval overlap relation: two shuffled equi
+    * joins, ≤2× row expansion, never quadratic.
+    */
+  def joinIntervalOverlap(s: SparkSession, dir: String): DataFrame = {
+    val binW = 50.0
+    def side(prefix: String): DataFrame =
+      Tables.part(s, dir)
+        .where(col("p_brand").startsWith(prefix))
+        .select(col("p_partkey").as(s"k_$prefix"), col("p_brand").as(s"brand_$prefix"),
+          col("p_retailprice").as(s"lo_$prefix"),
+          (col("p_retailprice") + col("p_size")).as(s"hi_$prefix"))
+    val a = side("Brand#1")
+    val b = side("Brand#2")
+    val aBins = a.withColumn("bin", explode(sequence(
+      floor(col("lo_Brand#1") / binW), floor(col("hi_Brand#1") / binW))))
+    val bBins = b.withColumn("bin", explode(sequence(
+      floor(col("lo_Brand#2") / binW), floor(col("hi_Brand#2") / binW))))
+    val bStart = b.withColumn("bin", floor(col("lo_Brand#2") / binW))
+    val aStart = a.withColumn("bin", floor(col("lo_Brand#1") / binW))
+    val pass1 = aBins.join(bStart, "bin")
+      .where(col("lo_Brand#2") >= col("lo_Brand#1") && col("lo_Brand#2") <= col("hi_Brand#1"))
+    val pass2 = bBins.join(aStart, "bin")
+      .where(col("lo_Brand#1") > col("lo_Brand#2") && col("lo_Brand#1") <= col("hi_Brand#2"))
+    val cols = Seq("brand_Brand#1", "brand_Brand#2")
+    pass1.select(cols.map(col): _*).unionAll(pass2.select(cols.map(col): _*))
+      .groupBy(col("brand_Brand#1").as("brand_a"), col("brand_Brand#2").as("brand_b"))
+      .agg(count(lit(1)).as("n_overlaps"))
+      .orderBy("brand_a", "brand_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_join_interval_overlap" -> joinIntervalOverlap,
     "q_basket_lift" -> basketLift,
     "q_agg_hll_union" -> aggHllUnion,
     "q_win_running_distinct" -> winRunningDistinct,
@@ -521,6 +566,20 @@ object Frontier {
     "q_join_grid_2d" -> joinGrid2d)
 
   val oracle: Map[String, String] = Map(
+    "q_join_interval_overlap" ->
+      """WITH a AS (
+        |  SELECT p_partkey, p_brand, p_retailprice AS lo,
+        |    p_retailprice + p_size AS hi
+        |  FROM part WHERE p_brand LIKE 'Brand#1%'),
+        |b AS (
+        |  SELECT p_partkey, p_brand, p_retailprice AS lo,
+        |    p_retailprice + p_size AS hi
+        |  FROM part WHERE p_brand LIKE 'Brand#2%')
+        |SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+        |  count(*) AS n_overlaps
+        |FROM a JOIN b ON a.lo <= b.hi AND b.lo <= a.hi
+        |GROUP BY a.p_brand, b.p_brand
+        |ORDER BY brand_a, brand_b""".stripMargin,
     "q_basket_lift" ->
       """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
         |n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM li),

@@ -302,6 +302,23 @@ class FrontierSpec extends SparkSpec {
     }
   }
 
+  test("interval overlap: two-pass banded union equals the quadratic overlap join, no NLJ") {
+    val fast = q("q_join_interval_overlap")
+    def side(prefix: String) = Tables.part(spark, sf)
+      .where(col("p_brand").startsWith(prefix))
+      .select(col("p_brand"), col("p_retailprice").as("lo"),
+        (col("p_retailprice") + col("p_size")).as("hi"))
+    val naive = side("Brand#1").as("a").join(side("Brand#2").as("b"),
+        col("a.lo") <= col("b.hi") && col("b.lo") <= col("a.hi"))
+      .groupBy(col("a.p_brand").as("brand_a"), col("b.p_brand").as("brand_b"))
+      .agg(count(lit(1)).as("n_overlaps"))
+    assert(fast.count() > 0)
+    assert(fast.except(naive).count() == 0 && naive.except(fast).count() == 0)
+    val plan = q("q_join_interval_overlap").queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"interval overlap planned a nested loop:\n$plan")
+  }
+
   test("countmin: sketch grid is partition-layout independent") {
     import graft.functions.CountMin
     val agg = udaf(new CountMin)

@@ -175,6 +175,23 @@ object ScaleRehearsal {
 
     // Count-min at ×K: the event stream grows ×K, the sketch stays
     // 3×256 longs at every partial — the O(1)-state frequency pass.
+    // Basket lift at ×K: re-keyed orders multiply the basket count ×K
+    // (baskets stay bounded, so pair generation grows linearly, never
+    // quadratically) while the part dimension is unchanged.
+    time("basket_inflated") {
+      val liK = li.select(col("l_orderkey"), col("l_partkey")).distinct()
+      val nOrders = liK.select(col("l_orderkey")).distinct().agg(count(lit(1)).as("n_orders"))
+      val singles = liK.groupBy(col("l_partkey")).agg(count(lit(1)).as("cnt"))
+      liK.as("a").join(liK.as("b"), Seq("l_orderkey"))
+        .where(col("a.l_partkey") < col("b.l_partkey"))
+        .groupBy(col("a.l_partkey").as("pa"), col("b.l_partkey").as("pb"))
+        .agg(count(lit(1)).as("ab"))
+        .join(singles.select(col("l_partkey").as("pa"), col("cnt").as("ca")), "pa")
+        .join(singles.select(col("l_partkey").as("pb"), col("cnt").as("cb")), "pb")
+        .crossJoin(broadcast(nOrders))
+        .orderBy(desc("ab"), asc("pa"), asc("pb")).limit(20)
+    }
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true") // events.ts is TIMESTAMP(NANOS)
     val evK = spark.read.parquet(s"$sfDir/events.parquet")
       .withColumn("rep", explode(expr(s"sequence(1, $k)")))

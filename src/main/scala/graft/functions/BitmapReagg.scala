@@ -1,0 +1,37 @@
+package graft.functions
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+
+/** Two-level re-aggregation for the exact bitmap distinct — same
+  * composition pattern as [[HllRegisters]]/[[HllUnion]], but the
+  * merged state is EXACT: [[BitmapRegisters]] emits a group's raw
+  * bitset words, [[BitmapUnion]] ORs stored bitsets into a coarser
+  * group's exact distinct count. Because OR is idempotent, the
+  * two-level path tolerates at-least-once delivery (a replayed
+  * partial changes nothing) — StreamingSpec proves a micro-batch
+  * pipeline that merges every batch TWICE still converges to the
+  * exact batch answer, with no dedup bookkeeping.
+  */
+class BitmapRegisters extends Aggregator[Long, Array[Long], Array[Long]] {
+  private val core = new BitmapDistinct
+  override def zero: Array[Long] = core.zero
+  override def reduce(b: Array[Long], id: Long): Array[Long] = core.reduce(b, id)
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = core.merge(a, b)
+  override def finish(bits: Array[Long]): Array[Long] = bits
+  override def bufferEncoder: Encoder[Array[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  override def outputEncoder: Encoder[Array[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+}
+
+class BitmapUnion extends Aggregator[Array[Long], Array[Long], Long] {
+  private val core = new BitmapDistinct
+  override def zero: Array[Long] = core.zero
+  override def reduce(b: Array[Long], bits: Array[Long]): Array[Long] = core.merge(b, bits)
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = core.merge(a, b)
+  override def finish(bits: Array[Long]): Long = core.finish(bits)
+  override def bufferEncoder: Encoder[Array[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  override def outputEncoder: Encoder[Long] = Encoders.scalaLong
+}

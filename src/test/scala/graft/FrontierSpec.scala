@@ -319,6 +319,33 @@ class FrontierSpec extends SparkSpec {
       s"interval overlap planned a nested loop:\n$plan")
   }
 
+  test("bitmap two-level: per-day registers OR-merged equal the direct exact count") {
+    val regs = udaf(new graft.functions.BitmapRegisters)
+    val uni = udaf(new graft.functions.BitmapUnion)
+    val ev = Tables.events(spark, sf)
+    val twoLevel = ev
+      .groupBy(col("event_type"), date_trunc("DAY", col("ts")).as("day"))
+      .agg(regs(col("user_id")).as("bits"))
+      .groupBy("event_type").agg(uni(col("bits")).as("n2"))
+    val direct = ev.groupBy("event_type")
+      .agg(countDistinct("user_id").as("n1"))
+    assert(twoLevel.join(direct, "event_type")
+      .where(col("n2") =!= col("n1")).count() == 0)
+  }
+
+  test("sketch aggregators on empty input: zero counts, empty grids, no throw") {
+    import spark.implicits._
+    val empty = Seq.empty[Long].toDF("user_id")
+    val cms = udaf(new graft.functions.CountMin)
+    val bm = udaf(new graft.functions.BitmapDistinct)
+    import graft.functions.CountMin.{D, W}
+    val grid = empty.agg(cms(col("user_id"))).head.getSeq[Long](0)
+    assert(grid.length == D * W && grid.forall(_ == 0L))
+    assert(empty.agg(bm(col("user_id"))).head.getLong(0) == 0L)
+    // grouped empty input produces zero groups, not null rows
+    assert(empty.groupBy(col("user_id")).agg(bm(col("user_id"))).count() == 0)
+  }
+
   test("countmin: sketch grid is partition-layout independent") {
     import graft.functions.CountMin
     val agg = udaf(new CountMin)

@@ -313,4 +313,50 @@ class StreamStreamJoinSpec extends SparkSpec {
     assert(streamed.count() == batch.count(),
       s"streamed=${streamed.count()} batch=${batch.count()}")
   }
+
+  test("incremental bitmap distinct under AT-LEAST-ONCE delivery converges exactly") {
+    // stream events as 3 micro-batches; maintain per-type distinct users
+    // as OR-merged bitmap registers — and merge EVERY batch TWICE to
+    // simulate at-least-once redelivery. OR is idempotent, so the final
+    // counts must equal the exact batch countDistinct with no dedup
+    // bookkeeping (the property neither exact HashSets nor counters have).
+    val regs = udaf(new graft.functions.BitmapRegisters)
+    val uni = udaf(new graft.functions.BitmapUnion)
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select(col("event_id"), col("event_type"), col("user_id"))
+    val logDir = java.nio.file.Files.createTempDirectory("bm_log").toString
+    (0 until 3).foreach { i =>
+      ev.where(pmod(col("event_id"), lit(3)) === i)
+        .coalesce(1).write.mode("append").parquet(logDir)
+    }
+    val stateBase = java.nio.file.Files.createTempDirectory("bm_state").toString
+    var stateDir: Option[String] = None
+    var gen = 0
+    val sq = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", 1).parquet(logDir)
+      .writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val partial = batch.toDF().groupBy(col("event_type"))
+          .agg(regs(col("user_id")).as("bits"))
+        // append the partial TWICE (simulated redelivery); state stays a
+        // bag of register partials — the roll-up ORs them at read time
+        gen += 1
+        val next = s"$stateBase/v$gen"
+        stateDir.map(d => spark.read.parquet(d))
+          .map(_.unionByName(partial).unionByName(partial))
+          .getOrElse(partial.unionByName(partial))
+          .write.parquet(next)
+        stateDir = Some(next)
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    sq.awaitTermination()
+    // final roll-up: OR all stored register partials per type
+    val finalCounts = spark.read.parquet(stateDir.get)
+      .groupBy(col("event_type")).agg(uni(col("bits")).as("n_users"))
+    val truth = ev.groupBy("event_type").agg(countDistinct("user_id").as("want"))
+    assert(finalCounts.join(truth, "event_type")
+      .where(col("n_users") =!= col("want")).count() == 0,
+      "at-least-once bitmap maintenance diverged from exact distinct")
+  }
 }

@@ -96,6 +96,32 @@ object Scans {
       .orderBy("o_orderstatus")
   }
 
+  /** §2.14 (round-4, session 3) schema-evolution scan: generation 1 is
+    * written WITHOUT the status column, generation 2 WITH it — the
+    * add-a-column lakehouse migration — and one mergeSchema read
+    * reconciles both (old rows surface NULL status). The aggregate
+    * separates the generations by nullness, proving no row was
+    * dropped or misaligned. At 100 TB this is why readers must carry
+    * the union schema: rewriting history for every added column is a
+    * full-table write. Parquet resolves columns BY NAME per footer,
+    * so mixed-generation directories stay one scan (footer-only
+    * planning), not a per-file dispatch.
+    */
+  def scanSchemaMerge(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_evolve").toString
+    val o = Tables.orders(s, dir)
+    o.where(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .write.mode("overwrite").parquet(s"$tmp/g=1")
+    o.where(col("o_orderkey") % 2 === 1)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+      .write.mode("overwrite").parquet(s"$tmp/g=2")
+    s.read.option("mergeSchema", "true").parquet(s"$tmp/g=1", s"$tmp/g=2")
+      .groupBy(coalesce(col("o_orderstatus"), lit("<pre-migration>")).as("status"))
+      .agg(count(lit(1)).as("n"), dbl(sum(dec("o_totalprice"))).as("total"))
+      .orderBy("status")
+  }
+
   /** §2.13 (round-4) raw text-format round-trip: documents serialized
     * as tab-separated lines through the `text` format (one string
     * column — the shape raw corpus dumps arrive in), read back and
@@ -379,6 +405,7 @@ object Scans {
     "q_snapshot_vacuum" -> snapshotVacuum,
     "q_scan_parquet" -> scanParquet,
     "q_source_csv" -> sourceCsv,
+    "q_scan_schema_merge" -> scanSchemaMerge,
     "q_source_text" -> sourceText,
     "q_source_jsonl" -> sourceJsonl,
     "q_source_orc" -> sourceOrc,
@@ -389,6 +416,17 @@ object Scans {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_scan_schema_merge" ->
+      """WITH evolved AS (
+        |  SELECT o_orderkey, o_totalprice, NULL AS o_orderstatus
+        |  FROM orders WHERE o_orderkey % 2 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_totalprice, o_orderstatus
+        |  FROM orders WHERE o_orderkey % 2 = 1)
+        |SELECT coalesce(o_orderstatus, '<pre-migration>') AS status,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM evolved GROUP BY 1 ORDER BY status""".stripMargin,
     "q_source_text" ->
       """SELECT lang, count(*) AS n_docs,
         |  CAST(sum(length(text)) AS BIGINT) AS total_chars,

@@ -148,4 +148,12 @@ class RelationalSpec extends SparkSpec {
     val grand = q("q_agg_rollup").where(col("gid") === 3).count()
     assert(grand == 1 && nations == 25 && q("q_agg_rollup").count() == detail + nations + grand)
   }
+
+  test("schema evolution: merged read conserves rows; pre-migration bucket = even keys") {
+    val df = q("q_scan_schema_merge").cache()
+    val orders = graft.sources.Tables.orders(spark, sf)
+    assert(df.agg(sum("n")).head.getLong(0) == orders.count())
+    val pre = df.where(col("status") === "<pre-migration>").agg(sum("n")).head.getLong(0)
+    assert(pre == orders.where(col("o_orderkey") % 2 === 0).count())
+  }
 }

@@ -545,7 +545,50 @@ object Frontier {
       .orderBy("brand_a", "brand_b")
   }
 
+  /** Time-series gap fill by LINEAR INTERPOLATION — the harder sibling
+    * of q_ts_resample's forward fill: missing days take
+    * prev + (next−prev)·(elapsed/gap) between the surrounding
+    * observations (edges fall back to the nearest observed value).
+    * Four bounded window passes on the user partition (last/next
+    * observed value and day, via ignore-nulls last/first); the
+    * interpolation arithmetic is integer day-distances and one
+    * mirrored float64 expression rounded to DECIMAL(18,6). Same
+    * scale shape as resample: calendar rows O(user-span days),
+    * everything inside one entity partition.
+    */
+  def tsInterpolate(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(col("user_id"), date_trunc("DAY", col("ts")).as("day"))
+      .agg(dbl(sum(dec(col("value")))).as("day_sum"))
+    val cal = daily.groupBy(col("user_id"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("user_id"),
+        explode(sequence(col("d0"), col("d1"), expr("interval 1 day"))).as("day"))
+    val dense = cal.join(daily, Seq("user_id", "day"), "left")
+    val past = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val future = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val obsDay = when(col("day_sum").isNotNull, col("day"))
+    val withEnds = dense
+      .withColumn("pv", last(col("day_sum"), ignoreNulls = true).over(past))
+      .withColumn("pd", last(obsDay, ignoreNulls = true).over(past))
+      .withColumn("nv", first(col("day_sum"), ignoreNulls = true).over(future))
+      .withColumn("nd", first(obsDay, ignoreNulls = true).over(future))
+    val interp = col("pv") +
+      (col("nv") - col("pv")) *
+        (datediff(col("day"), col("pd")).cast("double") /
+          datediff(col("nd"), col("pd")).cast("double"))
+    withEnds.select(col("user_id"), col("day"), col("day_sum"),
+      when(col("day_sum").isNotNull, col("day_sum"))
+        .when(col("pv").isNotNull && col("nv").isNotNull, interp)
+        .otherwise(coalesce(col("pv"), col("nv")))
+        .cast("decimal(18,6)").cast("double").as("filled"))
+      .orderBy("user_id", "day")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ts_interpolate" -> tsInterpolate,
     "q_join_interval_overlap" -> joinIntervalOverlap,
     "q_basket_lift" -> basketLift,
     "q_agg_hll_union" -> aggHllUnion,
@@ -566,6 +609,38 @@ object Frontier {
     "q_join_grid_2d" -> joinGrid2d)
 
   val oracle: Map[String, String] = Map(
+    "q_ts_interpolate" ->
+      """WITH daily AS (
+        |  SELECT user_id, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS day_sum
+        |  FROM events GROUP BY 1, 2),
+        |cal AS (
+        |  SELECT user_id, unnest(generate_series(min(day), max(day), INTERVAL 1 DAY)) AS day
+        |  FROM daily GROUP BY user_id),
+        |dense AS (
+        |  SELECT c.user_id, c.day, d.day_sum
+        |  FROM cal c LEFT JOIN daily d ON c.user_id = d.user_id AND c.day = d.day),
+        |ends AS (
+        |  SELECT user_id, day, day_sum,
+        |    last_value(day_sum IGNORE NULLS) OVER past AS pv,
+        |    last_value(CASE WHEN day_sum IS NOT NULL THEN day END IGNORE NULLS)
+        |      OVER past AS pd,
+        |    first_value(day_sum IGNORE NULLS) OVER future AS nv,
+        |    first_value(CASE WHEN day_sum IS NOT NULL THEN day END IGNORE NULLS)
+        |      OVER future AS nd
+        |  FROM dense
+        |  WINDOW past AS (PARTITION BY user_id ORDER BY day
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |    future AS (PARTITION BY user_id ORDER BY day
+        |            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT user_id, day, day_sum,
+        |  CAST(CAST(CASE
+        |    WHEN day_sum IS NOT NULL THEN day_sum
+        |    WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+        |      pv + (nv - pv) * (CAST(date_diff('day', pd, day) AS DOUBLE)
+        |                        / CAST(date_diff('day', pd, nd) AS DOUBLE))
+        |    ELSE coalesce(pv, nv) END AS DECIMAL(18,6)) AS DOUBLE) AS filled
+        |FROM ends ORDER BY user_id, day""".stripMargin,
     "q_join_interval_overlap" ->
       """WITH a AS (
         |  SELECT p_partkey, p_brand, p_retailprice AS lo,

@@ -346,6 +346,26 @@ class FrontierSpec extends SparkSpec {
     assert(empty.groupBy(col("user_id")).agg(bm(col("user_id"))).count() == 0)
   }
 
+  test("interpolation: observed days unchanged, gaps strictly between neighbors, no nulls") {
+    val df = q("q_ts_interpolate").cache()
+    assert(df.where(col("filled").isNull).count() == 0)
+    // observed days keep their value (up to the DECIMAL(18,6) presentation round)
+    assert(df.where(col("day_sum").isNotNull &&
+      abs(col("filled") - col("day_sum")) > 1e-6).count() == 0)
+    // interpolated gap values lie within [min(prev,next), max(prev,next)]
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("day")
+    val past = w.rowsBetween(Window.unboundedPreceding, -1)
+    val future = w.rowsBetween(1, Window.unboundedFollowing)
+    val bounded = df
+      .withColumn("pv", last(col("day_sum"), ignoreNulls = true).over(past))
+      .withColumn("nv", first(col("day_sum"), ignoreNulls = true).over(future))
+      .where(col("day_sum").isNull && col("pv").isNotNull && col("nv").isNotNull)
+      .where(col("filled") < least(col("pv"), col("nv")) - 1e-6 ||
+        col("filled") > greatest(col("pv"), col("nv")) + 1e-6)
+    assert(bounded.count() == 0)
+  }
+
   test("countmin: sketch grid is partition-layout independent") {
     import graft.functions.CountMin
     val agg = udaf(new CountMin)

@@ -157,40 +157,19 @@ object ScaleRehearsal {
       .withColumn("rep", explode(expr(s"sequence(1, $k)")))
       .withColumn("p_partkey", col("p_partkey") * k + col("rep"))
       .drop("rep")
-    time("grid2d_inflated") {
-      val base = partK.select(col("p_partkey"), col("p_brand"), col("p_size"), col("p_retailprice"))
-      val build = base
-        .withColumn("cs", col("p_size"))
-        .withColumn("cp", floor(col("p_retailprice") / 10.0))
-      val probe = base.toDF(base.columns.map(_ + "_a"): _*)
-        .withColumn("cs", explode(array(col("p_size_a") - 1, col("p_size_a"), col("p_size_a") + 1)))
-        .withColumn("cp0", floor(col("p_retailprice_a") / 10.0))
-        .withColumn("cp", explode(array(col("cp0") - 1, col("cp0"), col("cp0") + 1)))
-      probe.join(build, Seq("cs", "cp"))
-        .where(col("p_partkey_a") < col("p_partkey") &&
-          abs(col("p_size_a") - col("p_size")) <= 1 &&
-          abs(col("p_retailprice_a") - col("p_retailprice")) <= 10.0)
-        .groupBy(col("p_brand_a")).agg(count(lit(1)))
-    }
+    time("grid2d_inflated")(
+      graft.operators.Frontier.gridImpl(
+        partK.select(col("p_partkey"), col("p_brand"), col("p_size"), col("p_retailprice"))))
 
     // Count-min at ×K: the event stream grows ×K, the sketch stays
     // 3×256 longs at every partial — the O(1)-state frequency pass.
     // Basket lift at ×K: re-keyed orders multiply the basket count ×K
     // (baskets stay bounded, so pair generation grows linearly, never
     // quadratically) while the part dimension is unchanged.
-    time("basket_inflated") {
-      val liK = li.select(col("l_orderkey"), col("l_partkey")).distinct()
-      val nOrders = liK.select(col("l_orderkey")).distinct().agg(count(lit(1)).as("n_orders"))
-      val singles = liK.groupBy(col("l_partkey")).agg(count(lit(1)).as("cnt"))
-      liK.as("a").join(liK.as("b"), Seq("l_orderkey"))
-        .where(col("a.l_partkey") < col("b.l_partkey"))
-        .groupBy(col("a.l_partkey").as("pa"), col("b.l_partkey").as("pb"))
-        .agg(count(lit(1)).as("ab"))
-        .join(singles.select(col("l_partkey").as("pa"), col("cnt").as("ca")), "pa")
-        .join(singles.select(col("l_partkey").as("pb"), col("cnt").as("cb")), "pb")
-        .crossJoin(broadcast(nOrders))
-        .orderBy(desc("ab"), asc("pa"), asc("pb")).limit(20)
-    }
+    time("basket_inflated")(
+      graft.operators.Frontier.basketImpl(
+        li.select(col("l_orderkey"), col("l_partkey")))
+        .orderBy(desc("ab"), asc("pa"), asc("pb")).limit(20))
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true") // events.ts is TIMESTAMP(NANOS)
     val evK = spark.read.parquet(s"$sfDir/events.parquet")

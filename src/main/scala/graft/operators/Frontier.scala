@@ -220,9 +220,15 @@ object Frontier {
     * (the build row has exactly one cell). Exact band predicates +
     * a < b ordering filter after the hash join.
     */
-  def joinGrid2d(s: SparkSession, dir: String): DataFrame = {
-    val part = Tables.part(s, dir)
-      .select(col("p_partkey"), col("p_brand"), col("p_size"), col("p_retailprice"))
+  def joinGrid2d(s: SparkSession, dir: String): DataFrame =
+    gridImpl(Tables.part(s, dir)
+      .select(col("p_partkey"), col("p_brand"), col("p_size"), col("p_retailprice")))
+      .orderBy("p_brand")
+
+  /** Parameterized core shared with ScaleRehearsal (grid2d_inflated)
+    * so the rehearsal measures THIS dataflow, not a copy.
+    */
+  private[graft] def gridImpl(part: DataFrame): DataFrame = {
     val build = part
       .withColumn("cs", col("p_size"))
       .withColumn("cp", floor(col("p_retailprice") / 10.0))
@@ -236,7 +242,6 @@ object Frontier {
         abs(col("p_retailprice_a") - col("p_retailprice")) <= 10.0)
       .groupBy(col("p_brand_a").as("p_brand"))
       .agg(count(lit(1)).as("n_pairs"))
-      .orderBy("p_brand")
   }
 
   /** Exact distinct users per event type via the mergeable bitmap
@@ -479,9 +484,18 @@ object Frontier {
     * corpus-dependent; production adds one as a knob) with a total
     * (lift, pa, pb) order.
     */
-  def basketLift(s: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(s, dir)
-      .select(col("l_orderkey"), col("l_partkey")).distinct()
+  def basketLift(s: SparkSession, dir: String): DataFrame =
+    basketImpl(Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_partkey")))
+      .select(col("pa"), col("pb"), col("ab"), col("lift"))
+      .orderBy(desc("lift"), asc("pa"), asc("pb"))
+      .limit(20)
+
+  /** Parameterized core shared with ScaleRehearsal (basket_inflated)
+    * so the rehearsal measures THIS dataflow, not a copy. `items` is
+    * any (l_orderkey, l_partkey) basket-membership frame.
+    */
+  private[graft] def basketImpl(items: DataFrame): DataFrame = {
+    val li = items.distinct()
     val nOrders = li.select(col("l_orderkey")).distinct()
       .agg(count(lit(1)).as("n_orders"))
     val singles = li.groupBy(col("l_partkey")).agg(count(lit(1)).as("cnt"))
@@ -496,9 +510,6 @@ object Frontier {
         ((col("ab").cast("double") * col("n_orders").cast("double")) /
           (col("ca").cast("double") * col("cb").cast("double")))
           .cast("decimal(12,6)").cast("double"))
-      .select(col("pa"), col("pb"), col("ab"), col("lift"))
-      .orderBy(desc("lift"), asc("pa"), asc("pb"))
-      .limit(20)
   }
 
   /** Interval×interval OVERLAP join — the genuinely-hard range-join

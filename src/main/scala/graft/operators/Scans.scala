@@ -107,15 +107,21 @@ object Scans {
     * so mixed-generation directories stay one scan (footer-only
     * planning), not a per-file dispatch.
     */
+  private val evolveRoots = scala.collection.concurrent.TrieMap.empty[(String, String), String]
+
   def scanSchemaMerge(s: SparkSession, dir: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_evolve").toString
-    val o = Tables.orders(s, dir)
-    o.where(col("o_orderkey") % 2 === 0)
-      .select(col("o_orderkey"), col("o_totalprice"))
-      .write.mode("overwrite").parquet(s"$tmp/g=1")
-    o.where(col("o_orderkey") % 2 === 1)
-      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
-      .write.mode("overwrite").parquet(s"$tmp/g=2")
+    graft.SessionToken.sweep(evolveRoots)(graft.SessionToken.deleteDir)
+    val tmp = evolveRoots.getOrElseUpdate((graft.SessionToken(s), dir), {
+      val r = java.nio.file.Files.createTempDirectory("graft_evolve").toString
+      val o = Tables.orders(s, dir)
+      o.where(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .write.mode("overwrite").parquet(s"$r/g=1")
+      o.where(col("o_orderkey") % 2 === 1)
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+        .write.mode("overwrite").parquet(s"$r/g=2")
+      r
+    })
     s.read.option("mergeSchema", "true").parquet(s"$tmp/g=1", s"$tmp/g=2")
       .groupBy(coalesce(col("o_orderstatus"), lit("<pre-migration>")).as("status"))
       .agg(count(lit(1)).as("n"), dbl(sum(dec("o_totalprice"))).as("total"))

@@ -170,6 +170,26 @@ object Composite {
           .cast("decimal(9,6)").cast("double").as("promo_revenue_pct"))
   }
 
+  /** TPC-H Q13 shape (customer order-count distribution): how many
+    * customers placed exactly k orders — INCLUDING k=0, which is why
+    * this is a distinct shape: the zero bucket only exists if the
+    * customer side is preserved through a LEFT OUTER join before the
+    * first aggregate, and the distribution is a second aggregate OVER
+    * the first (count of counts). Both aggregates are map-side
+    * combinable; the outer join shuffles once on the customer key.
+    * count(o_orderkey) — not count(*) — makes the no-order customer
+    * count 0 instead of 1.
+    */
+  def tpchQ13(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir).select(col("c_custkey"))
+      .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(desc("custdist"), desc("c_count"))
+
   /** Bloom-prefiltered semi join: orders of BUILDING-segment customers,
     * aggregated per priority.
     *
@@ -298,6 +318,7 @@ object Composite {
     "q_tpch_q5" -> tpchQ5,
     "q_tpch_q7" -> tpchQ7,
     "q_tpch_q12" -> tpchQ12,
+    "q_tpch_q13" -> tpchQ13,
     "q_tpch_q14" -> tpchQ14,
     "q_tpch_q18" -> tpchQ18,
     "q_join_bloom" -> joinBloom,
@@ -328,6 +349,14 @@ object Composite {
         |                THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_tpch_q13" ->
+      """SELECT c_count, count(*) AS custdist
+        |FROM (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY c_custkey)
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
     "q_tpch_q14" ->
       """SELECT CAST(CAST(
         |    (100.0 * CAST(sum(CASE WHEN p_type LIKE 'PROMO%'

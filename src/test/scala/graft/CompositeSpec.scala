@@ -182,6 +182,18 @@ class CompositeSpec extends SparkSpec {
       s"q7 nation dims not broadcast:\n$q7")
   }
 
+  test("tpch q13: distribution conserves customers and keeps the zero bucket") {
+    val df = q("q_tpch_q13").cache()
+    val customers = graft.sources.Tables.customer(spark, sf).count()
+    assert(df.agg(sum("custdist")).head.getLong(0) == customers)
+    // the zero bucket is exactly the customers with no orders
+    val withOrders = graft.sources.Tables.orders(spark, sf)
+      .select("o_custkey").distinct().count()
+    val zero = df.where(col("c_count") === 0)
+      .agg(coalesce(sum("custdist"), lit(0L))).head.getLong(0)
+    assert(zero == customers - withOrders)
+  }
+
   test("tpch q7: cross-border only, ship years bound the window, flows are directed") {
     val df = q("q_tpch_q7").cache()
     assert(df.count() > 0)

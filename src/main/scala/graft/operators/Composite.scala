@@ -190,6 +190,55 @@ object Composite {
       .agg(count(lit(1)).as("custdist"))
       .orderBy(desc("custdist"), desc("c_count"))
 
+  /** TPC-H Q22 shape (dormant-customer audit): customers whose balance
+    * exceeds the positive-balance average AND who placed no order in
+    * 1997, counted per market segment. Composes the two subquery
+    * forms in one plan: an uncorrelated SCALAR subquery (the 1-row
+    * global average — broadcast, computed once) and an ANTI join
+    * against a date-sliced fact (never a NOT IN, whose NULL semantics
+    * also differ across engines). The balance filter runs BEFORE the
+    * anti join, so the expensive probe sees only the qualifying
+    * slice.
+    */
+  def tpchQ22(s: SparkSession, dir: String): DataFrame = {
+    val avgBal = Tables.customer(s, dir)
+      .where(col("c_acctbal") > 0.0)
+      .agg(avgDec(col("c_acctbal"), count(lit(1))).as("abal"))
+    val lo = lit("1997-01-01").cast("timestamp")
+    val hi = lit("1998-01-01").cast("timestamp")
+    Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+      .crossJoin(broadcast(avgBal))
+      .where(col("c_acctbal") > col("abal"))
+      .join(Tables.orders(s, dir)
+          .where(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+          .select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_cust"),
+        dbl(sum(dec("c_acctbal"))).as("total_bal"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** Multi-distinct aggregation — the Expand-plan shape: several
+    * COUNT(DISTINCT …) over DIFFERENT columns plus a plain sum in ONE
+    * aggregate. Spark plans this by expanding each row ×(k+1) with a
+    * grouping id (visible as `Expand` in explain) — correct and
+    * single-pass, but the row multiplication is a real cost at 100 TB:
+    * when k grows, the two-level agg (distinct per column, then join)
+    * or sketches (q_agg_approx_hll / q_agg_bitmap_distinct) are the
+    * scale path. This key documents the trade by existing.
+    */
+  def aggMultiDistinct(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_partkey")).as("d_parts"),
+        countDistinct(col("l_suppkey")).as("d_supps"),
+        countDistinct(col("l_orderkey")).as("d_orders"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag")
+
   /** Bloom-prefiltered semi join: orders of BUILDING-segment customers,
     * aggregated per priority.
     *
@@ -320,6 +369,8 @@ object Composite {
     "q_tpch_q12" -> tpchQ12,
     "q_tpch_q13" -> tpchQ13,
     "q_tpch_q14" -> tpchQ14,
+    "q_tpch_q22" -> tpchQ22,
+    "q_agg_multi_distinct" -> aggMultiDistinct,
     "q_tpch_q18" -> tpchQ18,
     "q_join_bloom" -> joinBloom,
     "q_sql_api" -> sqlApi
@@ -357,6 +408,25 @@ object Composite {
         |  GROUP BY c_custkey)
         |GROUP BY c_count
         |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "q_tpch_q22" ->
+      """WITH a AS (
+        |  SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS abal
+        |  FROM customer WHERE c_acctbal > 0.0)
+        |SELECT c_mktsegment, count(*) AS n_cust,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+        |FROM customer CROSS JOIN a
+        |WHERE c_acctbal > abal
+        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |    AND o_orderdate >= TIMESTAMP '1997-01-01'
+        |    AND o_orderdate < TIMESTAMP '1998-01-01')
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q_agg_multi_distinct" ->
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_partkey) AS d_parts,
+        |  count(DISTINCT l_suppkey) AS d_supps,
+        |  count(DISTINCT l_orderkey) AS d_orders,
+        |  count(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_tpch_q14" ->
       """SELECT CAST(CAST(
         |    (100.0 * CAST(sum(CASE WHEN p_type LIKE 'PROMO%'

@@ -194,6 +194,24 @@ class CompositeSpec extends SparkSpec {
     assert(zero == customers - withOrders)
   }
 
+  test("tpch q22: dormant slice excludes every 1997 orderer; multi-distinct bounded by rows") {
+    val df = q("q_tpch_q22").cache()
+    assert(df.count() > 0)
+    val orders97 = graft.sources.Tables.orders(spark, sf)
+      .where(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      .select(col("o_custkey")).distinct().count()
+    val customers = graft.sources.Tables.customer(spark, sf).count()
+    // the dormant set can never exceed customers minus the 1997 orderers
+    assert(df.agg(sum("n_cust")).head.getLong(0) <= customers - orders97)
+    val md = q("q_agg_multi_distinct").cache()
+    assert(md.where(col("d_parts") > col("n_rows") || col("d_supps") > col("n_rows") ||
+      col("d_orders") > col("n_rows")).count() == 0)
+    // the Expand plan shape is actually used
+    val plan = q("q_agg_multi_distinct").queryExecution.executedPlan.toString
+    assert(plan.contains("Expand"), s"multi-distinct lost its Expand plan:\n$plan")
+  }
+
   test("tpch q7: cross-border only, ship years bound the window, flows are directed") {
     val df = q("q_tpch_q7").cache()
     assert(df.count() > 0)

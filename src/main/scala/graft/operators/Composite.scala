@@ -239,6 +239,48 @@ object Composite {
         count(lit(1)).as("n_rows"))
       .orderBy("l_returnflag")
 
+  /** TPC-H Q17 shape (small-quantity revenue): lineitems whose
+    * quantity is below 20% of their part's average quantity — the
+    * CORRELATED AGGREGATE SUBQUERY pattern, decorrelated the way
+    * every engine must at scale: pre-aggregate the per-part averages
+    * once (combinable), join them back on the part key, filter, sum.
+    * The average is the engine's exact-decimal avg (one IEEE
+    * division) and the 0.2× threshold is a mirrored float64 multiply,
+    * so the < comparison is bit-identical on both engines.
+    */
+  def tpchQ17(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+    val avgQty = li.groupBy(col("l_partkey"))
+      .agg(avgDec(col("l_quantity"), count(lit(1))).as("aq"))
+    li.join(avgQty, "l_partkey")
+      .where(col("l_quantity") < lit(0.2) * col("aq"))
+      .agg(count(lit(1)).as("n_small"),
+        dbl(sum(dec("l_extendedprice"))).as("small_revenue"))
+  }
+
+  /** TPC-H Q15 shape (top supplier): suppliers whose revenue EQUALS
+    * the global maximum — the having-=-global-max pattern. Revenue per
+    * supplier is one combinable exchange; the 1-row max is computed
+    * over that result and broadcast back, so the fact table is read
+    * once (the naive correlated form rescans it per candidate).
+    * Revenue stays exact DECIMAL through BOTH the aggregation and the
+    * max/equality — the comparison is on exact values, with the
+    * double cast only in the final projection.
+    */
+  def tpchQ15(s: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(s, dir)
+      .groupBy(col("l_suppkey"))
+      .agg(sum(dec("l_extendedprice") * (one - dec("l_discount"))).as("rev"))
+    val top = rev.agg(max(col("rev")).as("mx"))
+    rev.crossJoin(broadcast(top))
+      .where(col("rev") === col("mx"))
+      .join(Tables.supplier(s, dir).select(col("s_suppkey"), col("s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), dbl(col("rev")).as("total_revenue"))
+      .orderBy("s_suppkey")
+  }
+
   /** Bloom-prefiltered semi join: orders of BUILDING-segment customers,
     * aggregated per priority.
     *
@@ -369,6 +411,8 @@ object Composite {
     "q_tpch_q12" -> tpchQ12,
     "q_tpch_q13" -> tpchQ13,
     "q_tpch_q14" -> tpchQ14,
+    "q_tpch_q15" -> tpchQ15,
+    "q_tpch_q17" -> tpchQ17,
     "q_tpch_q22" -> tpchQ22,
     "q_agg_multi_distinct" -> aggMultiDistinct,
     "q_tpch_q18" -> tpchQ18,
@@ -408,6 +452,26 @@ object Composite {
         |  GROUP BY c_custkey)
         |GROUP BY c_count
         |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "q_tpch_q15" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |      * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS rev
+        |  FROM lineitem GROUP BY l_suppkey),
+        |mx AS (SELECT max(rev) AS mx FROM rev)
+        |SELECT s_suppkey, s_name, CAST(rev AS DOUBLE) AS total_revenue
+        |FROM rev CROSS JOIN mx JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE rev = mx
+        |ORDER BY s_suppkey""".stripMargin,
+    "q_tpch_q17" ->
+      """WITH a AS (
+        |  SELECT l_partkey,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS aq
+        |  FROM lineitem GROUP BY l_partkey)
+        |SELECT count(*) AS n_small,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS small_revenue
+        |FROM lineitem JOIN a USING (l_partkey)
+        |WHERE l_quantity < CAST(0.2 AS DOUBLE) * aq""".stripMargin,
     "q_tpch_q22" ->
       """WITH a AS (
         |  SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS abal

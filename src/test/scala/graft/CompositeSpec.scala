@@ -212,6 +212,23 @@ class CompositeSpec extends SparkSpec {
     assert(plan.contains("Expand"), s"multi-distinct lost its Expand plan:\n$plan")
   }
 
+  test("tpch q15/q17: max-revenue winner verified; small-quantity slice bounded") {
+    import graft.sources.Tables
+    // q15: the reported supplier really has the maximum revenue
+    val winners = q("q_tpch_q15").collect()
+    assert(winners.nonEmpty)
+    val revs = Tables.lineitem(spark, sf)
+      .groupBy("l_suppkey")
+      .agg(sum(graft.operators.dec("l_extendedprice") *
+        (lit(1).cast("decimal(18,2)") - graft.operators.dec("l_discount"))).as("rev"))
+    val mx = revs.agg(max("rev")).head.getDecimal(0)
+    winners.foreach(r => assert(BigDecimal(r.getDouble(2)) == BigDecimal(mx.toString)
+      || math.abs(r.getDouble(2) - mx.doubleValue()) < 1e-6))
+    // q17: the small-quantity rows are a strict subset of the fact table
+    val row = q("q_tpch_q17").head
+    assert(row.getLong(0) > 0 && row.getLong(0) < Tables.lineitem(spark, sf).count())
+  }
+
   test("tpch q7: cross-border only, ship years bound the window, flows are directed") {
     val df = q("q_tpch_q7").cache()
     assert(df.count() > 0)

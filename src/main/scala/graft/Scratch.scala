@@ -13,7 +13,8 @@ object Scratch {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     s.range(1000000L).selectExpr("sum(id)").collect()
     val names = if (a.nonEmpty) a.toSeq else Seq("q_dedup_clusters")
-    for (n <- names; r <- 1 to 2) {
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
+    for (n <- names; r <- 1 to reps) {
       val t = System.nanoTime()
       val c = SparkEntry.queries(n)(s, dir).count()
       println(f"$n run$r ${(System.nanoTime() - t) / 1e9}%.2fs rows=$c")

@@ -210,7 +210,9 @@ object Graph {
   /** §2.13 (round-4) triangle counting — the clustering-coefficient /
     * community-density primitive — over the part co-purchase graph
     * (parts are adjacent when one order contains both; a deterministic
-    * 20% order shard keeps the toy graph's density honest).
+    * 10% order shard keeps the toy graph's density honest —
+    * ScaleRehearsal's triangles_inflated keeps the denser 20% shard so
+    * the algorithm is still priced at full density).
     *
     * Algorithm: compact-forward with DEGREE ordering (Latapy,
     * "Main-memory triangle computations for very large graphs", TCS
@@ -230,7 +232,7 @@ object Graph {
     */
   def triangles(s: SparkSession, dir: String): DataFrame =
     trianglesImpl(Tables.lineitem(s, dir)
-      .where(pmod(col("l_orderkey"), lit(5)) === 0)
+      .where(pmod(col("l_orderkey"), lit(10)) === 0)
       .select(col("l_orderkey"), col("l_partkey")))
 
   /** Parameterized core shared with ScaleRehearsal (triangles_inflated)
@@ -238,10 +240,14 @@ object Graph {
     * (l_orderkey, l_partkey) co-occurrence frame.
     */
   private[graft] def trianglesImpl(li: DataFrame): DataFrame = {
+    // checkpoint: e0 (the expensive self-join + distinct) feeds both the
+    // degree aggregation and the orientation join — without
+    // materialization the whole subplan can replay once per consumer
     val e0 = li.as("a").join(li.as("b"), Seq("l_orderkey"))
       .where(col("a.l_partkey") < col("b.l_partkey"))
       .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
       .distinct()
+      .localCheckpoint()
     val deg = e0.select(col("u").as("k")).unionAll(e0.select(col("v")))
       .groupBy(col("k")).agg(count(lit(1)).as("d"))
     // orient: s = endpoint with the smaller (degree, id); carry t's
@@ -287,10 +293,13 @@ object Graph {
     val li = Tables.lineitem(s, dir)
       .where(pmod(col("l_orderkey"), lit(5)) === 0)
       .select(col("l_orderkey"), col("l_partkey"))
+    // checkpoint: e0 is consumed twice by the symmetric union below —
+    // materialize the self-join + distinct once instead of replaying it
     val e0 = li.as("a").join(li.as("b"), Seq("l_orderkey"))
       .where(col("a.l_partkey") < col("b.l_partkey"))
       .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
       .distinct()
+      .localCheckpoint()
     val e = e0.select(col("u").as("src"), col("v").as("dst"))
       .unionAll(e0.select(col("v").as("src"), col("u").as("dst")))
       .localCheckpoint()
@@ -378,7 +387,7 @@ object Graph {
         |FROM l2 GROUP BY lbl ORDER BY label""".stripMargin,
     "q_graph_triangles" ->
       """WITH li AS (
-        |  SELECT l_orderkey, l_partkey FROM lineitem WHERE l_orderkey % 5 = 0),
+        |  SELECT l_orderkey, l_partkey FROM lineitem WHERE l_orderkey % 10 = 0),
         |e AS (
         |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
         |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey

@@ -58,7 +58,7 @@ class GraphSpec extends SparkSpec {
   test("triangles: degree-oriented count equals the naive id-ordered join") {
     val df = q("q_graph_triangles").cache()
     val li = graft.sources.Tables.lineitem(spark, sf)
-      .where(pmod(col("l_orderkey"), lit(5)) === 0)
+      .where(pmod(col("l_orderkey"), lit(10)) === 0)
       .select(col("l_orderkey"), col("l_partkey"))
     val e = li.as("a").join(li.as("b"), Seq("l_orderkey"))
       .where(col("a.l_partkey") < col("b.l_partkey"))

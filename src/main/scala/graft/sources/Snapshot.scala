@@ -181,13 +181,50 @@ object Snapshot {
       } finally reader.close()
     } catch { case _: Exception => Map.empty }
 
+  /** Time-travel resolution: the snapshot manifest in effect "as of"
+    * `asOf` (tags are sortable strings — ISO timestamps in production,
+    * so `asOf` is a tag OR any timestamp between two tags).
+    *
+    * With `from` set, the parent chain of that tag is walked until a
+    * manifest whose tag is <= asOf — lineage-respecting, so a fork's
+    * history resolves within the fork. Without `from`, the newest
+    * catalog tag <= asOf wins (listTags order). Either way the answer
+    * is a manifest that actually existed — never a synthetic mix of
+    * generations. One manifest read per hop, no data I/O.
+    */
+  def resolveAsOf(s: SparkSession, root: String, asOf: String,
+                  from: Option[String] = None): Manifest = from match {
+    case Some(start) =>
+      var cur = Option(start)
+      while (cur.isDefined) {
+        val m = readManifest(s, root, cur.get)
+        if (m.tag <= asOf) return m
+        cur = m.parent
+      }
+      throw new IllegalArgumentException(
+        s"no snapshot at or before '$asOf' on the parent chain of '$start'")
+    case None =>
+      listTags(s, root).filter(_ <= asOf).lastOption
+        .map(readManifest(s, root, _))
+        .getOrElse(throw new IllegalArgumentException(
+          s"no snapshot at or before '$asOf' under $root " +
+            s"(tags: ${listTags(s, root).mkString(", ")})"))
+  }
+
+  /** Time-travel read: the `table` as it was at `asOf`. */
+  def readAsOf(s: SparkSession, root: String, asOf: String, table: String,
+               from: Option[String] = None): DataFrame =
+    readEntry(s, resolveAsOf(s, root, asOf, from), table)
+
   /** Batch-queryable face of a snapshot: manifest → file list →
     * parquet scan. Filters/pruning push into the scan as usual.
     */
-  def read(s: SparkSession, root: String, tag: String, table: String): DataFrame = {
-    val m = readManifest(s, root, tag)
+  def read(s: SparkSession, root: String, tag: String, table: String): DataFrame =
+    readEntry(s, readManifest(s, root, tag), table)
+
+  private def readEntry(s: SparkSession, m: Manifest, table: String): DataFrame = {
     val entry = m.tables.getOrElse(table,
-      throw new IllegalArgumentException(s"table $table not in snapshot $tag"))
+      throw new IllegalArgumentException(s"table $table not in snapshot ${m.tag}"))
     entry.dir match {
       // partitioned: read the directory so partition values decode from
       // the layout and partition pruning applies to predicates

@@ -46,20 +46,32 @@ class SnapshotSource extends TableProvider {
   private def coords(options: CaseInsensitiveStringMap): (String, String, String) = {
     val root = options.get("root")
     val tag = options.get("tag")
+    val asOf = options.get("asOf")
     val table = options.get("table")
-    require(root != null && tag != null && table != null,
-      "options root, tag and table are required")
+    require(root != null && table != null && (tag != null || asOf != null),
+      "options root, table and one of tag/asOf are required")
     (root, tag, table)
   }
 
-  /** The manifest entry, or None when the snapshot/table doesn't exist
-    * yet — which is a valid state for a WRITE creating a new table.
+  /** The manifest the options name: the exact `tag`, or — with
+    * `asOf` — the snapshot in effect at that point (parent-chain walk
+    * from `tag` when both are given, newest catalog tag <= asOf
+    * otherwise). None when the snapshot doesn't exist yet — a valid
+    * state only for a WRITE creating a new table.
     */
-  private def entryFor(options: CaseInsensitiveStringMap): Option[Snapshot.TableEntry] = {
-    val (root, tag, table) = coords(options)
-    try Snapshot.readManifest(SparkSession.active, root, tag).tables.get(table)
-    catch { case _: java.io.FileNotFoundException => None }
+  private def manifestFor(options: CaseInsensitiveStringMap): Option[Snapshot.Manifest] = {
+    val (root, tag, _) = coords(options)
+    Option(options.get("asOf")) match {
+      case Some(asOf) =>
+        Some(Snapshot.resolveAsOf(SparkSession.active, root, asOf, Option(tag)))
+      case None =>
+        try Some(Snapshot.readManifest(SparkSession.active, root, tag))
+        catch { case _: java.io.FileNotFoundException => None }
+    }
   }
+
+  private def entryFor(options: CaseInsensitiveStringMap): Option[Snapshot.TableEntry] =
+    manifestFor(options).flatMap(_.tables.get(coords(options)._3))
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     entryFor(options) match {
@@ -67,6 +79,12 @@ class SnapshotSource extends TableProvider {
         entry.schemaJson.map(DataType.fromJson(_).asInstanceOf[StructType]).getOrElse(
           throw new IllegalArgumentException(
             s"snapshot entry for ${coords(options)._3} predates schemaJson manifests"))
+      case None if options.get("asOf") != null =>
+        // time travel is read-only: a missing table at the resolved
+        // snapshot is a read error, never a write-creation target
+        throw new IllegalArgumentException(
+          s"table ${coords(options)._3} not in the snapshot resolved for " +
+            s"asOf='${options.get("asOf")}'")
       case None =>
         // a new table being created by a write: the writer passes the
         // dataframe schema explicitly (save() offers no other channel)
@@ -79,15 +97,22 @@ class SnapshotSource extends TableProvider {
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table = {
     val options = new CaseInsensitiveStringMap(properties)
-    val (root, tag, table) = coords(options)
+    val (root, tagOpt, table) = coords(options)
+    val asOf = Option(options.get("asOf"))
+    // an asOf read pins a HISTORICAL manifest — its tag is the resolved
+    // one (for error messages), and the table must be read-only so a
+    // time-travel handle can never append into history
+    val tag = asOf.map(a => manifestFor(options).get.tag).getOrElse(tagOpt)
     entryFor(options) match {
       case Some(entry) =>
         SnapshotTable(table, schema, entry.files,
-          entry.files.map(_.size).sum, entry.rows, root, tag)
+          entry.files.map(_.size).sum, entry.rows, root, tag,
+          writable = asOf.isEmpty)
       // write target only: reading it must still fail loudly (see
       // newScanBuilder) — a typo'd tag/table on a READ that happens to
       // carry the schema option must not become a silent empty result
-      case None => SnapshotTable(table, schema, Nil, 0L, 0L, root, tag, existed = false)
+      case None => SnapshotTable(table, schema, Nil, 0L, 0L, root, tag,
+        existed = false, writable = asOf.isEmpty)
     }
   }
 }
@@ -95,7 +120,7 @@ class SnapshotSource extends TableProvider {
 case class SnapshotTable(tableName: String, tableSchema: StructType,
                          files: Seq[Snapshot.FileEntry],
                          totalBytes: Long, rows: Long, root: String = "", tag: String = "",
-                         existed: Boolean = true)
+                         existed: Boolean = true, writable: Boolean = true)
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite {
   import org.apache.spark.sql.connector.write._
@@ -109,8 +134,12 @@ case class SnapshotTable(tableName: String, tableSchema: StructType,
       s"table $tableName not in snapshot $tag — it exists only as a write target")
     new SnapshotScanBuilder(tableSchema, files, totalBytes, rows)
   }
-  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    if (!writable) throw new UnsupportedOperationException(
+      s"snapshot table $tableName was opened with asOf (time travel) — " +
+        "history is immutable; write to a named tag instead")
     new SnapshotWriteBuilder(root, tag, tableName, info)
+  }
 }
 
 class SnapshotScanBuilder(dataSchema: StructType, files: Seq[Snapshot.FileEntry],
@@ -572,6 +601,7 @@ class SnapshotPartitionReader(file: String, required: StructType,
     case FloatType => g.getFloat(fieldIdx, 0)
     case BooleanType => g.getBoolean(fieldIdx, 0)
     case StringType => UTF8String.fromBytes(g.getBinary(fieldIdx, 0).getBytes)
+    case BinaryType => g.getBinary(fieldIdx, 0).getBytes
     // Spark 4 writes TIMESTAMP_MICROS as INT64 — the raw long IS
     // Spark's internal representation (fixtures are NTZ: parquet
     // isAdjustedToUTC=false reads as TimestampNTZType)
@@ -742,16 +772,19 @@ case class SnapshotWriterFactory(dir: String, schemaJson: String)
 }
 
 /** One-task parquet writer over the Group API — the mirror of
-  * SnapshotPartitionReader. Scope: primitive column types (the same
-  * long/int/double/float/boolean/string/timestamp/date set the reader
-  * decodes without recursion); nested types raise honestly at write
-  * time rather than producing files the reader would mis-shape.
+  * SnapshotPartitionReader. Scope matches the reader exactly:
+  * primitives incl. timestamp/date and INT32/INT64-backed decimals,
+  * plus arrays (3-level parquet LIST), structs and maps (standard
+  * key_value MAP), recursively composed — so anything the source can
+  * read (the embeddings table included) round-trips value-exact
+  * through the sink.
   */
 class SnapshotDataWriter(dir: String, partitionId: Int, taskId: Long, schema: StructType)
     extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
   import org.apache.parquet.schema.{LogicalTypeAnnotation, PrimitiveType, Type => PType, Types}
   import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
   import org.apache.parquet.io.api.Binary
+  import org.apache.spark.sql.catalyst.expressions.SpecializedGetters
 
   // partitionId+taskId dedup retries within one application; the UUID
   // makes names collision-free across applications appending to the
@@ -761,31 +794,54 @@ class SnapshotDataWriter(dir: String, partitionId: Int, taskId: Long, schema: St
   private val conf = new Configuration()
 
   private val parquetSchema: MessageType = {
-    def field(f: StructField): PType = f.dataType match {
-      case LongType    => Types.optional(INT64).named(f.name)
-      case IntegerType => Types.optional(INT32).named(f.name)
-      case DoubleType  => Types.optional(DOUBLE).named(f.name)
-      case FloatType   => Types.optional(FLOAT).named(f.name)
-      case BooleanType => Types.optional(BOOLEAN).named(f.name)
-      case StringType  => Types.optional(BINARY)
-        .as(LogicalTypeAnnotation.stringType()).named(f.name)
-      case TimestampType => Types.optional(INT64)
+    // Complex shapes mirror what the reader decodes (and what Spark
+    // itself writes): LIST = optional group (LIST) { repeated group
+    // list { optional element } }, MAP = optional group (MAP) {
+    // repeated group key_value { required key; optional value } },
+    // structs are plain groups in StructType field order.
+    def field(name: String, dt: DataType,
+              rep: PType.Repetition = PType.Repetition.OPTIONAL): PType = dt match {
+      case LongType    => Types.primitive(INT64, rep).named(name)
+      case IntegerType => Types.primitive(INT32, rep).named(name)
+      case DoubleType  => Types.primitive(DOUBLE, rep).named(name)
+      case FloatType   => Types.primitive(FLOAT, rep).named(name)
+      case BooleanType => Types.primitive(BOOLEAN, rep).named(name)
+      case StringType  => Types.primitive(BINARY, rep)
+        .as(LogicalTypeAnnotation.stringType()).named(name)
+      case BinaryType  => Types.primitive(BINARY, rep).named(name)
+      case TimestampType => Types.primitive(INT64, rep)
         .as(LogicalTypeAnnotation.timestampType(true,
-          LogicalTypeAnnotation.TimeUnit.MICROS)).named(f.name)
-      case TimestampNTZType => Types.optional(INT64)
+          LogicalTypeAnnotation.TimeUnit.MICROS)).named(name)
+      case TimestampNTZType => Types.primitive(INT64, rep)
         .as(LogicalTypeAnnotation.timestampType(false,
-          LogicalTypeAnnotation.TimeUnit.MICROS)).named(f.name)
-      case DateType => Types.optional(INT32)
-        .as(LogicalTypeAnnotation.dateType()).named(f.name)
-      case dt: DecimalType if dt.precision <= 9 => Types.optional(INT32)
-        .as(LogicalTypeAnnotation.decimalType(dt.scale, dt.precision)).named(f.name)
-      case dt: DecimalType if dt.precision <= 18 => Types.optional(INT64)
-        .as(LogicalTypeAnnotation.decimalType(dt.scale, dt.precision)).named(f.name)
+          LogicalTypeAnnotation.TimeUnit.MICROS)).named(name)
+      case DateType => Types.primitive(INT32, rep)
+        .as(LogicalTypeAnnotation.dateType()).named(name)
+      case d: DecimalType if d.precision <= 9 => Types.primitive(INT32, rep)
+        .as(LogicalTypeAnnotation.decimalType(d.scale, d.precision)).named(name)
+      case d: DecimalType if d.precision <= 18 => Types.primitive(INT64, rep)
+        .as(LogicalTypeAnnotation.decimalType(d.scale, d.precision)).named(name)
+      case ArrayType(et, _) =>
+        Types.buildGroup(rep).as(LogicalTypeAnnotation.listType())
+          .addField(Types.repeatedGroup()
+            .addField(field("element", et)).named("list"))
+          .named(name)
+      case StructType(fields) =>
+        val b = Types.buildGroup(rep)
+        fields.foreach(f => b.addField(field(f.name, f.dataType)))
+        b.named(name)
+      case MapType(kt, vt, _) =>
+        Types.buildGroup(rep).as(LogicalTypeAnnotation.mapType())
+          .addField(Types.repeatedGroup()
+            .addField(field("key", kt, PType.Repetition.REQUIRED))
+            .addField(field("value", vt)).named("key_value"))
+          .named(name)
       case other => throw new UnsupportedOperationException(
-        s"SnapshotSource write supports primitive columns; got ${f.name}: $other")
+        s"SnapshotSource write supports primitive, array, struct and map columns; " +
+          s"got $name: $other")
     }
     val b = Types.buildMessage()
-    schema.fields.foreach(f => b.addField(field(f)))
+    schema.fields.foreach(f => b.addField(field(f.name, f.dataType)))
     b.named("spark_schema")
   }
 
@@ -810,24 +866,62 @@ class SnapshotDataWriter(dir: String, partitionId: Int, taskId: Long, schema: St
   private val statMin = scala.collection.mutable.Map.empty[Int, Long]
   private val statMax = scala.collection.mutable.Map.empty[Int, Long]
 
+  /** Encode value `ord` of `src` (a row or an array — both are
+    * SpecializedGetters) into group field `i` — the exact inverse of
+    * SnapshotPartitionReader.decode, recursive over the same shapes.
+    * Callers only invoke this on non-null values; nested nulls are
+    * handled here (an absent group field IS parquet's null).
+    */
+  private def addTo(g: Group, i: Int, dt: DataType,
+                    src: SpecializedGetters, ord: Int): Unit = dt match {
+    case LongType | TimestampType | TimestampNTZType => g.add(i, src.getLong(ord))
+    case IntegerType | DateType => g.add(i, src.getInt(ord))
+    case DoubleType  => g.add(i, src.getDouble(ord))
+    case FloatType   => g.add(i, src.getFloat(ord))
+    case BooleanType => g.add(i, src.getBoolean(ord))
+    case StringType  =>
+      g.add(i, Binary.fromConstantByteArray(src.getUTF8String(ord).getBytes))
+    case BinaryType  => g.add(i, Binary.fromConstantByteArray(src.getBinary(ord)))
+    case d: DecimalType if d.precision <= 9 =>
+      g.add(i, src.getDecimal(ord, d.precision, d.scale).toUnscaledLong.toInt)
+    case d: DecimalType if d.precision <= 18 =>
+      g.add(i, src.getDecimal(ord, d.precision, d.scale).toUnscaledLong)
+    case ArrayType(et, _) =>
+      val arr = src.getArray(ord)
+      val wrapper = g.addGroup(i) // the LIST annotation group
+      var j = 0
+      while (j < arr.numElements()) {
+        val entry = wrapper.addGroup(0) // one repeated `list` group per element
+        if (!arr.isNullAt(j)) addTo(entry, 0, et, arr, j)
+        j += 1
+      }
+    case StructType(fields) =>
+      val st = src.getStruct(ord, fields.length)
+      val nested = g.addGroup(i)
+      var j = 0
+      while (j < fields.length) {
+        if (!st.isNullAt(j)) addTo(nested, j, fields(j).dataType, st, j)
+        j += 1
+      }
+    case MapType(kt, vt, _) =>
+      val m = src.getMap(ord)
+      val keys = m.keyArray(); val values = m.valueArray()
+      val wrapper = g.addGroup(i) // the MAP annotation group
+      var j = 0
+      while (j < m.numElements()) {
+        val kv = wrapper.addGroup(0) // one repeated `key_value` group per entry
+        addTo(kv, 0, kt, keys, j) // map keys are never null in Spark
+        if (!values.isNullAt(j)) addTo(kv, 1, vt, values, j)
+        j += 1
+      }
+    case other => throw new IllegalStateException(s"unreachable: $other")
+  }
+
   override def write(row: InternalRow): Unit = {
     val g = factory.newGroup()
     var i = 0
     while (i < schema.length) {
-      if (!row.isNullAt(i)) schema.fields(i).dataType match {
-        case LongType | TimestampType | TimestampNTZType => g.add(i, row.getLong(i))
-        case IntegerType | DateType => g.add(i, row.getInt(i))
-        case DoubleType  => g.add(i, row.getDouble(i))
-        case FloatType   => g.add(i, row.getFloat(i))
-        case BooleanType => g.add(i, row.getBoolean(i))
-        case StringType  =>
-          g.add(i, Binary.fromConstantByteArray(row.getUTF8String(i).getBytes))
-        case dt: DecimalType if dt.precision <= 9 =>
-          g.add(i, row.getDecimal(i, dt.precision, dt.scale).toUnscaledLong.toInt)
-        case dt: DecimalType if dt.precision <= 18 =>
-          g.add(i, row.getDecimal(i, dt.precision, dt.scale).toUnscaledLong)
-        case other => throw new IllegalStateException(s"unreachable: $other")
-      }
+      if (!row.isNullAt(i)) addTo(g, i, schema.fields(i).dataType, row, i)
       i += 1
     }
     writer.write(g)

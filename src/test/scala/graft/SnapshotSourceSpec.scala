@@ -221,19 +221,96 @@ class SnapshotSourceSpec extends SparkSpec {
       fs.exists(new org.apache.hadoop.fs.Path(f.path))))
   }
 
-  test("DSv2 write rejects nested columns honestly") {
-    val nested = Tables.nation(spark, sf)
-      .select(col("n_nationkey"), array(col("n_name")).as("names"))
+  test("DSv2 write round-trips the embeddings table (array<float>) value-exact") {
+    val r = Files.createTempDirectory("snap_emb_w").toString
+    val src = Tables.embeddings(spark, sf)
+    src.write.format("graft.sources.SnapshotSource")
+      .option("root", r).option("tag", "g1").option("table", "embeddings")
+      .option("schema", src.schema.json).mode("append").save()
+    val back = spark.read.format("graft.sources.SnapshotSource")
+      .option("root", r).option("tag", "g1").option("table", "embeddings").load()
+    assert(back.schema == src.schema)
+    // element-exact equality, including vector order
+    assert(back.exceptAll(src).count() == 0 && src.exceptAll(back).count() == 0,
+      "embeddings must round-trip value-exact through the DSv2 sink")
+  }
+
+  test("DSv2 write round-trips nested struct/map/array-of-struct and binary") {
+    val r = Files.createTempDirectory("snap_nested_w").toString
+    val src = Tables.nation(spark, sf).select(
+      col("n_nationkey"),
+      struct(col("n_name").as("name"),
+        array(col("n_regionkey"), col("n_regionkey") + 1).as("rks")).as("info"),
+      map(col("n_name"), col("n_regionkey")).as("m"),
+      array(struct(col("n_name").as("nm"))).as("aos"),
+      // null complex values and binary bytes must survive the trip too
+      when(col("n_nationkey") % 2 === 0, encode(col("n_name"), "UTF-8")).as("bin"))
+    src.write.format("graft.sources.SnapshotSource")
+      .option("root", r).option("tag", "g1").option("table", "nested")
+      .option("schema", src.schema.json).mode("append").save()
+    val back = spark.read.format("graft.sources.SnapshotSource")
+      .option("root", r).option("tag", "g1").option("table", "nested").load()
+    assert(back.schema == src.schema)
+    // set operations reject MapType — compare on the entry-array form
+    def cmp(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("m", map_entries(col("m")))
+    assert(cmp(back).exceptAll(cmp(src)).count() == 0 &&
+      cmp(src).exceptAll(cmp(back)).count() == 0,
+      "nested and binary columns must round-trip value-exact through the DSv2 sink")
+  }
+
+  test("DSv2 write rejects unsupported column types honestly") {
+    val bad = Tables.nation(spark, sf)
+      .select(col("n_nationkey"), col("n_regionkey").cast("short").as("s"))
     val e = intercept[Exception] {
-      nested.write.format("graft.sources.SnapshotSource")
+      bad.write.format("graft.sources.SnapshotSource")
         .option("root", Files.createTempDirectory("snap_bad").toString)
         .option("tag", "g1").option("table", "bad")
-        .option("schema", nested.schema.json)
+        .option("schema", bad.schema.json)
         .mode("append").save()
     }
     val chain = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
       .map(t => Option(t.getMessage).getOrElse("")).mkString("|")
-    assert(chain.contains("primitive columns"), chain)
+    assert(chain.contains("SnapshotSource write supports"), chain)
+  }
+
+  test("asOf option time-travels reads through the manifest chain") {
+    val r = Files.createTempDirectory("snap_asof").toString
+    val v1 = Tables.nation(spark, sf)
+    val v2 = Tables.nation(spark, sf).where(col("n_regionkey") < 2)
+    // sortable-tag history with a parent link, like production exports
+    Snapshot.export(spark, Map("nation" -> v1), r, "2024-01-01")
+    Snapshot.export(spark, Map("nation" -> v2), r, "2024-02-01",
+      parent = Some("2024-01-01"))
+
+    def readAsOf(asOf: String, tag: Option[String] = None) = {
+      val b = spark.read.format("graft.sources.SnapshotSource")
+        .option("root", r).option("table", "nation").option("asOf", asOf)
+      tag.fold(b)(t => b.option("tag", t)).load()
+    }
+    // a timestamp between the two tags resolves to the older snapshot —
+    // catalog mode (no tag) and parent-chain mode (from the head tag)
+    assert(readAsOf("2024-01-15").count() == v1.count())
+    assert(readAsOf("2024-01-15", Some("2024-02-01")).count() == v1.count())
+    // an exact tag resolves to itself; the head sees the new data
+    assert(readAsOf("2024-02-01").count() == v2.count())
+    // historical reads see historical DATA, not just counts
+    val old = readAsOf("2024-01-01")
+    assert(old.exceptAll(v1).count() == 0 && v1.exceptAll(old).count() == 0)
+    // nothing existed before the first tag — clear error, no empty scan
+    val e1 = intercept[IllegalArgumentException](readAsOf("2023-12-31").count())
+    assert(e1.getMessage.contains("no snapshot at or before"))
+    // the library API resolves the same way
+    assert(Snapshot.readAsOf(spark, r, "2024-01-15", "nation").count() == v1.count())
+    // history is immutable: a time-travel handle can never be written
+    val e2 = intercept[Exception] {
+      v2.write.format("graft.sources.SnapshotSource")
+        .option("root", r).option("table", "nation").option("asOf", "2024-01-15")
+        .mode("append").save()
+    }
+    val chain = Iterator.iterate(e2: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString("|")
+    assert(chain.contains("time travel"), chain)
   }
 
   test("manifest stats prune whole files from the scan plan") {

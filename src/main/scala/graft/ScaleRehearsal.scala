@@ -140,10 +140,15 @@ object ScaleRehearsal {
     // no super-linear term.
     // re-key clones into ×K blocks (NOT interleaved): the k-means init
     // takes the lowest vec_ids, and interleaved re-keying would hand it
-    // K clones of one vector (identical centroids → degenerate run)
-    val embK = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    // K clones of one vector (identical centroids → degenerate run).
+    // The block stride comes from the data (max id + 1), so re-keying
+    // is collision-free for ANY fixture id range, like the other
+    // rehearsals' multiplicative schemes
+    val embBase = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val embStride = embBase.agg(max("vec_id")).head.getLong(0) + 1L
+    val embK = embBase
       .withColumn("rep", explode(expr(s"sequence(1, $k)")))
-      .withColumn("vec_id", col("vec_id") + col("rep") * lit(1000000L))
+      .withColumn("vec_id", col("vec_id") + col("rep") * lit(embStride))
       .drop("rep")
     time("kmeans_inflated")(graft.operators.Clustering.kmeansImpl(embK))
 

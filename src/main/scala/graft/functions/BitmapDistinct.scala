@@ -17,11 +17,14 @@ import org.apache.spark.sql.expressions.Aggregator
   * makes re-delivered micro-batches harmless, which approximate
   * sketches also give you but exact HashSet aggregation does not.
   *
-  * Ids must be non-negative (fixture keys are); the buffer grows by
-  * doubling to cover the max id seen, so memory tracks the actual key
-  * range, not a configured ceiling.
+  * Ids must lie in [0, MaxId] (fixture keys do): the word index must
+  * fit an Int and the buffer is O(max-id/8) BYTES, so a sparse huge id
+  * (say 2^40) would both wrap the index and try to allocate gigabytes.
+  * Both failure modes are cut off by an explicit require — for wider
+  * or sparse domains, pre-densify the ids or use [[HllSketch]].
   */
 class BitmapDistinct extends Aggregator[Long, Array[Long], Long] {
+  import BitmapDistinct.MaxId
 
   override def zero: Array[Long] = new Array[Long](16)
 
@@ -34,6 +37,9 @@ class BitmapDistinct extends Aggregator[Long, Array[Long], Long] {
     }
 
   override def reduce(bits: Array[Long], id: Long): Array[Long] = {
+    require(id >= 0L && id <= MaxId,
+      s"BitmapDistinct id $id outside [0, $MaxId] — the bitmap is O(max-id/8) bytes " +
+        "and indexes by id/64; densify ids first or use an approximate sketch (HllSketch)")
     val word = (id >>> 6).toInt
     val b = ensure(bits, word)
     b(word) |= 1L << (id & 63L)
@@ -57,4 +63,13 @@ class BitmapDistinct extends Aggregator[Long, Array[Long], Long] {
   override def bufferEncoder: Encoder[Array[Long]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
   override def outputEncoder: Encoder[Long] = Encoders.scalaLong
+}
+
+object BitmapDistinct {
+  /** Practical id ceiling: 2^32 keeps the word index far inside Int
+    * range and caps a single bitmap at 512 MB — already a deliberate
+    * choice, never an accidental allocation. Beyond this, dense
+    * bitmaps are the wrong tool (see class doc).
+    */
+  val MaxId: Long = (1L << 32) - 1L
 }

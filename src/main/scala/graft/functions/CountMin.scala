@@ -58,9 +58,21 @@ object CountMin {
   val A: Array[Long] = Array(48271L, 69621L, 40692L)
   val B: Array[Long] = Array(11L, 23L, 37L)
 
+  /** Largest key whose `key·A_j` multiply cannot wrap a JVM Long for
+    * any row (~1.3e14 with A.max = 69621). Beyond it the JVM wraps
+    * silently while DuckDB's BIGINT multiply raises — the bit-for-bit
+    * oracle match would diverge — so the guard fails loudly on BOTH
+    * engines' behalf; pre-mod wider keys (key % P) before sketching.
+    */
+  val MaxKey: Long = Long.MaxValue / A.max
+
   /** Row-j bucket of a key: ((key·A_j + B_j) mod P) mod W — positive
     * keys only (fixture ids), so `%` agrees between JVM and DuckDB.
     */
-  def bucket(j: Int, key: Long): Int =
+  def bucket(j: Int, key: Long): Int = {
+    require(key >= 0L && key <= MaxKey,
+      s"count-min key $key outside the overflow-safe range [0, $MaxKey] — " +
+        "pre-mod keys (key % P) before sketching")
     (((key * A(j) + B(j)) % P) % W).toInt
+  }
 }

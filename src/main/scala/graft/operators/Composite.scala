@@ -294,6 +294,16 @@ object Composite {
     * and predictable). False positives are removed by the exact semi
     * join that follows, so the result is provably identical to the
     * plain semi join — which is what the oracle states.
+    *
+    * Production note: `mightContain` is a per-row Scala UDF (Spark's
+    * `BloomFilterMightContain` expression is internal to runtime
+    * filtering, so no public codegen'd equivalent exists), and a UDF
+    * blocks whole-stage codegen fusion on the filter stage it sits in.
+    * At 100 TB, prefer letting Spark inject the same pattern itself via
+    * `spark.sql.optimizer.runtime.bloomFilter.enabled=true` — identical
+    * dataflow (small-side filter build + fact-side pre-filter), but
+    * with a native codegen'd probe. This operator keeps the explicit
+    * form because it is the demonstration.
     */
   def joinBloom(s: SparkSession, dir: String): DataFrame = {
     val cust = Tables.customer(s, dir)

@@ -1,0 +1,123 @@
+#!/usr/bin/env python3
+"""Per-query bench regression guard.
+
+Diffs the latest Bench per-query map against a previous run and fails
+(exit 1) on genuine per-query regressions, while staying quiet about
+whole-host noise: the documented +/-20-30% regime (BASELINE.md) shifts
+EVERY query together, so raw ratios are normalized by the run's median
+ratio before anything is flagged.
+
+Usage:
+    python3 tools/bench_regress.py check PREV LATEST [--record OUT]
+
+PREV and LATEST each accept any of:
+  - raw Bench stdout (the file a local `runMain graft.Bench | tee ...` left),
+  - a driver BENCH_r{N}.json (the per-query lines are recovered from its
+    "tail" field),
+  - a file this tool previously wrote with --record ({"queries": {...}}).
+
+Flag rule (all three must hold, so tiny/noisy queries can't fail a run):
+  - the query took >= MIN_PREV seconds in the previous run,
+  - its noise-normalized ratio (new/old divided by the median new/old)
+    exceeds RATIO,
+  - it regressed by >= MIN_ABS seconds absolute.
+
+Exit codes: 0 clean, 1 regressions found, 2 input error.
+"""
+
+import json
+import re
+import statistics
+import sys
+
+RATIO = 1.5      # normalized-ratio threshold (the verdict's 1.5x median)
+MIN_PREV = 0.2   # seconds: ignore queries too small to measure reliably
+MIN_ABS = 0.3    # seconds: ignore sub-noise absolute drift
+
+
+def extract_queries(path):
+    """Best per-query map recoverable from any supported file shape."""
+    with open(path) as f:
+        text = f.read()
+    # driver BENCH_r{N}.json: the bench stdout lives in its "tail" field
+    try:
+        obj = json.loads(text)
+        if isinstance(obj, dict) and "tail" in obj:
+            text = obj["tail"]
+        elif isinstance(obj, dict) and "queries" in obj:
+            return dict(obj["queries"]), obj.get("total")
+    except ValueError:
+        pass
+    # bench stdout: prefer the complete queries_all line; merge in the
+    # headline map from the total line (it survives tail truncation)
+    queries, total = {}, None
+    for line in text.splitlines():
+        line = line.strip()
+        if not line.startswith("{"):
+            continue
+        try:
+            obj = json.loads(line)
+        except ValueError:
+            continue
+        if isinstance(obj, dict) and isinstance(obj.get("queries"), dict):
+            queries.update(obj["queries"])
+            if obj.get("metric") == "total":
+                total = obj.get("value")
+    if not queries:
+        # truncated tail: the queries_all line lost its head — recover
+        # whatever "name":seconds pairs are still visible
+        for name, secs in re.findall(r'"(q_[a-z0-9_]+)":([0-9.]+)', text):
+            queries[name] = float(secs)
+    return queries, total
+
+
+def main(argv):
+    if len(argv) < 4 or argv[1] != "check":
+        print(__doc__)
+        return 2
+    prev_path, latest_path = argv[2], argv[3]
+    record = argv[5] if len(argv) > 5 and argv[4] == "--record" else None
+
+    prev, _ = extract_queries(prev_path)
+    latest, latest_total = extract_queries(latest_path)
+    if not prev or not latest:
+        print(f"could not extract per-query maps ({len(prev)} prev / "
+              f"{len(latest)} latest entries)")
+        return 2
+
+    common = sorted(set(prev) & set(latest))
+    ratios = {q: latest[q] / prev[q] for q in common if prev[q] > 0}
+    sizable = [r for q, r in ratios.items() if prev[q] >= 0.1]
+    med = statistics.median(sizable) if sizable else 1.0
+
+    flagged = []
+    for q in common:
+        if prev[q] < MIN_PREV:
+            continue
+        norm = ratios[q] / med
+        if norm > RATIO and (latest[q] - prev[q]) >= MIN_ABS:
+            flagged.append((norm, q))
+    flagged.sort(reverse=True)
+
+    new_keys = sorted(set(latest) - set(prev))
+    total = latest_total if latest_total is not None else sum(latest.values())
+    print(f"compared {len(common)} queries "
+          f"({len(new_keys)} new, not compared); host-speed median ratio "
+          f"{med:.2f}; latest total {total:.1f}s")
+    for norm, q in flagged:
+        print(f"  REGRESSION {q}: {prev[q]:.2f}s -> {latest[q]:.2f}s "
+              f"({latest[q] / prev[q]:.2f}x raw, {norm:.2f}x vs median)")
+    if not flagged:
+        print("  no per-query regressions beyond the noise-normalized "
+              f"{RATIO}x threshold")
+
+    if record:
+        with open(record, "w") as f:
+            json.dump({"queries": latest, "total": total}, f, indent=1,
+                      sort_keys=True)
+        print(f"recorded latest map -> {record}")
+    return 1 if flagged else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv))

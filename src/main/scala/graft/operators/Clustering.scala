@@ -49,11 +49,18 @@ object Clustering {
     pointsOf(Tables.embeddings(s, dir))
 
   /** Initial centroids: the K lowest vec_ids, cid = their rank. */
-  private[graft] def initCentroidsOf(emb: DataFrame): DataFrame = {
+  private[graft] def initCentroidsOf(emb: DataFrame): DataFrame =
+    initFrom(emb, pointsOf(emb))
+
+  /** Same, over an already-materialized points frame — kmeansImpl
+    * passes its checkpointed points so init doesn't replay the
+    * scan+explode lineage as a second plan.
+    */
+  private def initFrom(emb: DataFrame, pts: DataFrame): DataFrame = {
     val ids = emb
       .select("vec_id").orderBy("vec_id").limit(K)
       .withColumn("cid", row_number().over(Window.orderBy("vec_id")) - 1)
-    pointsOf(emb).join(broadcast(ids), "vec_id")
+    pts.join(broadcast(ids), "vec_id")
       .select(col("cid"), col("d"), col("q").as("c"))
   }
 
@@ -106,7 +113,7 @@ object Clustering {
     // N's plan doesn't re-optimize (and re-codegen) rounds 1..N-1
     // nested inside it; the composed one-shot DAG was plan-compile
     // bound, not I/O bound
-    var cent = initCentroidsOf(emb)
+    var cent = initFrom(emb, pts)
     for (_ <- 1 to Iters) cent = update(pts, assign(pts, cent)).localCheckpoint()
     assign(pts, cent)
       .groupBy(col("cid"))

@@ -19,7 +19,13 @@ object Bench {
       .groupBy("l_returnflag").count().collect()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      // a failed query still gets charged its elapsed time (the stdout
+      // JSON contract stays fixed-shape), but the failure is named on
+      // stderr so it can never hide inside a plausible-looking total
+      try { fn(spark, sfDir).count() } catch {
+        case e: Throwable => System.err.println(
+          s"[bench] $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
     // The driver parses a BOUNDED tail of stdout for ONE JSON line of

@@ -197,7 +197,17 @@ object Snapshot {
     case Some(start) =>
       var cur = Option(start)
       while (cur.isDefined) {
-        val m = readManifest(s, root, cur.get)
+        val m =
+          try readManifest(s, root, cur.get)
+          catch {
+            case _: java.io.FileNotFoundException =>
+              // a parent named by a child manifest but gone from disk:
+              // retention swept it — name the break instead of leaking
+              // a bare missing-file error
+              throw new IllegalArgumentException(
+                s"asOf='$asOf': parent chain from '$start' breaks at " +
+                  s"'${cur.get}' (tag no longer exists — removed by retention?)")
+          }
         if (m.tag <= asOf) return m
         cur = m.parent
       }

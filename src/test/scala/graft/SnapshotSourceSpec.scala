@@ -311,6 +311,14 @@ class SnapshotSourceSpec extends SparkSpec {
     val chain = Iterator.iterate(e2: Throwable)(_.getCause).takeWhile(_ != null)
       .map(t => Option(t.getMessage).getOrElse("")).mkString("|")
     assert(chain.contains("time travel"), chain)
+    // a retention-swept parent breaks the chain with a NAMED error, not
+    // a bare missing-file exception
+    val f = new org.apache.hadoop.fs.Path(r)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    f.delete(new org.apache.hadoop.fs.Path(s"$r/2024-01-01"), true)
+    val e3 = intercept[IllegalArgumentException](
+      readAsOf("2024-01-15", Some("2024-02-01")).count())
+    assert(e3.getMessage.contains("parent chain"), e3.getMessage)
   }
 
   test("manifest stats prune whole files from the scan plan") {

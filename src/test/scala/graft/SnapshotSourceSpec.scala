@@ -244,7 +244,13 @@ class SnapshotSourceSpec extends SparkSpec {
       map(col("n_name"), col("n_regionkey")).as("m"),
       array(struct(col("n_name").as("nm"))).as("aos"),
       // null complex values and binary bytes must survive the trip too
-      when(col("n_nationkey") % 2 === 0, encode(col("n_name"), "UTF-8")).as("bin"))
+      when(col("n_nationkey") % 2 === 0, encode(col("n_name"), "UTF-8")).as("bin"),
+      // the degenerate shapes: EMPTY array (present wrapper, zero
+      // entries), null ELEMENTS inside an array, and a fully null array
+      expr("filter(array(n_regionkey), x -> false)").as("empty_arr"),
+      array(col("n_regionkey"), lit(null).cast("long")).as("arr_null_elem"),
+      when(col("n_nationkey") % 3 === 0,
+        array(col("n_regionkey"))).as("arr_or_null"))
     src.write.format("graft.sources.SnapshotSource")
       .option("root", r).option("tag", "g1").option("table", "nested")
       .option("schema", src.schema.json).mode("append").save()

@@ -181,6 +181,9 @@ object ScaleRehearsal {
       .withColumn("rep", explode(expr(s"sequence(1, $k)")))
       .select(col("user_id"))
     time("countmin_inflated") {
+      // keys must be <= CountMin.MaxKey (~1.32e14) or bucket() throws
+      // per-row — pre-mod wider ids with pmod(col, lit(CountMin.P));
+      // see the contract note at Frontier.aggCountmin
       val cms = org.apache.spark.sql.functions.udaf(new graft.functions.CountMin)
       evK.agg(cms(col("user_id")))
     }

@@ -130,6 +130,13 @@ object Frontier {
     */
   def aggCountmin(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.CountMin
+    // Input contract: keys must lie in [0, CountMin.MaxKey] (~1.32e14) —
+    // bucket() throws per-row past that, mid-job, because a wrapping
+    // key*A_j multiply would silently diverge from the DuckDB oracle's
+    // overflow-checked BIGINT math. Feeding wider ids (raw 64-bit
+    // hashes, snowflake ids)? Pre-mod them first:
+    //   cmsAgg(pmod(col("id"), lit(CountMin.P)))
+    // — congruent mod P, so the sketch grid is unchanged.
     val cmsAgg = udaf(new CountMin)
     val ev = Tables.events(s, dir)
     val sketch = ev.agg(cmsAgg(col("user_id")).as("sk"))

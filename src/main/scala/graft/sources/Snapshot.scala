@@ -196,7 +196,14 @@ object Snapshot {
                   from: Option[String] = None): Manifest = from match {
     case Some(start) =>
       var cur = Option(start)
+      // a corrupt manifest whose parent chain loops (self-referential or
+      // mutual parents, all tags > asOf) must fail, not spin forever
+      val visited = scala.collection.mutable.LinkedHashSet.empty[String]
       while (cur.isDefined) {
+        if (!visited.add(cur.get))
+          throw new IllegalArgumentException(
+            s"asOf='$asOf': parent chain from '$start' cycles at " +
+              s"'${cur.get}' (walked: ${visited.mkString(" -> ")} -> ${cur.get})")
         val m =
           try readManifest(s, root, cur.get)
           catch {

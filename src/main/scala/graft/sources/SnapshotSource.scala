@@ -58,15 +58,28 @@ class SnapshotSource extends TableProvider {
     * from `tag` when both are given, newest catalog tag <= asOf
     * otherwise). None when the snapshot doesn't exist yet — a valid
     * state only for a WRITE creating a new table.
+    *
+    * Memoized per provider instance, keyed on (root, tag, asOf): Spark
+    * calls inferSchema and then getTable on the SAME TableProvider
+    * instance for one load, so both see ONE resolution — the parent
+    * chain is walked once per table load (not 3-4 times), and a
+    * catalog change landing between the two calls (a backfilled tag
+    * <= asOf) can no longer pair one snapshot's schema with another
+    * snapshot's file list.
     */
+  private val resolved =
+    scala.collection.mutable.Map.empty[(String, String, String), Option[Snapshot.Manifest]]
   private def manifestFor(options: CaseInsensitiveStringMap): Option[Snapshot.Manifest] = {
     val (root, tag, _) = coords(options)
-    Option(options.get("asOf")) match {
-      case Some(asOf) =>
-        Some(Snapshot.resolveAsOf(SparkSession.active, root, asOf, Option(tag)))
-      case None =>
-        try Some(Snapshot.readManifest(SparkSession.active, root, tag))
-        catch { case _: java.io.FileNotFoundException => None }
+    val asOf = Option(options.get("asOf"))
+    resolved.synchronized {
+      resolved.getOrElseUpdate((root, tag, asOf.orNull), asOf match {
+        case Some(a) =>
+          Some(Snapshot.resolveAsOf(SparkSession.active, root, a, Option(tag)))
+        case None =>
+          try Some(Snapshot.readManifest(SparkSession.active, root, tag))
+          catch { case _: java.io.FileNotFoundException => None }
+      })
     }
   }
 
@@ -102,8 +115,9 @@ class SnapshotSource extends TableProvider {
     // an asOf read pins a HISTORICAL manifest — its tag is the resolved
     // one (for error messages), and the table must be read-only so a
     // time-travel handle can never append into history
-    val tag = asOf.map(a => manifestFor(options).get.tag).getOrElse(tagOpt)
-    entryFor(options) match {
+    val manifest = manifestFor(options)
+    val tag = asOf.map(_ => manifest.get.tag).getOrElse(tagOpt)
+    manifest.flatMap(_.tables.get(table)) match {
       case Some(entry) =>
         SnapshotTable(table, schema, entry.files,
           entry.files.map(_.size).sum, entry.rows, root, tag,

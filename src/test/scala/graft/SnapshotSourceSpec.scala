@@ -327,6 +327,26 @@ class SnapshotSourceSpec extends SparkSpec {
     assert(e3.getMessage.contains("parent chain"), e3.getMessage)
   }
 
+  test("a looping parent chain fails with a named cycle, not a hang") {
+    val r = Files.createTempDirectory("snap_cycle").toString
+    // corrupt catalog: mutual parents, both tags after the asOf point —
+    // without a visited-set the resolver would spin forever
+    Snapshot.writeManifest(spark, r,
+      Snapshot.Manifest("2024-03-01", Some("2024-04-01"), Map.empty))
+    Snapshot.writeManifest(spark, r,
+      Snapshot.Manifest("2024-04-01", Some("2024-03-01"), Map.empty))
+    val e = intercept[IllegalArgumentException](
+      Snapshot.resolveAsOf(spark, r, "2024-01-15", Some("2024-04-01")))
+    assert(e.getMessage.contains("cycles at"), e.getMessage)
+    assert(e.getMessage.contains("2024-04-01"), e.getMessage)
+    // a self-referential manifest is the 1-hop case of the same guard
+    Snapshot.writeManifest(spark, r,
+      Snapshot.Manifest("2024-05-01", Some("2024-05-01"), Map.empty))
+    val e2 = intercept[IllegalArgumentException](
+      Snapshot.resolveAsOf(spark, r, "2024-01-15", Some("2024-05-01")))
+    assert(e2.getMessage.contains("cycles at"), e2.getMessage)
+  }
+
   test("manifest stats prune whole files from the scan plan") {
     val r = Files.createTempDirectory("snap_prune").toString
     // 4 range-disjoint files → per-file n_nationkey ranges in the manifest

@@ -18,9 +18,16 @@ PREV and LATEST each accept any of:
 
 Flag rule (all three must hold, so tiny/noisy queries can't fail a run):
   - the query took >= MIN_PREV seconds in the previous run,
-  - its noise-normalized ratio (new/old divided by the median new/old)
+  - its noise-normalized ratio (new/old divided by the median new/old of
+    the OTHER queries — the candidate is excluded from its own yardstick)
     exceeds RATIO,
   - it regressed by >= MIN_ABS seconds absolute.
+
+A complementary ABSOLUTE guard catches what per-query normalization is
+blind to: a build that slows most queries together looks like host noise
+to the median, so the noise-adjusted total (sum over common queries,
+divided by the median ratio) must also stay within TOTAL_RATIO of the
+previous run's total.
 
 Exit codes: 0 clean, 1 regressions found, 2 input error.
 """
@@ -30,9 +37,10 @@ import re
 import statistics
 import sys
 
-RATIO = 1.5      # normalized-ratio threshold (the verdict's 1.5x median)
-MIN_PREV = 0.2   # seconds: ignore queries too small to measure reliably
-MIN_ABS = 0.3    # seconds: ignore sub-noise absolute drift
+RATIO = 1.5        # normalized-ratio threshold (the verdict's 1.5x median)
+MIN_PREV = 0.2     # seconds: ignore queries too small to measure reliably
+MIN_ABS = 0.3      # seconds: ignore sub-noise absolute drift
+TOTAL_RATIO = 1.2  # noise-adjusted common-query total must stay within 20%
 
 
 def extract_queries(path):
@@ -87,17 +95,30 @@ def main(argv):
 
     common = sorted(set(prev) & set(latest))
     ratios = {q: latest[q] / prev[q] for q in common if prev[q] > 0}
-    sizable = [r for q, r in ratios.items() if prev[q] >= 0.1]
-    med = statistics.median(sizable) if sizable else 1.0
+    sizable = {q: r for q, r in ratios.items() if prev[q] >= 0.1}
+    med = statistics.median(sizable.values()) if sizable else 1.0
 
     flagged = []
     for q in common:
         if prev[q] < MIN_PREV:
             continue
-        norm = ratios[q] / med
+        # the candidate must not sit in the median it is judged against —
+        # with few sizable queries one big regression would otherwise
+        # drag its own yardstick up and hide itself
+        others = [r for p, r in sizable.items() if p != q]
+        med_q = statistics.median(others) if others else med
+        norm = ratios[q] / med_q
         if norm > RATIO and (latest[q] - prev[q]) >= MIN_ABS:
             flagged.append((norm, q))
     flagged.sort(reverse=True)
+
+    # absolute guard: per-query normalization absorbs anything that shifts
+    # most queries together, so a genuinely ~everywhere-slower build would
+    # exit 0 above; the noise-adjusted total catches it
+    prev_common_total = sum(prev[q] for q in common)
+    adj_total = sum(latest[q] for q in common) / med if med > 0 else 0.0
+    total_regressed = (prev_common_total > 0
+                       and adj_total > prev_common_total * TOTAL_RATIO)
 
     new_keys = sorted(set(latest) - set(prev))
     total = latest_total if latest_total is not None else sum(latest.values())
@@ -110,13 +131,20 @@ def main(argv):
     if not flagged:
         print("  no per-query regressions beyond the noise-normalized "
               f"{RATIO}x threshold")
+    if total_regressed:
+        print(f"  TOTAL REGRESSION: noise-adjusted common total "
+              f"{adj_total:.1f}s exceeds previous {prev_common_total:.1f}s "
+              f"by more than {(TOTAL_RATIO - 1) * 100:.0f}%")
+    else:
+        print(f"  noise-adjusted common total {adj_total:.1f}s vs previous "
+              f"{prev_common_total:.1f}s (guard at {TOTAL_RATIO}x)")
 
     if record:
         with open(record, "w") as f:
             json.dump({"queries": latest, "total": total}, f, indent=1,
                       sort_keys=True)
         print(f"recorded latest map -> {record}")
-    return 1 if flagged else 0
+    return 1 if (flagged or total_regressed) else 0
 
 
 if __name__ == "__main__":

@@ -502,6 +502,10 @@ object Frontier {
     * any (l_orderkey, l_partkey) basket-membership frame.
     */
   private[graft] def basketImpl(items: DataFrame): DataFrame = {
+    // NOT checkpointed although four consumers read it: the distinct's
+    // exchange is reused by Spark where the subtrees match, and a
+    // measured localCheckpoint here made the query ~2x SLOWER cold
+    // (the eager materialization job costs more than the recompute)
     val li = items.distinct()
     val nOrders = li.select(col("l_orderkey")).distinct()
       .agg(count(lit(1)).as("n_orders"))

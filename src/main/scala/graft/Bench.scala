@@ -26,7 +26,16 @@ object Bench {
         case e: Throwable => System.err.println(
           s"[bench] $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      // Release storage the finished query left behind (localCheckpoint
+      // blocks from the graph/clustering/PQ iterative queries persist
+      // until their RDDs are GC'd): 168 queries share one JVM here, so
+      // without this sweep earlier queries' pinned blocks raise memory
+      // and GC pressure on later ones. Outside the timed region — each
+      // query is charged its own work, not its predecessor's cleanup.
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      name -> elapsed
     }
     // The driver parses a BOUNDED tail of stdout for ONE JSON line of
     // the brief's shape ({"metric":…,"value":…,"unit":"sec",

@@ -66,6 +66,15 @@ class SnapshotSource extends TableProvider {
     * catalog change landing between the two calls (a backfilled tag
     * <= asOf) can no longer pair one snapshot's schema with another
     * snapshot's file list.
+    *
+    * HARD INVARIANT — memo lifetime is ONE load: getTable drops the
+    * entry after materializing the resolution into the returned
+    * SnapshotTable. The format(...).load()/save() path constructs a
+    * fresh TableProvider per load today, but this class must stay
+    * correct if an instance is ever cached across queries (catalog
+    * registration): without the drop, a manifest updated since — or a
+    * memoized None for a table created since — would be served stale,
+    * silently.
     */
   private val resolved =
     scala.collection.mutable.Map.empty[(String, String, String), Option[Snapshot.Manifest]]
@@ -116,6 +125,12 @@ class SnapshotSource extends TableProvider {
     // one (for error messages), and the table must be read-only so a
     // time-travel handle can never append into history
     val manifest = manifestFor(options)
+    // the resolution is fully captured in the SnapshotTable below
+    // (file list, row count, resolved tag) — drop the memo so a reused
+    // provider instance re-resolves on its next load (invariant above)
+    resolved.synchronized {
+      resolved.remove((root, tagOpt, asOf.orNull))
+    }
     val tag = asOf.map(_ => manifest.get.tag).getOrElse(tagOpt)
     manifest.flatMap(_.tables.get(table)) match {
       case Some(entry) =>

@@ -23,11 +23,16 @@ Flag rule (all three must hold, so tiny/noisy queries can't fail a run):
     exceeds RATIO,
   - it regressed by >= MIN_ABS seconds absolute.
 
-A complementary ABSOLUTE guard catches what per-query normalization is
-blind to: a build that slows most queries together looks like host noise
-to the median, so the noise-adjusted total (sum over common queries,
-divided by the median ratio) must also stay within TOTAL_RATIO of the
-previous run's total.
+Two complementary TOTAL guards bound what per-query normalization cannot
+see. Median-normalization is mathematically blind to a UNIFORM build
+slowdown (if every query gets ~f x slower, the median ratio is ~f and
+dividing by it cancels the regression exactly), so:
+  - the normalizing median is CLAMPED to NOISE_CEILING before the
+    adjusted-total check — host noise can plausibly shift all queries by
+    up to ~30% (BASELINE.md regime), but a median ratio beyond that is
+    treated as a build property, not noise, and is NOT divided away;
+  - the RAW common-query total must stay within RAW_TOTAL_RATIO of the
+    previous run — an unconditional backstop sized above the noise band.
 
 Exit codes: 0 clean, 1 regressions found, 2 input error.
 """
@@ -37,10 +42,17 @@ import re
 import statistics
 import sys
 
-RATIO = 1.5        # normalized-ratio threshold (the verdict's 1.5x median)
-MIN_PREV = 0.2     # seconds: ignore queries too small to measure reliably
-MIN_ABS = 0.3      # seconds: ignore sub-noise absolute drift
-TOTAL_RATIO = 1.2  # noise-adjusted common-query total must stay within 20%
+RATIO = 1.5          # normalized-ratio threshold (the verdict's 1.5x median)
+MIN_PREV = 0.2       # seconds: ignore queries too small to measure reliably
+MIN_ABS = 0.3        # seconds: ignore sub-noise absolute drift
+TOTAL_RATIO = 1.2    # clamped-median-adjusted common total must stay within 20%
+NOISE_CEILING = 1.3  # documented +/-20-30% host band (BASELINE.md); a median
+                     # ratio above this is a build slowdown, not host noise
+RAW_TOTAL_RATIO = 1.45  # raw common total backstop, sized above the noise band
+MIN_SIZABLE = 3      # below this, leave-one-out medians are self-referential
+                     # (N=1: the fallback IS the candidate's own ratio; N=2:
+                     # each is judged solely against the other) — use an
+                     # unnormalized raw-ratio check instead
 
 
 def extract_queries(path):
@@ -100,25 +112,39 @@ def main(argv):
 
     flagged = []
     for q in common:
-        if prev[q] < MIN_PREV:
+        if q not in ratios or prev[q] < MIN_PREV:
             continue
-        # the candidate must not sit in the median it is judged against —
-        # with few sizable queries one big regression would otherwise
-        # drag its own yardstick up and hide itself
-        others = [r for p, r in sizable.items() if p != q]
-        med_q = statistics.median(others) if others else med
-        norm = ratios[q] / med_q
+        if len(sizable) < MIN_SIZABLE:
+            # too few sizable queries for a meaningful leave-one-out
+            # median — judge the raw ratio against the worst plausible
+            # host noise instead of a self-referential yardstick
+            norm = ratios[q] / NOISE_CEILING
+        else:
+            # the candidate must not sit in the median it is judged
+            # against — one big regression would otherwise drag its own
+            # yardstick up and hide itself
+            others = [r for p, r in sizable.items() if p != q]
+            med_q = statistics.median(others)
+            norm = ratios[q] / med_q
         if norm > RATIO and (latest[q] - prev[q]) >= MIN_ABS:
             flagged.append((norm, q))
     flagged.sort(reverse=True)
 
-    # absolute guard: per-query normalization absorbs anything that shifts
-    # most queries together, so a genuinely ~everywhere-slower build would
-    # exit 0 above; the noise-adjusted total catches it
+    # total guards: per-query normalization absorbs anything that shifts
+    # most queries together, so a uniformly-slower build exits 0 above.
+    # (a) adjusted total with the median CLAMPED to the noise ceiling —
+    # a median ratio beyond plausible host noise is not divided away;
+    # (b) raw-total backstop above the noise band, immune to any
+    # normalization at all.
     prev_common_total = sum(prev[q] for q in common)
-    adj_total = sum(latest[q] for q in common) / med if med > 0 else 0.0
+    latest_common_total = sum(latest[q] for q in common)
+    med_clamped = min(med, NOISE_CEILING) if med > 0 else 1.0
+    adj_total = latest_common_total / med_clamped
     total_regressed = (prev_common_total > 0
                        and adj_total > prev_common_total * TOTAL_RATIO)
+    raw_regressed = (prev_common_total > 0
+                     and latest_common_total
+                     > prev_common_total * RAW_TOTAL_RATIO)
 
     new_keys = sorted(set(latest) - set(prev))
     total = latest_total if latest_total is not None else sum(latest.values())
@@ -133,18 +159,28 @@ def main(argv):
               f"{RATIO}x threshold")
     if total_regressed:
         print(f"  TOTAL REGRESSION: noise-adjusted common total "
-              f"{adj_total:.1f}s exceeds previous {prev_common_total:.1f}s "
+              f"{adj_total:.1f}s (median clamped to {med_clamped:.2f}) "
+              f"exceeds previous {prev_common_total:.1f}s "
               f"by more than {(TOTAL_RATIO - 1) * 100:.0f}%")
     else:
         print(f"  noise-adjusted common total {adj_total:.1f}s vs previous "
-              f"{prev_common_total:.1f}s (guard at {TOTAL_RATIO}x)")
+              f"{prev_common_total:.1f}s (guard at {TOTAL_RATIO}x, "
+              f"median clamped to {med_clamped:.2f})")
+    if raw_regressed:
+        print(f"  RAW TOTAL REGRESSION: common total {latest_common_total:.1f}s "
+              f"exceeds previous {prev_common_total:.1f}s by more than "
+              f"{(RAW_TOTAL_RATIO - 1) * 100:.0f}% — beyond the documented "
+              f"host-noise band even without normalization")
+    else:
+        print(f"  raw common total {latest_common_total:.1f}s vs previous "
+              f"{prev_common_total:.1f}s (backstop at {RAW_TOTAL_RATIO}x)")
 
     if record:
         with open(record, "w") as f:
             json.dump({"queries": latest, "total": total}, f, indent=1,
                       sort_keys=True)
         print(f"recorded latest map -> {record}")
-    return 1 if (flagged or total_regressed) else 0
+    return 1 if (flagged or total_regressed or raw_regressed) else 0
 
 
 if __name__ == "__main__":

@@ -9,6 +9,7 @@ ratio before anything is flagged.
 
 Usage:
     python3 tools/bench_regress.py check PREV LATEST [--record OUT]
+    python3 tools/bench_regress.py selftest
 
 PREV and LATEST each accept any of:
   - raw Bench stdout (the file a local `runMain graft.Bench | tee ...` left),
@@ -49,6 +50,9 @@ TOTAL_RATIO = 1.2    # clamped-median-adjusted common total must stay within 20%
 NOISE_CEILING = 1.3  # documented +/-20-30% host band (BASELINE.md); a median
                      # ratio above this is a build slowdown, not host noise
 RAW_TOTAL_RATIO = 1.45  # raw common total backstop, sized above the noise band
+TOTAL_MIN_ABS = 3.0  # seconds: total guards need this much absolute growth —
+                     # the MIN_ABS idea applied to totals, so a run of only
+                     # tiny queries can't trip a ratio on sub-noise seconds
 MIN_SIZABLE = 3      # below this, leave-one-out medians are self-referential
                      # (N=1: the fallback IS the candidate's own ratio; N=2:
                      # each is judged solely against the other) — use an
@@ -91,7 +95,63 @@ def extract_queries(path):
     return queries, total
 
 
+def selftest():
+    """Synthetic cases pinning the guard's failure modes (exit 0 = all hold).
+
+    Each case is (name, prev map, latest map, expected exit). They encode
+    the r6 advice findings so a future edit can't silently reopen them:
+    uniform slowdowns must FAIL despite median normalization, small-N runs
+    must not judge a query against itself, and plain host noise must PASS.
+    """
+    import os
+    import tempfile
+    cases = [
+        ("uniform 1.6x slowdown fails (raw + clamped-median guards)",
+         {f"q_{i}": 1.0 for i in range(20)},
+         {f"q_{i}": 1.6 for i in range(20)}, 1),
+        ("uniform 1.25x host noise passes (inside the noise band)",
+         {f"q_{i}": 1.0 for i in range(20)},
+         {f"q_{i}": 1.25 for i in range(20)}, 0),
+        ("one query 3x with 2 sizable peers: small-N fallback flags it",
+         {"q_a": 1.0, "q_b": 1.0, "q_c": 0.05},
+         {"q_a": 3.0, "q_b": 1.0, "q_c": 0.05}, 1),
+        ("single sizable query 3x: cannot hide in its own median",
+         {"q_a": 1.0, "q_c": 0.05},
+         {"q_a": 3.0, "q_c": 0.05}, 1),
+        ("one query 2x among 20 steady: leave-one-out median flags it",
+         {f"q_{i}": 1.0 for i in range(20)},
+         {**{f"q_{i}": 1.0 for i in range(20)}, "q_0": 2.0}, 1),
+        ("all queries 10% faster: passes",
+         {f"q_{i}": 1.0 for i in range(20)},
+         {f"q_{i}": 0.9 for i in range(20)}, 0),
+        ("tiny queries drifting: ignored (MIN_PREV/MIN_ABS)",
+         {f"q_{i}": 0.05 for i in range(20)},
+         {f"q_{i}": 0.15 for i in range(20)}, 0),
+    ]
+    failures = 0
+    for name, prev, latest, expected in cases:
+        with tempfile.TemporaryDirectory() as d:
+            pp, lp = os.path.join(d, "p.json"), os.path.join(d, "l.json")
+            with open(pp, "w") as f:
+                json.dump({"queries": prev}, f)
+            with open(lp, "w") as f:
+                json.dump({"queries": latest}, f)
+            import io
+            import contextlib
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                got = main(["bench_regress.py", "check", pp, lp])
+        ok = got == expected
+        failures += 0 if ok else 1
+        print(f"  {'PASS' if ok else 'FAIL'} {name} "
+              f"(exit {got}, expected {expected})")
+    print(f"selftest: {len(cases) - failures}/{len(cases)} cases hold")
+    return 1 if failures else 0
+
+
 def main(argv):
+    if len(argv) == 2 and argv[1] == "selftest":
+        return selftest()
     if len(argv) < 4 or argv[1] != "check":
         print(__doc__)
         return 2
@@ -141,10 +201,13 @@ def main(argv):
     med_clamped = min(med, NOISE_CEILING) if med > 0 else 1.0
     adj_total = latest_common_total / med_clamped
     total_regressed = (prev_common_total > 0
-                       and adj_total > prev_common_total * TOTAL_RATIO)
+                       and adj_total > prev_common_total * TOTAL_RATIO
+                       and adj_total - prev_common_total >= TOTAL_MIN_ABS)
     raw_regressed = (prev_common_total > 0
                      and latest_common_total
-                     > prev_common_total * RAW_TOTAL_RATIO)
+                     > prev_common_total * RAW_TOTAL_RATIO
+                     and latest_common_total - prev_common_total
+                     >= TOTAL_MIN_ABS)
 
     new_keys = sorted(set(latest) - set(prev))
     total = latest_total if latest_total is not None else sum(latest.values())

@@ -275,6 +275,15 @@ object Frontier {
     * DECIMAL(18,9) presentation). Degenerate windows (fewer than 3
     * rows, or all same-day → zero x-variance) yield NULL on both
     * engines rather than an engine-specific Inf/NaN.
+    *
+    * Presentation quantization is `floor(slope·1e9 + 0.5)/1e9` — IEEE
+    * ops only, bit-identical on any engine — NOT a decimal(18,9) cast:
+    * Spark casts double→decimal through the SHORTEST decimal string
+    * (HALF_UP on that string) while DuckDB rounds the BINARY value, so
+    * a slope whose shortest repr ends exactly on the tie digit
+    * (…9925 → Spark …993, DuckDB …992) diverges. One such row exists
+    * at sf0.1 (caught by the r7 full-oracle sweep); the floor form has
+    * no string/decimal semantics to disagree about.
     */
   def winRollingSlope(s: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(s, dir)
@@ -292,7 +301,8 @@ object Frontier {
       .withColumn("sxy", sum(col("x") * col("y")).over(w))
       .withColumn("sxx", sum(col("x").cast("long") * col("x")).over(w))
       .select(col("o_orderkey"), col("o_custkey"), col("n"),
-        when(col("n") >= 3 && den =!= 0.0, (num / den).cast("decimal(18,9)").cast("double"))
+        when(col("n") >= 3 && den =!= 0.0,
+          floor((num / den) * lit(1e9) + lit(0.5)).cast("double") / lit(1e9))
           .as("slope"))
       .orderBy("o_orderkey")
   }
@@ -762,10 +772,10 @@ object Frontier {
         |SELECT o_orderkey, o_custkey, n,
         |  CASE WHEN n >= 3
         |        AND (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) <> 0.0
-        |    THEN CAST(CAST(
+        |    THEN floor(
         |      (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
         |      / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-        |      AS DECIMAL(18,9)) AS DOUBLE)
+        |      * 1e9 + 0.5) / 1e9
         |    ELSE NULL END AS slope
         |FROM m ORDER BY o_orderkey""".stripMargin,
     "q_agg_entropy" ->

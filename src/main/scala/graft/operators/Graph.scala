@@ -337,6 +337,15 @@ object Graph {
     * same 0.85 DECIMAL(3,2) damping multiply, same double seeds — so
     * equal inputs produce bit-equal DOUBLE outputs after the final
     * (12,6) presentation rounding.
+    *
+    * That rounding must be `round(r, 6)`, NOT `CAST(r AS DECIMAL(12,6))`:
+    * DuckDB's decimal→decimal cast TRUNCATES where Spark's rounds
+    * HALF_UP, so any rank with a tail past 6 decimals diverges by one
+    * presentation ulp. Invisible at sf0.01 (N=500 seeds keep every rank
+    * terminating within 6 decimals) but real at sf0.1 — caught by the
+    * r7 full-oracle sweep at sf0.1. DuckDB round() is half-away-from-
+    * zero, which equals Spark's HALF_UP cast on this all-positive
+    * domain.
     */
   private def prStep(prev: String, cur: String): String =
     s"""$cur AS (
@@ -362,7 +371,7 @@ object Graph {
        |${prStep("r0", "r1")},
        |${prStep("r1", "r2")},
        |${prStep("r2", "r3")}
-       |SELECT id AS doc_id, CAST(CAST(r AS DECIMAL(12,6)) AS DOUBLE) AS pr
+       |SELECT id AS doc_id, CAST(round(r, 6) AS DOUBLE) AS pr
        |FROM r3 ORDER BY pr DESC, doc_id""".stripMargin
 
   val oracle: Map[String, String] = Map(

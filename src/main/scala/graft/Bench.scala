@@ -31,10 +31,12 @@ object Bench {
       // blocks from the graph/clustering/PQ iterative queries persist
       // until their RDDs are GC'd): 168 queries share one JVM here, so
       // without this sweep earlier queries' pinned blocks raise memory
-      // and GC pressure on later ones. Outside the timed region — each
-      // query is charged its own work, not its predecessor's cleanup.
+      // and GC pressure on later ones. Outside the timed region, and
+      // BLOCKING so the removal can't spill into the next query's
+      // measured interval — each query is charged its own work, not its
+      // predecessor's cleanup.
       spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
+        .foreach(_.unpersist(blocking = true))
       name -> elapsed
     }
     // The driver parses a BOUNDED tail of stdout for ONE JSON line of

@@ -29,7 +29,7 @@ object Verify {
       // drop blocks the finished query persisted (localCheckpoints) —
       // same single-JVM hygiene as Bench: 168 dumps share this session
       spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
+        .foreach(_.unpersist(blocking = true))
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -67,28 +67,40 @@ class SnapshotSource extends TableProvider {
     * <= asOf) can no longer pair one snapshot's schema with another
     * snapshot's file list.
     *
-    * HARD INVARIANT — memo lifetime is ONE load: getTable drops the
-    * entry after materializing the resolution into the returned
-    * SnapshotTable. The format(...).load()/save() path constructs a
-    * fresh TableProvider per load today, but this class must stay
-    * correct if an instance is ever cached across queries (catalog
-    * registration): without the drop, a manifest updated since — or a
-    * memoized None for a table created since — would be served stale,
-    * silently.
+    * HARD INVARIANT — memo lifetime is ONE load: getTable TAKES the
+    * entry (atomic remove-and-use) when materializing the resolution
+    * into the returned SnapshotTable. The format(...).load()/save()
+    * path constructs a fresh TableProvider per load today, but this
+    * class must stay correct under SEQUENTIAL reuse of one instance
+    * (catalog registration): without the take, a manifest updated
+    * since — or a memoized None for a table created since — would be
+    * served stale, silently. CONCURRENT loads sharing one instance
+    * while the catalog mutates are NOT protected: Spark's API hands
+    * getTable the schema separately from this resolution, so two
+    * racing loads could still pair one resolution's schema with the
+    * other's file list — that usage needs one provider per load, as
+    * the stock path guarantees.
     */
   private val resolved =
     scala.collection.mutable.Map.empty[(String, String, String), Option[Snapshot.Manifest]]
+
+  /** One un-memoized manifest resolution (the parent-chain walk). */
+  private def resolveManifest(options: CaseInsensitiveStringMap): Option[Snapshot.Manifest] = {
+    val (root, tag, _) = coords(options)
+    Option(options.get("asOf")) match {
+      case Some(a) =>
+        Some(Snapshot.resolveAsOf(SparkSession.active, root, a, Option(tag)))
+      case None =>
+        try Some(Snapshot.readManifest(SparkSession.active, root, tag))
+        catch { case _: java.io.FileNotFoundException => None }
+    }
+  }
+
   private def manifestFor(options: CaseInsensitiveStringMap): Option[Snapshot.Manifest] = {
     val (root, tag, _) = coords(options)
     val asOf = Option(options.get("asOf"))
     resolved.synchronized {
-      resolved.getOrElseUpdate((root, tag, asOf.orNull), asOf match {
-        case Some(a) =>
-          Some(Snapshot.resolveAsOf(SparkSession.active, root, a, Option(tag)))
-        case None =>
-          try Some(Snapshot.readManifest(SparkSession.active, root, tag))
-          catch { case _: java.io.FileNotFoundException => None }
-      })
+      resolved.getOrElseUpdate((root, tag, asOf.orNull), resolveManifest(options))
     }
   }
 
@@ -124,13 +136,16 @@ class SnapshotSource extends TableProvider {
     // an asOf read pins a HISTORICAL manifest — its tag is the resolved
     // one (for error messages), and the table must be read-only so a
     // time-travel handle can never append into history
-    val manifest = manifestFor(options)
-    // the resolution is fully captured in the SnapshotTable below
-    // (file list, row count, resolved tag) — drop the memo so a reused
-    // provider instance re-resolves on its next load (invariant above)
-    resolved.synchronized {
+    // ATOMIC TAKE of the resolution inferSchema memoized (invariant
+    // above): the value is fully captured in the SnapshotTable below
+    // (file list, row count, resolved tag), and removing it in the same
+    // step means a sequentially-reused provider instance re-resolves on
+    // its next load instead of serving a stale manifest. A load that
+    // reached getTable without inferSchema (external metadata) resolves
+    // fresh here.
+    val manifest = resolved.synchronized {
       resolved.remove((root, tagOpt, asOf.orNull))
-    }
+    }.getOrElse(resolveManifest(options))
     val tag = asOf.map(_ => manifest.get.tag).getOrElse(tagOpt)
     manifest.flatMap(_.tables.get(table)) match {
       case Some(entry) =>

@@ -166,6 +166,38 @@ object ScaleRehearsal {
       graft.operators.Frontier.gridImpl(
         partK.select(col("p_partkey"), col("p_brand"), col("p_size"), col("p_retailprice"))))
 
+    // As-of join at ×K through the NATIVE exec (AsOfJoinExec): events
+    // grow ×K with re-keyed users (clones stay self-consistent, so
+    // purchases keep finding their own clone's clicks). Proves the
+    // co-partitioned merge scales linearly — per-partition state is ONE
+    // running last-match row however long the per-user history gets.
+    val evAsOf = graft.sources.Tables.events(spark, sfDir)
+      .where(col("event_type").isin("click", "purchase"))
+      .withColumn("rep", explode(expr(s"sequence(1, $k)")))
+      .withColumn("user_id", col("user_id") * k + col("rep"))
+      .drop("rep")
+    time("asof_inflated") {
+      val purchases = evAsOf.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts").as("p_ts"))
+      val clicks = evAsOf.where(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+      graft.plans.AsOf.join(purchases, clicks, "user_id", "c_user", "p_ts", "c_ts")
+    }
+
+    // DSv2 snapshot sink at ×K: the inflated orders stream through the
+    // full write path (partition writers → UUID part files → atomic
+    // manifest swap) and read back through the DSv2 scan. Proves the
+    // commit protocol is metadata-only (manifest size tracks file
+    // count, not row count) while the data volume grows ×K.
+    time("snapshot_sink_inflated") {
+      val root = java.nio.file.Files.createTempDirectory("rehearse_sink").toString
+      ordersK.write.format("graft.sources.SnapshotSource")
+        .option("root", root).option("tag", "gK").option("table", "orders")
+        .option("schema", ordersK.schema.json).mode("append").save()
+      spark.read.format("graft.sources.SnapshotSource")
+        .option("root", root).option("tag", "gK").option("table", "orders").load()
+    }
+
     // Count-min at ×K: the event stream grows ×K, the sketch stays
     // 3×256 longs at every partial — the O(1)-state frequency pass.
     // Basket lift at ×K: re-keyed orders multiply the basket count ×K

@@ -484,4 +484,41 @@ class SnapshotSourceSpec extends SparkSpec {
       .map(t => Option(t.getMessage).getOrElse("")).mkString("|")
     assert(chain2.contains("write target"), chain2)
   }
+
+  test("a sequentially reused provider instance never serves a stale resolution") {
+    // The stock format(...).load() path builds a fresh TableProvider per
+    // load, but the class must stay correct if one instance is cached
+    // across queries (SnapshotSource invariant: getTable TAKES the memo,
+    // so the next load on the same instance re-resolves). The sharpest
+    // stale case: a load memoizes None for a table that does not exist
+    // yet, the table is then created, and a second load on the SAME
+    // instance must see it.
+    import org.apache.spark.sql.util.CaseInsensitiveStringMap
+    val r = Files.createTempDirectory("snap_reuse").toString
+    val nation = Tables.nation(spark, sf)
+    val optMap = new java.util.HashMap[String, String]
+    optMap.put("root", r); optMap.put("tag", "g1"); optMap.put("table", "nation")
+    optMap.put("schema", nation.schema.json) // the write-creation channel
+    val options = new CaseInsensitiveStringMap(optMap)
+
+    val provider = new graft.sources.SnapshotSource
+    // load 1 (Spark's call order): inferSchema memoizes the resolution,
+    // getTable consumes it — the snapshot doesn't exist, so this is a
+    // write-target handle with no files
+    val schema1 = provider.inferSchema(options)
+    val t1 = provider.getTable(schema1, Array.empty, optMap)
+      .asInstanceOf[graft.sources.SnapshotTable]
+    assert(!t1.existed && t1.files.isEmpty)
+
+    // the catalog mutates between loads: the table is exported
+    Snapshot.export(spark, Map("nation" -> nation), r, "g1")
+
+    // load 2 on the SAME instance: both calls must see the new manifest
+    // (a retained memo would replay None → a phantom write target)
+    val schema2 = provider.inferSchema(options)
+    val t2 = provider.getTable(schema2, Array.empty, optMap)
+      .asInstanceOf[graft.sources.SnapshotTable]
+    assert(t2.existed, "second load on a reused instance must see the created table")
+    assert(t2.files.nonEmpty && t2.rows == nation.count())
+  }
 }

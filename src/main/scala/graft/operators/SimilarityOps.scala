@@ -150,8 +150,12 @@ object SimilarityOps {
     * integer-deterministic hyperplanes (portable, no RNG at runtime),
     * candidates = query's bucket, ranked by true cosine. The scale
     * path: signature is a map-side projection, candidate generation an
-    * equi-join on bucket. No oracle (approximation); SimilaritySpec
-    * checks containment in the brute-force ranking.
+    * equi-join on bucket. FULLY ORACLED (round 7): the hyperplane grid
+    * is exact IEEE arithmetic (32-bit Knuth hash, power-of-two divide)
+    * so DuckDB regenerates it in SQL and replays the signature fold —
+    * an ANN whose approximation is itself deterministic is still an
+    * exact function of its input. SimilaritySpec additionally checks
+    * containment in the brute-force ranking.
     */
   def simAnnLsh(s: SparkSession, dir: String): DataFrame = {
     graft.functions.VectorExprs.register(s)
@@ -184,8 +188,11 @@ object SimilarityOps {
     * with float_dot); the query probes its nprobe=2 nearest lists and
     * ranks those candidates by exact cosine. At scale, list
     * assignment is a projection and candidate generation an equi-join
-    * on the list id — the IVF sibling of simAnnLsh. No oracle
-    * (approximation); SimilaritySpec checks score consistency.
+    * on the list id — the IVF sibling of simAnnLsh. FULLY ORACLED
+    * (round 7): deterministic centroids + strict-greater argmax +
+    * stable probe ordering make the whole chain SQL-replayable
+    * (row_number ties to the lower idx = the fold's keep-first-max).
+    * SimilaritySpec additionally checks score consistency.
     */
   def simAnnIvf(s: SparkSession, dir: String): DataFrame = {
     graft.functions.VectorExprs.register(s)
@@ -399,6 +406,54 @@ object SimilarityOps {
          |FROM embeddings, qv
          |WHERE vec_id <> 0
          |ORDER BY score DESC, vec_id
+         |LIMIT 10""".stripMargin,
+    // IVF is fully deterministic (first-16 centroids, strict-greater
+    // argmax, stable top-2 probe), so the whole chain replays in SQL:
+    // row_number ties break to the LOWER centroid idx, exactly the
+    // Spark fold's keep-first-max semantics.
+    "q_sim_ann_ivf" ->
+      s"""WITH cents AS (
+         |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS idx, embedding AS cemb
+         |  FROM embeddings WHERE vec_id < 16),
+         |asg AS (
+         |  SELECT vec_id, CAST(idx AS INTEGER) AS ivf_list FROM (
+         |    SELECT e.vec_id, c.idx,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${dotSql.format("e.embedding", "c.cemb")} DESC, c.idx) AS rn
+         |    FROM embeddings e CROSS JOIN cents c)
+         |  WHERE rn = 1),
+         |qv AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 0),
+         |probe AS (
+         |  SELECT idx FROM cents, qv
+         |  ORDER BY ${dotSql.format("cemb", "q")} DESC, idx LIMIT 2)
+         |SELECT e.vec_id, a.ivf_list,
+         |  CAST(CAST(${cosSql("e.embedding", "q")} AS DECIMAL(12,6)) AS DOUBLE) AS score
+         |FROM embeddings e JOIN asg a USING (vec_id), qv
+         |WHERE e.vec_id <> 0 AND a.ivf_list IN (SELECT idx FROM probe)
+         |ORDER BY score DESC, e.vec_id
+         |LIMIT 10""".stripMargin,
+    // The LSH hyperplanes are integer-deterministic (Knuth-hash grid,
+    // h/2^31 - 1 is EXACT IEEE: 32-bit h, power-of-two divide), so the
+    // plane matrix regenerates inside SQL; per-plane dots replay the
+    // HOF's left-to-right double fold, and the bucket fold acc*2+bit
+    // equals the order-free sum of bit_j << (7-j).
+    "q_sim_ann_lsh" ->
+      s"""WITH sig AS (
+         |  SELECT vec_id, embedding,
+         |    list_aggregate(list_transform(range(0, 8), j ->
+         |      CASE WHEN list_aggregate(list_transform(range(1, len(embedding) + 1), i ->
+         |                  CAST(embedding[i] AS DOUBLE) *
+         |                  (CAST((2654435761 * (j * 64 + i)) % 4294967296 AS DOUBLE)
+         |                   / 2147483648.0 - 1.0)),
+         |                'sum') >= 0
+         |           THEN 1 << CAST(7 - j AS INTEGER) ELSE 0 END), 'sum') AS bucket
+         |  FROM embeddings),
+         |qv AS (SELECT embedding AS q, bucket AS qb FROM sig WHERE vec_id = 0)
+         |SELECT s.vec_id,
+         |  CAST(CAST(${cosSql("s.embedding", "q")} AS DECIMAL(12,6)) AS DOUBLE) AS score
+         |FROM sig s, qv
+         |WHERE s.vec_id <> 0 AND s.bucket = qb
+         |ORDER BY score DESC, s.vec_id
          |LIMIT 10""".stripMargin,
     "q_sim_pairs" ->
       s"""SELECT a.vec_id AS v1, b.vec_id AS v2, a.label,

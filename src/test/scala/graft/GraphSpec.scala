@@ -80,4 +80,21 @@ class GraphSpec extends SparkSpec {
     assert(viaLocal == viaDist)
     assert(viaLocal.nonEmpty)
   }
+
+  test("the between-query unpersist sweep drains every pinned checkpoint block") {
+    // Bench/Verify run 168 queries in one JVM and sweep leftover
+    // localCheckpoint storage after each; this pins that the sweep
+    // actually drains the session (an iterative query pins blocks, the
+    // sweep releases ALL of them) — if a future Spark version changed
+    // unpersist/registry semantics, this fails before the bench drifts.
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = true)) // clean slate from earlier tests
+    SparkEntry.queries("q_dedup_clusters")(spark, sf).count()
+    assert(spark.sparkContext.getPersistentRDDs.nonEmpty,
+      "the iterative query should have pinned checkpoint blocks")
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = true))
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      "the sweep must release every block the query pinned")
+  }
 }

@@ -346,6 +346,32 @@ class FrontierSpec extends SparkSpec {
     assert(empty.groupBy(col("user_id")).agg(bm(col("user_id"))).count() == 0)
   }
 
+  test("remaining typed aggregators on empty input: defined values, no throw") {
+    // At 1000 executors empty partitions are routine; every Aggregator's
+    // zero() must finish to a DEFINED value. CountMin/BitmapDistinct are
+    // pinned above — this covers the other four.
+    import spark.implicits._
+    val emptyIds = Seq.empty[Long].toDF("user_id")
+    val hll = udaf(new graft.functions.HllSketch)
+    assert(emptyIds.agg(hll(col("user_id"))).head.getLong(0) == 0L,
+      "HLL of nothing must estimate 0 (all-zero registers → linear counting)")
+    val qs = udaf(new graft.functions.QuantileSketch(128, 0.5))
+    assert(emptyIds.agg(qs(col("user_id").cast("double"))).head.isNullAt(0),
+      "quantile of nothing must be NULL, like percentile()")
+    val wavg = udaf(graft.functions.WeightedAvg)
+    val emptyPw = Seq.empty[(java.math.BigDecimal, java.math.BigDecimal)].toDF("p", "w")
+    assert(emptyPw.agg(wavg(col("p"), col("w"))).head.isNullAt(0),
+      "weighted avg of nothing must be NULL (zero weight), like avg()")
+    // the two-level HLL path: re-aggregating ZERO register sketches
+    // must union to the empty estimate, not throw on a missing buffer
+    val regs = udaf(new graft.functions.HllRegisters)
+    val uni = udaf(new graft.functions.HllUnion)
+    val twoLevel = emptyIds.agg(regs(col("user_id")).as("r"))
+      .agg(uni(col("r")))
+    assert(twoLevel.head.getLong(0) == 0L,
+      "union over an empty-input register sketch must estimate 0")
+  }
+
   test("interpolation: observed days unchanged, gaps strictly between neighbors, no nulls") {
     val df = q("q_ts_interpolate").cache()
     assert(df.where(col("filled").isNull).count() == 0)

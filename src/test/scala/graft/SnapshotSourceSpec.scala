@@ -485,6 +485,23 @@ class SnapshotSourceSpec extends SparkSpec {
     assert(chain2.contains("write target"), chain2)
   }
 
+  test("a zero-row write commits a readable empty table, not a phantom") {
+    // Lazy per-partition writers mean an all-empty dataframe produces
+    // ZERO part files; the commit must still record the table so a
+    // reader sees an empty result with the right schema — not a
+    // missing-table error, and not a crash on an empty file list.
+    val r = Files.createTempDirectory("snap_zero").toString
+    val none = Tables.nation(spark, sf).where(col("n_nationkey") < 0)
+    none.write.format("graft.sources.SnapshotSource")
+      .option("root", r).option("tag", "g1").option("table", "nation")
+      .option("schema", none.schema.json)
+      .mode("append").save()
+    val back = spark.read.format("graft.sources.SnapshotSource")
+      .option("root", r).option("tag", "g1").option("table", "nation").load()
+    assert(back.schema == none.schema)
+    assert(back.count() == 0)
+  }
+
   test("a sequentially reused provider instance never serves a stale resolution") {
     // The stock format(...).load() path builds a fresh TableProvider per
     // load, but the class must stay correct if one instance is cached

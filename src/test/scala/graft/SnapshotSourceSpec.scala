@@ -485,6 +485,30 @@ class SnapshotSourceSpec extends SparkSpec {
     assert(chain2.contains("write target"), chain2)
   }
 
+  test("parallel appends in one JVM keep both manifest entries (commit lock)") {
+    // SnapshotBatchWrite.commitLock serializes the manifest
+    // read-modify-write; without it one of two racing commits would
+    // read the pre-image and drop the other's table entry. Two tables
+    // written concurrently into one snapshot must BOTH be readable.
+    val r = Files.createTempDirectory("snap_par").toString
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.DurationInt
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val writes = Seq("nation" -> Tables.nation(spark, sf),
+                     "region" -> Tables.region(spark, sf)).map { case (t, df) =>
+      Future {
+        df.write.format("graft.sources.SnapshotSource")
+          .option("root", r).option("tag", "g1").option("table", t)
+          .option("schema", df.schema.json).mode("append").save()
+      }
+    }
+    Await.result(Future.sequence(writes), 120.seconds)
+    def count(t: String) = spark.read.format("graft.sources.SnapshotSource")
+      .option("root", r).option("tag", "g1").option("table", t).load().count()
+    assert(count("nation") == Tables.nation(spark, sf).count())
+    assert(count("region") == Tables.region(spark, sf).count())
+  }
+
   test("a zero-row write commits a readable empty table, not a phantom") {
     // Lazy per-partition writers mean an all-empty dataframe produces
     // ZERO part files; the commit must still record the table so a

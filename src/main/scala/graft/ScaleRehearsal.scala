@@ -133,6 +133,40 @@ object ScaleRehearsal {
         li.where(pmod(col("l_orderkey"), lit(5)) === 0)
           .select(col("l_orderkey"), col("l_partkey"))))
 
+    // Label propagation at ×K: re-keying BOTH sides of the co-purchase
+    // row with the same clone index stamps out K structurally identical
+    // but DISJOINT graph copies (clone r's parts only co-occur in clone
+    // r's orders) — unlike triangles_inflated, the distinct edge set,
+    // node set, and per-round message volume all grow ×K, so this
+    // proves the pregel-as-joins rounds themselves (edge join + min
+    // agg + label join) are linear, not just the edge extraction.
+    // The pmod subsample runs on ORIGINAL keys, before re-keying
+    // perturbs residues.
+    val liLP = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .where(pmod(col("l_orderkey"), lit(5)) === 0)
+      .select(col("l_orderkey"), col("l_partkey"))
+      .withColumn("rep", explode(expr(s"sequence(1, $k)")))
+      .select((col("l_orderkey") * k + col("rep")).as("l_orderkey"),
+        (col("l_partkey") * k + col("rep")).as("l_partkey"))
+    time("label_prop_inflated")(
+      graft.operators.Graph.labelPropImpl(liLP))
+
+    // Interval-overlap join at ×K on ONE side: each Brand#1 clone keeps
+    // its interval, so it meets exactly the same Brand#2 partners — the
+    // bin-explode input and the matched-pair output both grow ×K,
+    // linearly. (Both-sides inflation would be the ×K² pathological-
+    // density regime grid2d_inflated already rehearses; one-sided
+    // isolates the candidate-generation and count-agg linearity the
+    // banded construction promises: ≤2 bins per interval, two equi
+    // joins, map-side-combinable count.)
+    val partOrig = spark.read.parquet(s"$sfDir/part.parquet")
+    val partA = partOrig
+      .withColumn("rep", explode(expr(s"sequence(1, $k)")))
+      .withColumn("p_partkey", col("p_partkey") * k + col("rep"))
+      .drop("rep")
+    time("interval_overlap_inflated")(
+      graft.operators.Frontier.intervalOverlapImpl(partA, partOrig))
+
     // k-means at ×K: cloned embeddings (re-keyed vec_id) grow the
     // point set ×K while centroids stay k×dim — every iteration's
     // broadcast stays constant-size and the (vec, cid) partial agg

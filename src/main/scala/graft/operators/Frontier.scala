@@ -551,15 +551,28 @@ object Frontier {
     * joins, ≤2× row expansion, never quadratic.
     */
   def joinIntervalOverlap(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(s, dir)
+    intervalOverlapImpl(p, p)
+  }
+
+  /** Parameterized core shared with ScaleRehearsal
+    * (interval_overlap_inflated) so the rehearsal measures THIS
+    * dataflow, not a copy. `partA` feeds the Brand#1 side, `partB` the
+    * Brand#2 side — the rehearsal inflates only one side so the output
+    * grows ×K (each clone meets the same partners), isolating
+    * candidate-generation linearity from the ×K² output blowup that
+    * grid2d_inflated already covers.
+    */
+  private[graft] def intervalOverlapImpl(partA: DataFrame, partB: DataFrame): DataFrame = {
     val binW = 50.0
-    def side(prefix: String): DataFrame =
-      Tables.part(s, dir)
+    def side(src: DataFrame, prefix: String): DataFrame =
+      src
         .where(col("p_brand").startsWith(prefix))
         .select(col("p_partkey").as(s"k_$prefix"), col("p_brand").as(s"brand_$prefix"),
           col("p_retailprice").as(s"lo_$prefix"),
           (col("p_retailprice") + col("p_size")).as(s"hi_$prefix"))
-    val a = side("Brand#1")
-    val b = side("Brand#2")
+    val a = side(partA, "Brand#1")
+    val b = side(partB, "Brand#2")
     val aBins = a.withColumn("bin", explode(sequence(
       floor(col("lo_Brand#1") / binW), floor(col("hi_Brand#1") / binW))))
     val bBins = b.withColumn("bin", explode(sequence(

@@ -290,10 +290,16 @@ object Graph {
     * q_graph_pagerank. All-integer label domain, so every round is
     * exact and the oracle replays it in chained CTEs.
     */
-  def labelProp(s: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(s, dir)
+  def labelProp(s: SparkSession, dir: String): DataFrame =
+    labelPropImpl(Tables.lineitem(s, dir)
       .where(pmod(col("l_orderkey"), lit(5)) === 0)
-      .select(col("l_orderkey"), col("l_partkey"))
+      .select(col("l_orderkey"), col("l_partkey")))
+
+  /** Parameterized core shared with ScaleRehearsal (label_prop_inflated)
+    * so the rehearsal measures THIS dataflow, not a copy. `li` is any
+    * (l_orderkey, l_partkey) co-occurrence frame.
+    */
+  private[graft] def labelPropImpl(li: DataFrame): DataFrame = {
     // checkpoint: e0 is consumed twice by the symmetric union below —
     // materialize the self-join + distinct once instead of replaying it
     val e0 = li.as("a").join(li.as("b"), Seq("l_orderkey"))

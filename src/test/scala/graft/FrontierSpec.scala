@@ -401,4 +401,25 @@ class FrontierSpec extends SparkSpec {
     }
     assert(grids.forall(_ == grids.head))
   }
+
+  test("interval overlap: one-sided ×K inflation multiplies every pair count by exactly K") {
+    // the rehearsal's linearity claim as a CORRECTNESS invariant: each
+    // Brand#1 clone keeps its interval, so it meets exactly the same
+    // Brand#2 partners as its original — every (brand_a, brand_b) count
+    // must be the base count ×K, nothing more (a band-assignment bug
+    // that double-counted a boundary pair would break exactness here)
+    val k = 3
+    val part = Tables.part(spark, sf)
+    def counts(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getAs[Number](2).longValue))
+      .toMap
+    val base = counts(graft.operators.Frontier.intervalOverlapImpl(part, part))
+    val partA = part.withColumn("rep", explode(expr(s"sequence(1, $k)")))
+      .withColumn("p_partkey", col("p_partkey") * k + col("rep"))
+      .drop("rep")
+    val got = counts(graft.operators.Frontier.intervalOverlapImpl(partA, part))
+    assert(base.nonEmpty, "fixture brands must overlap")
+    assert(got == base.map { case (key, n) => key -> n * k },
+      "one-sided clone inflation must scale every pair count by exactly K")
+  }
 }

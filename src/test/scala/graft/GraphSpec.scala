@@ -74,6 +74,29 @@ class GraphSpec extends SparkSpec {
     assert(df.agg(sum("n_tri")).head.getLong(0) > 0, "shard graph has triangles")
   }
 
+  test("label propagation on K disjoint clone graphs is the base result ×K") {
+    // the rehearsal's linearity claim as a CORRECTNESS invariant: re-keying
+    // both sides of the co-purchase row with the same clone index builds K
+    // structurally identical but disjoint graph copies, so clone r's
+    // communities must be exactly the base communities with every min-label
+    // mapped through the re-key (lbl*K + r) and sizes unchanged
+    val k = 3
+    val li = graft.sources.Tables.lineitem(spark, sf)
+      .where(pmod(col("l_orderkey"), lit(5)) === 0)
+      .select(col("l_orderkey"), col("l_partkey"))
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Number](0).longValue, r.getAs[Number](1).longValue))
+    val base = pairs(Graph.labelPropImpl(li))
+    val cloned = li.withColumn("rep", explode(expr(s"sequence(1, $k)")))
+      .select((col("l_orderkey") * k + col("rep")).as("l_orderkey"),
+        (col("l_partkey") * k + col("rep")).as("l_partkey"))
+    val got = pairs(Graph.labelPropImpl(cloned)).toSet
+    val want = (for (r <- 1 to k; (lbl, n) <- base) yield (lbl * k + r, n)).toSet
+    assert(base.nonEmpty, "fixture subsample must form a non-empty graph")
+    assert(got == want,
+      "clone-graph communities must be the base communities re-keyed, ×K")
+  }
+
   test("q_dedup_clusters matches between solve paths on fixture data") {
     val viaLocal = Graph.dedupClustersImpl(spark, sf, 100000L).collect().toSeq
     val viaDist = Graph.dedupClustersImpl(spark, sf, 0L).collect().toSeq

@@ -40,6 +40,28 @@ class ClusteringSpec extends SparkSpec {
     }
   }
 
+  test("kmeans on K block-cloned embeddings is the base result with counts and inertia ×K") {
+    // the rehearsal's (kmeans_inflated) linearity claim as a CORRECTNESS
+    // invariant: block re-keying (vec_id + rep·stride) preserves id order
+    // inside clone 1, so init picks the SAME four vectors, and every clone
+    // is an identical value-multiset — assignments replicate per original
+    // and the integer centroid means are unchanged, so each cluster must
+    // report exactly n_vecs×K and inertia_q×K
+    val k = 3
+    val emb = Tables.embeddings(spark, sf)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    val base = rows(Clustering.kmeansImpl(emb))
+    val stride = emb.agg(max("vec_id")).head.getLong(0) + 1L
+    val embK = emb.withColumn("rep", explode(expr(s"sequence(1, $k)")))
+      .withColumn("vec_id", col("vec_id") + col("rep") * lit(stride))
+      .drop("rep")
+    val got = rows(Clustering.kmeansImpl(embK))
+    assert(base.nonEmpty)
+    assert(got == base.map { case (cid, n, in) => (cid, n * k, in * k) },
+      "clone inflation must scale every cluster's size and inertia by exactly K")
+  }
+
   test("kmeans: every vector is assigned to its genuinely nearest final centroid") {
     // recompute distances naively on the driver from the quantized points
     val pts = Clustering.points(spark, sf).collect()

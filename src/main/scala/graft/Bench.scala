@@ -37,6 +37,13 @@ object Bench {
       // predecessor's cleanup.
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = true))
+      // Measured negative (r7 s2): adding System.gc() here — the
+      // garbage-accumulation sibling of the unpersist sweep — did NOT
+      // suppress the recurring one-random-query spike (a 96.3s sample
+      // still carried q_scan_schema_merge at 1.9x; spikes also hit
+      // IO-bound queries GC cannot explain, and Scratch x3 shows every
+      // flagged query steady). Kept out: 168 forced full GCs add cost
+      // without measurable benefit.
       name -> elapsed
     }
     // The driver parses a BOUNDED tail of stdout for ONE JSON line of

@@ -402,6 +402,48 @@ class FrontierSpec extends SparkSpec {
     assert(grids.forall(_ == grids.head))
   }
 
+  test("basket lift: basket clone inflation scales counts ×K and leaves lift bit-identical") {
+    // the rehearsal's (basket_inflated) claim as a CORRECTNESS invariant:
+    // re-keyed order clones multiply ab, ca, cb and n_orders by exactly K,
+    // and lift = (ab·K)(n·K)/((ca·K)(cb·K)) must be the SAME double as the
+    // base (numerator and denominator stay exactly representable, so both
+    // divisions round the same true quotient)
+    val k = 3
+    val li = Tables.lineitem(spark, sf).select(col("l_orderkey"), col("l_partkey"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map { r =>
+      (r.getAs[Number](r.fieldIndex("pa")).longValue,
+        r.getAs[Number](r.fieldIndex("pb")).longValue) ->
+        (r.getAs[Number](r.fieldIndex("ab")).longValue,
+          r.getAs[Number](r.fieldIndex("ca")).longValue,
+          r.getAs[Number](r.fieldIndex("cb")).longValue,
+          r.getAs[Double](r.fieldIndex("lift")))
+    }.toMap
+    val base = rows(graft.operators.Frontier.basketImpl(li))
+    val cloned = li.withColumn("rep", explode(expr(s"sequence(1, $k)")))
+      .select((col("l_orderkey") * k + col("rep")).as("l_orderkey"), col("l_partkey"))
+    val got = rows(graft.operators.Frontier.basketImpl(cloned))
+    assert(base.nonEmpty)
+    assert(got == base.map { case (key, (ab, ca, cb, lift)) =>
+      key -> (ab * k, ca * k, cb * k, lift)
+    }, "clone inflation must scale support counts by K and preserve lift exactly")
+  }
+
+  test("countmin: sketch of a ×K-repeated stream is the base grid ×K elementwise") {
+    // sketch LINEARITY pinned as an equality: CountMin is a sum of
+    // per-occurrence increments, so feeding every key K times must yield
+    // exactly K times every cell — the property that makes the sketch
+    // mergeable across partitions and days at scale
+    import graft.functions.CountMin
+    val k = 3
+    val agg = udaf(new CountMin)
+    val ev = Tables.events(spark, sf).select("user_id")
+    val base = ev.agg(agg(col("user_id"))).head.getSeq[Long](0)
+    val evK = ev.withColumn("rep", explode(expr(s"sequence(1, $k)"))).select("user_id")
+    val got = evK.agg(agg(col("user_id"))).head.getSeq[Long](0)
+    assert(got == base.map(_ * k),
+      "count-min grid must scale elementwise by exactly K")
+  }
+
   test("interval overlap: one-sided ×K inflation multiplies every pair count by exactly K") {
     // the rehearsal's linearity claim as a CORRECTNESS invariant: each
     // Brand#1 clone keeps its interval, so it meets exactly the same

@@ -74,6 +74,24 @@ class GraphSpec extends SparkSpec {
     assert(df.agg(sum("n_tri")).head.getLong(0) > 0, "shard graph has triangles")
   }
 
+  test("triangles: order-only clone inflation leaves the result exactly unchanged") {
+    // the rehearsal's (triangles_inflated) claim as a CORRECTNESS
+    // invariant: cloning orders WITHOUT re-keying parts repeats the same
+    // co-occurrence pairs, so the distinct edge set — and therefore every
+    // per-vertex triangle count — must be bit-identical to the base run
+    // (the ×K input only stresses the pair-extraction + dedup phase)
+    val k = 3
+    val li = graft.sources.Tables.lineitem(spark, sf)
+      .where(pmod(col("l_orderkey"), lit(10)) === 0)
+      .select(col("l_orderkey"), col("l_partkey"))
+    val cloned = li.withColumn("rep", explode(expr(s"sequence(1, $k)")))
+      .select((col("l_orderkey") * k + col("rep")).as("l_orderkey"), col("l_partkey"))
+    val base = Graph.trianglesImpl(li).collect().toSeq
+    val got = Graph.trianglesImpl(cloned).collect().toSeq
+    assert(base.nonEmpty && got == base,
+      "repeated co-occurrence rows must dedup to the identical triangle counts")
+  }
+
   test("label propagation on K disjoint clone graphs is the base result ×K") {
     // the rehearsal's linearity claim as a CORRECTNESS invariant: re-keying
     // both sides of the co-purchase row with the same clone index builds K

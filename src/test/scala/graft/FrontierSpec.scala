@@ -444,6 +444,41 @@ class FrontierSpec extends SparkSpec {
       "count-min grid must scale elementwise by exactly K")
   }
 
+  test("interval overlap: banded join equals the quadratic definition on seeded random intervals") {
+    // the band construction's correctness argument (≤2 bins per interval,
+    // start-bin meets once, strict inequality in pass 2 prevents
+    // double-counting a start tie) tested against the DEFINITION on random
+    // data rather than the fixed fixture: integer-heavy prices make exact
+    // lo_A == lo_B ties and bin-edge landings (multiples of 50) common,
+    // which is precisely where a band-assignment bug would live
+    val rnd = new scala.util.Random(42)
+    (1 to 5).foreach { trial =>
+      val rows = (1 to 120).map { i =>
+        val side = if (i % 2 == 0) 1 else 2
+        // half the prices are exact integers (frequent ties), and exact
+        // bin-edge multiples of 50 are common; sizes span the full 1..50
+        // permitted by binW, so hi lands on edges too
+        val price = 900 + rnd.nextInt(1200) + (if (rnd.nextBoolean()) 0.0 else 0.5)
+        val snapped = if (rnd.nextInt(4) == 0) (price / 50).toInt * 50.0 else price
+        (i.toLong, s"Brand#$side${1 + rnd.nextInt(5)}", snapped, 1 + rnd.nextInt(50))
+      }
+      val df = spark.createDataFrame(rows)
+        .toDF("p_partkey", "p_brand", "p_retailprice", "p_size")
+      val got = graft.operators.Frontier.intervalOverlapImpl(df, df).collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Number](2).longValue)
+        .toMap
+      val a = rows.filter(_._2.startsWith("Brand#1"))
+      val b = rows.filter(_._2.startsWith("Brand#2"))
+      val want = (for {
+        (_, ba, pa, sa) <- a
+        (_, bb, pb, sb) <- b
+        if pb <= pa + sa && pa <= pb + sb // closed-interval overlap
+      } yield (ba, bb)).groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      assert(want.values.sum > 0, s"trial $trial generated no overlaps")
+      assert(got == want, s"trial $trial: banded join diverged from the definition")
+    }
+  }
+
   test("interval overlap: one-sided ×K inflation multiplies every pair count by exactly K") {
     // the rehearsal's linearity claim as a CORRECTNESS invariant: each
     // Brand#1 clone keeps its interval, so it meets exactly the same

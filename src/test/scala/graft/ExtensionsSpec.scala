@@ -108,6 +108,53 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("BandedRangeJoin: boundary-heavy random timestamps — rewrite is result-identical") {
+    // the fixture can't be trusted to contain exact band-edge pairs, so
+    // construct them: partners at exactly ±600 s (inclusive boundary, must
+    // match), ±601 s (just outside, must not), anchors snapped onto 10-min
+    // bin multiples (where a bin-assignment off-by-one would live), and
+    // NULL timestamps (must never match). The nested-loop result before
+    // the rule is the semantics; the banded plan after must reproduce it.
+    val rnd = new scala.util.Random(7)
+    val base = 1700000000L
+    val aSecs = (1 to 40).map { _ =>
+      val t = base + rnd.nextInt(36000)
+      if (rnd.nextInt(3) == 0) t - (t % 600) else t // frequent bin-edge landings
+    }
+    val bSecs = (1 to 40).map(_ => base + rnd.nextInt(36000)) ++
+      aSecs.take(5).flatMap(t => Seq(t + 600, t - 600, t + 601, t - 601))
+    import spark.implicits._
+    val a = aSecs.zipWithIndex.map { case (t, i) => (i.toLong, Some(t)) }
+      .:+((999L, Option.empty[Long])).toDF("p_id", "p_sec")
+      .select(col("p_id"), timestamp_seconds(col("p_sec")).as("p_ts"))
+    val b = bSecs.zipWithIndex.map { case (t, i) => (i.toLong, Some(t)) }
+      .:+((998L, Option.empty[Long])).toDF("s_id", "s_sec")
+      .select(col("s_id"), timestamp_seconds(col("s_sec")).as("s_ts"))
+    def joined = a.join(b,
+      col("s_ts") >= col("p_ts") - expr("INTERVAL 10 MINUTES") &&
+        col("s_ts") <= col("p_ts") + expr("INTERVAL 10 MINUTES"))
+      .select("p_id", "s_id")
+    val before = joined.orderBy("p_id", "s_id").collect()
+    assert(joined.queryExecution.executedPlan.toString.contains("BroadcastNestedLoopJoin"))
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ graft.plans.BandedRangeJoin
+    try {
+      val rewritten = joined
+      assert(rewritten.queryExecution.optimizedPlan.toString.contains("graft_band_bin"))
+      val after = rewritten.orderBy("p_id", "s_id").collect()
+      assert(after.sameElements(before), "banded rewrite diverged on boundary data")
+      // the constructed inclusive-boundary pairs must actually be present
+      val matched = before.map(r => (r.getLong(0), r.getLong(1))).toSet
+      aSecs.take(5).zipWithIndex.foreach { case (t, i) =>
+        val plus = bSecs.indexOf(t + 600).toLong
+        assert(matched.contains((i.toLong, plus)), s"exact +600s boundary pair $i missing")
+      }
+    } finally {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_ == graft.plans.BandedRangeJoin)
+    }
+  }
+
   test("BandedRangeJoin does NOT fire when an equi conjunct already exists") {
     spark.experimental.extraOptimizations =
       spark.experimental.extraOptimizations :+ graft.plans.BandedRangeJoin

@@ -402,6 +402,40 @@ class FrontierSpec extends SparkSpec {
     assert(grids.forall(_ == grids.head))
   }
 
+  test("grid join: 3×3-cell band equals the quadratic definition on seeded boundary data") {
+    // same discipline as the interval-overlap random test: prices live on
+    // a 0.25 grid (exact in binary, so Δ = 10.0 compares exactly), a
+    // quarter snap onto ×10 cell edges, and constructed partners sit at
+    // exactly Δprice = 10 / Δsize = 1 (inclusive, must match) and
+    // Δsize = 2 (outside, must not) — the cells where a neighbor-explode
+    // off-by-one would live
+    val rnd = new scala.util.Random(11)
+    (1 to 3).foreach { trial =>
+      val organic = (1 to 80).map { i =>
+        val p0 = (3600 + rnd.nextInt(800)) * 0.25
+        val price = if (rnd.nextInt(4) == 0) (p0 / 10).toInt * 10.0 else p0
+        (i.toLong, s"Brand#${1 + rnd.nextInt(3)}", 1 + rnd.nextInt(50), price)
+      }
+      val planted = organic.take(5).zipWithIndex.flatMap { case ((_, b, s, p), j) =>
+        Seq((200L + j * 3, b, s, p + 10.0),       // exact price edge: matches
+          (201L + j * 3, b, s + 1, p),            // exact size edge: matches
+          (202L + j * 3, b, s + 2, p))            // one past the size band: only via others
+      }
+      val rows = organic ++ planted
+      val df = spark.createDataFrame(rows)
+        .toDF("p_partkey", "p_brand", "p_size", "p_retailprice")
+      val got = graft.operators.Frontier.gridImpl(df).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val want = (for {
+        (ka, ba, sa, pa) <- rows
+        (kb, _, sb, pb) <- rows
+        if ka < kb && (sa - sb).abs <= 1 && (pa - pb).abs <= 10.0
+      } yield ba).groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      assert(want.values.sum > 0, s"trial $trial planted no pairs")
+      assert(got == want, s"trial $trial: grid join diverged from the definition")
+    }
+  }
+
   test("basket lift: basket clone inflation scales counts ×K and leaves lift bit-identical") {
     // the rehearsal's (basket_inflated) claim as a CORRECTNESS invariant:
     // re-keyed order clones multiply ab, ca, cb and n_orders by exactly K,

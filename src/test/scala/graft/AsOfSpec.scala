@@ -65,4 +65,37 @@ class AsOfSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException](AsOf.join(df, df, "nope", "a", "b", "b"))
     assert(e.getMessage.contains("nope"))
   }
+
+  test("native as-of equals a driver-side brute force on tie-heavy random streams") {
+    // a 50-second clock over 8 users forces heavy ts collisions — exactly
+    // equal left/right timestamps (inclusive boundary), multiple eligible
+    // candidates per left row, and users with no history. Right-side
+    // (user, ts) pairs are generated unique so "latest at-or-before" has
+    // ONE well-defined answer the merge must find regardless of partition
+    // or sort order.
+    val rnd = new scala.util.Random(13)
+    val base = 1700000000L
+    (1 to 3).foreach { trial =>
+      def t(sec: Long) = new Timestamp(sec * 1000L)
+      val lefts = (1 to 60).map(i =>
+        (i.toLong, (1 + rnd.nextInt(8)).toLong, t(base + rnd.nextInt(50))))
+      val rights = rnd.shuffle((1 to 120).map(_ =>
+        ((1 + rnd.nextInt(8)).toLong, base + rnd.nextInt(50).toLong)))
+        .distinct.zipWithIndex
+        .map { case ((u, sec), i) => (u, t(sec), s"tag$i") }
+      val out = AsOf.join(
+          lefts.toDF("id", "k", "t"), rights.toDF("rk", "rt", "tag"),
+          "k", "rk", "t", "rt")
+        .select(col("id"), col("tag")).collect()
+        .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+      val want = lefts.map { case (id, k, ts) =>
+        val eligible = rights.filter(r => r._1 == k && !r._2.after(ts))
+        id -> (if (eligible.isEmpty) None
+               else Some(eligible.maxBy(_._2.getTime)._3))
+      }.toMap
+      assert(want.values.exists(_.isDefined) && want.values.exists(_.isEmpty),
+        s"trial $trial must contain both matches and no-history rows")
+      assert(out == want, s"trial $trial: native as-of diverged from brute force")
+    }
+  }
 }

@@ -191,8 +191,19 @@ object SimilarityOps {
     * on the list id — the IVF sibling of simAnnLsh. FULLY ORACLED
     * (round 7): deterministic centroids + strict-greater argmax +
     * stable probe ordering make the whole chain SQL-replayable
-    * (row_number ties to the lower idx = the fold's keep-first-max).
+    * (row_number ties to the lower idx = the argmax's keep-first-max).
     * SimilaritySpec additionally checks score consistency.
+    *
+    * Round 8: assignment is a codegen'd width-16 `greatest()` over
+    * (score, -idx) structs — the same pivoted-argmax trick
+    * q_cluster_kmeans uses — instead of an interpreted 16-step HOF
+    * fold (higher-order functions never enter whole-stage codegen).
+    * `greatest` keeps the max score and, on exact float ties, the
+    * max -idx = the LOWEST centroid idx, bit-identical to the old
+    * fold's strict-greater keep-first semantics and to the oracle's
+    * row_number replay. The query vector is centroids(0) (vec_id 0
+    * is one of the 16), so the whole setup is ONE bounded driver
+    * collect — no second `head` job.
     */
   def simAnnIvf(s: SparkSession, dir: String): DataFrame = {
     graft.functions.VectorExprs.register(s)
@@ -200,16 +211,13 @@ object SimilarityOps {
     val centroids: Array[Array[Float]] = emb.where(col("vec_id") < 16)
       .orderBy("vec_id").select(col("embedding"))
       .collect().map(_.getSeq[Float](0).toArray)
+    val cands = centroids.zipWithIndex.map { case (c, i) =>
+      struct(dotExpr("embedding", s"cents[$i]").as("score"), lit(-i).as("nidx"))
+    }
     val withList = emb.withColumn("cents", typedlit(centroids))
-      .withColumn("ivf_list", expr(
-        """aggregate(transform(sequence(0, 15), i ->
-          |  struct(float_dot(embedding, cents[i]) AS score, i AS idx)),
-          |  struct(CAST(-1e300 AS DOUBLE) AS score, -1 AS idx),
-          |  (best, cur) -> IF(cur.score > best.score, cur, best)).idx""".stripMargin))
+      .withColumn("ivf_list", -greatest(cands: _*).getField("nidx"))
       .drop("cents")
-    val qrow = withList.where(col("vec_id") === 0)
-      .select(col("embedding"), col("ivf_list")).head
-    val qvec = qrow.getSeq[Float](0).toArray
+    val qvec = centroids(0)
     // nprobe=2: query's own list + nearest other centroid list
     val scores = centroids.zipWithIndex.map { case (c, i) =>
       (i, c.zip(qvec).map { case (x, y) => x.toDouble * y.toDouble }.sum)

@@ -222,15 +222,23 @@ object ScaleRehearsal {
     // full write path (partition writers → UUID part files → atomic
     // manifest swap) and read back through the DSv2 scan. Proves the
     // commit protocol is metadata-only (manifest size tracks file
-    // count, not row count) while the data volume grows ×K.
+    // count, not row count) while the data volume grows ×K. The read
+    // leg aggregates o_totalprice: a bare count() would be answered by
+    // the scan's CountStar footer-stats pushdown without reading one
+    // data page, but SUM is not stat-pushable, so this prices a real
+    // row scan through the DSv2 reader.
+    val sinkRoot = java.nio.file.Files.createTempDirectory("rehearse_sink")
     time("snapshot_sink_inflated") {
-      val root = java.nio.file.Files.createTempDirectory("rehearse_sink").toString
       ordersK.write.format("graft.sources.SnapshotSource")
-        .option("root", root).option("tag", "gK").option("table", "orders")
+        .option("root", sinkRoot.toString).option("tag", "gK").option("table", "orders")
         .option("schema", ordersK.schema.json).mode("append").save()
       spark.read.format("graft.sources.SnapshotSource")
-        .option("root", root).option("tag", "gK").option("table", "orders").load()
+        .option("root", sinkRoot.toString).option("tag", "gK").option("table", "orders").load()
+        .groupBy().agg(sum(col("o_totalprice")).as("read_back_sum"))
     }
+    // leave no litter: the rehearsal sink is throwaway
+    java.nio.file.Files.walk(sinkRoot).sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => java.nio.file.Files.deleteIfExists(p))
 
     // Count-min at ×K: the event stream grows ×K, the sketch stays
     // 3×256 longs at every partial — the O(1)-state frequency pass.

@@ -272,7 +272,10 @@ object Frontier {
     * five regression moments are EXACT window sums (integer day-x,
     * DECIMAL(18,2) y), one window exchange on the customer partition;
     * only the final slope formula runs in float64 (mirrored op order,
-    * DECIMAL(18,9) presentation). Degenerate windows (fewer than 3
+    * floor(x·1e9+0.5)/1e9 quantization — see below; note this rounds a
+    * NEGATIVE exact-tie slope toward +inf where HALF_UP would round
+    * away from zero, a deliberate change both engines share, so oracles
+    * are unaffected). Degenerate windows (fewer than 3
     * rows, or all same-day → zero x-variance) yield NULL on both
     * engines rather than an engine-specific Inf/NaN.
     *

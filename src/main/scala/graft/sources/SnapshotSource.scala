@@ -74,15 +74,26 @@ class SnapshotSource extends TableProvider {
     * class must stay correct under SEQUENTIAL reuse of one instance
     * (catalog registration): without the take, a manifest updated
     * since — or a memoized None for a table created since — would be
-    * served stale, silently. CONCURRENT loads sharing one instance
-    * while the catalog mutates are NOT protected: Spark's API hands
+    * served stale, silently. Two hardenings on top of the take
+    * (round 8, advice): (1) inferSchema always RE-RESOLVES and
+    * overwrites — it never returns a leftover entry, so an earlier
+    * load that aborted between inferSchema and getTable cannot feed
+    * a later load's schema; (2) entries are stamped with the
+    * resolving THREAD id and getTable consumes only a same-thread
+    * entry (Spark resolves one load's inferSchema→getTable
+    * synchronously on one thread), so an external-metadata load —
+    * which skips inferSchema — can never swallow an orphan another
+    * thread left behind. CONCURRENT loads sharing one instance while
+    * the catalog mutates are still NOT protected: Spark's API hands
     * getTable the schema separately from this resolution, so two
-    * racing loads could still pair one resolution's schema with the
-    * other's file list — that usage needs one provider per load, as
-    * the stock path guarantees.
+    * loads interleaving on one instance could pair one resolution's
+    * schema with the other's file list — that usage
+    * needs one provider per load, as the stock path guarantees (the
+    * catalog path, [[SnapshotCatalog]], sidesteps this class
+    * entirely: one fresh manifest resolution per loadTable call).
     */
-  private val resolved =
-    scala.collection.mutable.Map.empty[(String, String, String), Option[Snapshot.Manifest]]
+  private val resolved = scala.collection.mutable.Map
+    .empty[(String, String, String), (Long, Option[Snapshot.Manifest])]
 
   /** One un-memoized manifest resolution (the parent-chain walk). */
   private def resolveManifest(options: CaseInsensitiveStringMap): Option[Snapshot.Manifest] = {
@@ -99,9 +110,13 @@ class SnapshotSource extends TableProvider {
   private def manifestFor(options: CaseInsensitiveStringMap): Option[Snapshot.Manifest] = {
     val (root, tag, _) = coords(options)
     val asOf = Option(options.get("asOf"))
+    // always a FRESH resolution, overwriting any orphan a previous
+    // aborted load left on these coords (memo invariant above)
+    val m = resolveManifest(options)
     resolved.synchronized {
-      resolved.getOrElseUpdate((root, tag, asOf.orNull), resolveManifest(options))
+      resolved.update((root, tag, asOf.orNull), (Thread.currentThread().getId, m))
     }
+    m
   }
 
   private def entryFor(options: CaseInsensitiveStringMap): Option[Snapshot.TableEntry] =
@@ -140,12 +155,19 @@ class SnapshotSource extends TableProvider {
     // above): the value is fully captured in the SnapshotTable below
     // (file list, row count, resolved tag), and removing it in the same
     // step means a sequentially-reused provider instance re-resolves on
-    // its next load instead of serving a stale manifest. A load that
-    // reached getTable without inferSchema (external metadata) resolves
-    // fresh here.
+    // its next load instead of serving a stale manifest. Only a
+    // SAME-THREAD entry is consumed — one load's inferSchema→getTable
+    // runs synchronously on one thread, so a thread mismatch means the
+    // entry is another load's orphan, not ours. A load that reached
+    // getTable without inferSchema (external metadata) resolves fresh
+    // here.
+    val tid = Thread.currentThread().getId
     val manifest = resolved.synchronized {
       resolved.remove((root, tagOpt, asOf.orNull))
-    }.getOrElse(resolveManifest(options))
+    } match {
+      case Some((`tid`, m)) => m
+      case _ => resolveManifest(options)
+    }
     val tag = asOf.map(_ => manifest.get.tag).getOrElse(tagOpt)
     manifest.flatMap(_.tables.get(table)) match {
       case Some(entry) =>

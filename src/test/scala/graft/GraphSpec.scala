@@ -128,6 +128,12 @@ class GraphSpec extends SparkSpec {
     // actually drains the session (an iterative query pins blocks, the
     // sweep releases ALL of them) — if a future Spark version changed
     // unpersist/registry semantics, this fails before the bench drifts.
+    // SAFE ONLY BECAUSE suites run sequentially in the forked test JVM
+    // (sbt's Test/fork with testForkedParallel left at false): this
+    // test unpersists every RDD in the SHARED test SparkSession, which
+    // would destroy localCheckpoint blocks a concurrently-running suite
+    // is using. If suite-level parallelism is ever enabled, move this
+    // test to a dedicated SparkSession.
     spark.sparkContext.getPersistentRDDs.values
       .foreach(_.unpersist(blocking = true)) // clean slate from earlier tests
     SparkEntry.queries("q_dedup_clusters")(spark, sf).count()

@@ -17,7 +17,24 @@ object Bench {
     spark.range(1000000L).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/lineitem.parquet")
       .groupBy("l_returnflag").count().collect()
+    // Spike forensics (r8): every query gets ONE stderr line naming the
+    // JVM GC time/count that landed inside its timed region plus heap
+    // and OS page-cache state right after it, so a driver-session
+    // outlier self-explains from the log alone (was it a GC burst, heap
+    // pressure, or a cold page cache?) instead of needing a Scratch ×3
+    // re-measure to even form a hypothesis. All reads are counters or
+    // one /proc line — nothing here perturbs the timing.
+    import scala.jdk.CollectionConverters._
+    val gcBeans = java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
+    def gcStat(): (Long, Long) =
+      (gcBeans.map(_.getCollectionTime).sum, gcBeans.map(_.getCollectionCount).sum)
+    def cachedMb(): Long =
+      try scala.io.Source.fromFile("/proc/meminfo").getLines()
+        .collectFirst { case l if l.startsWith("Cached:") =>
+          l.split("\\s+")(1).toLong / 1024 }.getOrElse(-1L)
+      catch { case _: Throwable => -1L }
     val results = SparkEntry.queries.map { case (name, fn) =>
+      val (gcMs0, gcN0) = gcStat()
       val t0 = System.nanoTime()
       // a failed query still gets charged its elapsed time (the stdout
       // JSON contract stays fixed-shape), but the failure is named on
@@ -27,6 +44,11 @@ object Bench {
           s"[bench] $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
       }
       val elapsed = (System.nanoTime() - t0) / 1e9
+      val (gcMs1, gcN1) = gcStat()
+      val rt = Runtime.getRuntime
+      System.err.println(f"[bench] $name $elapsed%.3fs gc+${gcMs1 - gcMs0}ms/${gcN1 - gcN0} " +
+        f"heap=${(rt.totalMemory - rt.freeMemory) / 1048576}/${rt.maxMemory / 1048576}MB " +
+        f"cached=${cachedMb()}MB")
       // Release storage the finished query left behind (localCheckpoint
       // blocks from the graph/clustering/PQ iterative queries persist
       // until their RDDs are GC'd): 168 queries share one JVM here, so

@@ -228,17 +228,20 @@ object ScaleRehearsal {
     // data page, but SUM is not stat-pushable, so this prices a real
     // row scan through the DSv2 reader.
     val sinkRoot = java.nio.file.Files.createTempDirectory("rehearse_sink")
-    time("snapshot_sink_inflated") {
-      ordersK.write.format("graft.sources.SnapshotSource")
-        .option("root", sinkRoot.toString).option("tag", "gK").option("table", "orders")
-        .option("schema", ordersK.schema.json).mode("append").save()
-      spark.read.format("graft.sources.SnapshotSource")
-        .option("root", sinkRoot.toString).option("tag", "gK").option("table", "orders").load()
-        .groupBy().agg(sum(col("o_totalprice")).as("read_back_sum"))
+    try {
+      time("snapshot_sink_inflated") {
+        ordersK.write.format("graft.sources.SnapshotSource")
+          .option("root", sinkRoot.toString).option("tag", "gK").option("table", "orders")
+          .option("schema", ordersK.schema.json).mode("append").save()
+        spark.read.format("graft.sources.SnapshotSource")
+          .option("root", sinkRoot.toString).option("tag", "gK").option("table", "orders").load()
+          .groupBy().agg(sum(col("o_totalprice")).as("read_back_sum"))
+      }
+    } finally {
+      // leave no litter even when the timed leg throws
+      java.nio.file.Files.walk(sinkRoot).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
     }
-    // leave no litter: the rehearsal sink is throwaway
-    java.nio.file.Files.walk(sinkRoot).sorted(java.util.Comparator.reverseOrder())
-      .forEach(p => java.nio.file.Files.deleteIfExists(p))
 
     // Count-min at ×K: the event stream grows ×K, the sketch stays
     // 3×256 longs at every partial — the O(1)-state frequency pass.

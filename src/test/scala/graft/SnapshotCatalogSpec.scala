@@ -11,18 +11,31 @@ import graft.sources.{Snapshot, SnapshotCatalog, Tables}
   * analysis re-resolves the manifest, so a snapshot re-exported between
   * two queries is seen fresh by the second (VERDICT r7 missing #1).
   */
-class SnapshotCatalogSpec extends SparkSpec {
+class SnapshotCatalogSpec extends SparkSpec
+    with org.scalatest.BeforeAndAfterAll {
 
   /** Each test root gets its own catalog NAME: Spark's CatalogManager
     * caches one plugin instance per name for the session's lifetime, so
     * reusing a name across roots would pin the first root forever —
     * names are cheap, roots are per-test.
     */
+  private val roots = scala.collection.mutable.Buffer.empty[java.nio.file.Path]
+
   private def registerCatalog(name: String): String = {
-    val root = Files.createTempDirectory(s"snap_cat_$name").toString
+    val root = Files.createTempDirectory(s"snap_cat_$name")
+    roots += root
     spark.conf.set(s"spark.sql.catalog.$name", classOf[SnapshotCatalog].getName)
-    spark.conf.set(s"spark.sql.catalog.$name.root", root)
-    root
+    spark.conf.set(s"spark.sql.catalog.$name.root", root.toString)
+    root.toString
+  }
+
+  // leave no litter: the snapshot roots are throwaway per-suite fixtures
+  override def afterAll(): Unit = {
+    roots.foreach { r =>
+      Files.walk(r).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.deleteIfExists(p))
+    }
+    super.afterAll()
   }
 
   test("spark.sql reads a snapshot table by name, no temp views") {

@@ -29,10 +29,13 @@ object Bench {
     def gcStat(): (Long, Long) =
       (gcBeans.map(_.getCollectionTime).sum, gcBeans.map(_.getCollectionCount).sum)
     def cachedMb(): Long =
-      try scala.io.Source.fromFile("/proc/meminfo").getLines()
-        .collectFirst { case l if l.startsWith("Cached:") =>
-          l.split("\\s+")(1).toLong / 1024 }.getOrElse(-1L)
-      catch { case _: Throwable => -1L }
+      try {
+        val src = scala.io.Source.fromFile("/proc/meminfo")
+        try src.getLines()
+          .collectFirst { case l if l.startsWith("Cached:") =>
+            l.split("\\s+")(1).toLong / 1024 }.getOrElse(-1L)
+        finally src.close() // one open fd per query otherwise (168/run)
+      } catch { case _: Throwable => -1L }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val (gcMs0, gcN0) = gcStat()
       val t0 = System.nanoTime()

@@ -28,6 +28,15 @@ object Bench {
     val gcBeans = java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
     def gcStat(): (Long, Long) =
       (gcBeans.map(_.getCollectionTime).sum, gcBeans.map(_.getCollectionCount).sum)
+    // JIT compilation is the remaining unruled-out spike hypothesis (GC
+    // and memory were eliminated per-spike in r8): each query compiles
+    // fresh codegen classes, and a C2 compile burst on the JVM's shared
+    // compiler threads can steal cycles from the timed region. The
+    // counter is cumulative ms across all compiler threads.
+    val jitBean = java.lang.management.ManagementFactory.getCompilationMXBean
+    def jitMs(): Long =
+      if (jitBean != null && jitBean.isCompilationTimeMonitoringSupported)
+        jitBean.getTotalCompilationTime else -1L
     def cachedMb(): Long =
       try {
         val src = scala.io.Source.fromFile("/proc/meminfo")
@@ -38,6 +47,7 @@ object Bench {
       } catch { case _: Throwable => -1L }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val (gcMs0, gcN0) = gcStat()
+      val jit0 = jitMs()
       val t0 = System.nanoTime()
       // a failed query still gets charged its elapsed time (the stdout
       // JSON contract stays fixed-shape), but the failure is named on
@@ -50,6 +60,7 @@ object Bench {
       val (gcMs1, gcN1) = gcStat()
       val rt = Runtime.getRuntime
       System.err.println(f"[bench] $name $elapsed%.3fs gc+${gcMs1 - gcMs0}ms/${gcN1 - gcN0} " +
+        f"jit+${jitMs() - jit0}ms " +
         f"heap=${(rt.totalMemory - rt.freeMemory) / 1048576}/${rt.maxMemory / 1048576}MB " +
         f"cached=${cachedMb()}MB")
       // Release storage the finished query left behind (localCheckpoint

@@ -44,15 +44,20 @@ object SessionToken {
       .foreach(k => memo.remove(k).foreach(v => cleanup(v)))
   }
 
-  /** Best-effort recursive delete for memoized temp dirs. */
+  /** Best-effort recursive delete for memoized temp dirs. The single
+    * shared implementation — `Files.walk` returns a Stream holding open
+    * directory handles, so it must be closed, not just drained.
+    */
   def deleteDir(path: String): Unit = {
     val root = java.nio.file.Paths.get(path)
     if (java.nio.file.Files.exists(root)) {
       import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(root).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+      val walk = java.nio.file.Files.walk(root)
+      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
         .iterator().asScala.foreach(p => try java.nio.file.Files.deleteIfExists(p) catch {
           case _: java.io.IOException => ()
         })
+      finally walk.close()
     }
   }
 }

@@ -214,9 +214,19 @@ object SimilarityOps {
     val cands = centroids.zipWithIndex.map { case (c, i) =>
       struct(dotExpr("embedding", s"cents[$i]").as("score"), lit(-i).as("nidx"))
     }
+    // `greatest` needs >=2 args (a 1-centroid table is legal input), and
+    // a row whose EVERY score is NULL (ragged / null-element embedding)
+    // must keep the old fold's -1 "no list" sentinel: struct ordering
+    // ranks a NULL score below any real one, so the argmax result
+    // carries a NULL score iff all 16 were NULL — without the guard it
+    // would fall through to the nidx field and land the row in list 0.
+    val best = if (cands.length == 1) cands.head else greatest(cands: _*)
     val withList = emb.withColumn("cents", typedlit(centroids))
-      .withColumn("ivf_list", -greatest(cands: _*).getField("nidx"))
-      .drop("cents")
+      .withColumn("best", best)
+      .withColumn("ivf_list",
+        when(col("best").getField("score").isNull, lit(-1))
+          .otherwise(-col("best").getField("nidx")))
+      .drop("cents", "best")
     val qvec = centroids(0)
     // nprobe=2: query's own list + nearest other centroid list
     val scores = centroids.zipWithIndex.map { case (c, i) =>

@@ -163,10 +163,21 @@ class SnapshotSource extends TableProvider {
     // here.
     val tid = Thread.currentThread().getId
     val manifest = resolved.synchronized {
-      resolved.remove((root, tagOpt, asOf.orNull))
+      // CONDITIONAL take: remove only OUR OWN same-thread entry.
+      // Another thread's in-flight entry must be left for its owner —
+      // an unconditional remove would let an external-metadata load
+      // (which skips inferSchema) destroy a concurrent load's
+      // resolution between ITS inferSchema and getTable, forcing that
+      // load to re-resolve and potentially pair its already-returned
+      // schema with a re-exported manifest's file list.
+      resolved.get((root, tagOpt, asOf.orNull)) match {
+        case Some((`tid`, m)) =>
+          resolved.remove((root, tagOpt, asOf.orNull)); Some(m)
+        case _ => None
+      }
     } match {
-      case Some((`tid`, m)) => m
-      case _ => resolveManifest(options)
+      case Some(m) => m
+      case None => resolveManifest(options)
     }
     val tag = asOf.map(_ => manifest.get.tag).getOrElse(tagOpt)
     manifest.flatMap(_.tables.get(table)) match {

@@ -88,6 +88,35 @@ class NearDupSpec extends SparkSpec {
     }
   }
 
+  test("IVF ANN: ragged embedding keeps the -1 no-list sentinel (never probed); 1-centroid input analyzes") {
+    // A ragged row scores NULL against EVERY centroid (float_dot is
+    // null on length mismatch). The argmax pivot must keep the old
+    // fold's -1 "no list" sentinel for it — struct ordering would
+    // otherwise fall through to the index field and land it in list 0,
+    // the query's own (always-probed) list, surfacing it as a
+    // candidate with a NULL score.
+    val dir = java.nio.file.Files.createTempDirectory("ivf_edge").toString
+    try {
+      val rng = new scala.util.Random(7)
+      val rows = (0 until 17).map(i => (i.toLong, Array.fill(4)(rng.nextFloat()), i % 3)) :+
+        ((99L, Array(1f, 2f), 0))
+      rows.toDF("vec_id", "embedding", "label")
+        .write.parquet(s"$dir/embeddings.parquet")
+      val res = graft.operators.SimilarityOps.simAnnIvf(spark, dir).collect()
+      assert(res.nonEmpty)
+      assert(!res.map(_.getLong(0)).contains(99L), "ragged row must never become a candidate")
+      // 1-centroid degenerate table: the pivot is a single struct, not
+      // a greatest() call (which requires >= 2 args) — must analyze
+      val dir1 = java.nio.file.Files.createTempDirectory("ivf_one").toString
+      try {
+        Seq((0L, Array.fill(4)(0.5f), 0)).toDF("vec_id", "embedding", "label")
+          .write.parquet(s"$dir1/embeddings.parquet")
+        val one = graft.operators.SimilarityOps.simAnnIvf(spark, dir1).collect()
+        assert(one.isEmpty) // the query vector itself is the only row and is excluded
+      } finally SessionToken.deleteDir(dir1)
+    } finally SessionToken.deleteDir(dir)
+  }
+
   test("LSH ANN candidates are a subset of brute-force scores (same score per id)") {
     val brute = q("q_sim_topk").collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
     val lshAll = q("q_sim_ann_lsh").collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap

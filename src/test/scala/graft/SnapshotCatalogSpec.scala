@@ -31,10 +31,7 @@ class SnapshotCatalogSpec extends SparkSpec
 
   // leave no litter: the snapshot roots are throwaway per-suite fixtures
   override def afterAll(): Unit = {
-    roots.foreach { r =>
-      Files.walk(r).sorted(java.util.Comparator.reverseOrder())
-        .forEach(p => Files.deleteIfExists(p))
-    }
+    roots.foreach(r => graft.SessionToken.deleteDir(r.toString))
     super.afterAll()
   }
 

@@ -562,4 +562,52 @@ class SnapshotSourceSpec extends SparkSpec {
     assert(t2.existed, "second load on a reused instance must see the created table")
     assert(t2.files.nonEmpty && t2.rows == nation.count())
   }
+
+  test("getTable leaves another thread's in-flight resolution untouched (conditional take)") {
+    // T1 pauses between its inferSchema and getTable (Spark runs both
+    // synchronously, but another load can interleave on a SHARED
+    // provider instance). The main thread then runs an external-metadata
+    // load on the same coords — getTable without inferSchema. It must
+    // NOT consume T1's memoized resolution: if it did, a manifest
+    // re-export landing before T1's getTable would make T1 re-resolve
+    // and pair its already-returned schema with the NEW manifest's file
+    // list — the exact mispair the memo exists to prevent.
+    import org.apache.spark.sql.util.CaseInsensitiveStringMap
+    val r = Files.createTempDirectory("snap_threads").toString
+    val nation = Tables.nation(spark, sf)
+    Snapshot.export(spark, Map("nation" -> nation), r, "g1") // manifest M1
+    val m1Rows = nation.count()
+    val optMap = new java.util.HashMap[String, String]
+    optMap.put("root", r); optMap.put("tag", "g1"); optMap.put("table", "nation")
+    val options = new CaseInsensitiveStringMap(optMap)
+    val provider = new graft.sources.SnapshotSource
+
+    val afterInfer = new java.util.concurrent.CountDownLatch(1)
+    val proceed = new java.util.concurrent.CountDownLatch(1)
+    val t1Table = new java.util.concurrent.atomic.AtomicReference[graft.sources.SnapshotTable]
+    val t1 = new Thread(() => {
+      val sch = provider.inferSchema(options) // memoizes M1, stamped with T1's id
+      afterInfer.countDown()
+      proceed.await()
+      t1Table.set(provider.getTable(sch, Array.empty, optMap)
+        .asInstanceOf[graft.sources.SnapshotTable])
+    })
+    t1.start()
+    afterInfer.await()
+
+    // main thread: external-metadata load (skips inferSchema) — resolves
+    // fresh for itself and must leave T1's entry in place
+    val tMain = provider.getTable(nation.schema, Array.empty, optMap)
+      .asInstanceOf[graft.sources.SnapshotTable]
+    assert(tMain.rows == m1Rows)
+
+    // the catalog mutates: a re-export replaces M1 with a 10-row M2
+    Snapshot.export(spark, Map("nation" -> nation.limit(10)), r, "g1")
+
+    proceed.countDown()
+    t1.join()
+    assert(t1Table.get.rows == m1Rows,
+      s"T1 must materialize ITS memoized M1 resolution (${m1Rows} rows), " +
+        s"not re-resolve the re-exported M2 (got ${t1Table.get.rows})")
+  }
 }

@@ -49,10 +49,19 @@ object Bench {
       val (gcMs0, gcN0) = gcStat()
       val jit0 = jitMs()
       val t0 = System.nanoTime()
-      // a failed query still gets charged its elapsed time (the stdout
+      // Force through the built-in noop DSv2 sink, NOT count():
+      // count-forcing lets ColumnPruning drop every aggregate
+      // expression of an agg-final query (count over an aggregate
+      // needs only the grouping keys) and EliminateSorts drop final
+      // ORDER BYs — measured on the flagship pricing summary, count()
+      // read 3 of its 7 columns and computed none of the 4 sums. The
+      // noop write evaluates every output column, so each query is
+      // priced at its full cost (r8; BASELINE.md documents the
+      // methodology change and the reference-map reset).
+      // A failed query still gets charged its elapsed time (the stdout
       // JSON contract stays fixed-shape), but the failure is named on
-      // stderr so it can never hide inside a plausible-looking total
-      try { fn(spark, sfDir).count() } catch {
+      // stderr so it can never hide inside a plausible-looking total.
+      try { fn(spark, sfDir).write.mode("overwrite").format("noop").save() } catch {
         case e: Throwable => System.err.println(
           s"[bench] $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
       }

@@ -16,8 +16,12 @@ object Scratch {
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
     for (n <- names; r <- 1 to reps) {
       val t = System.nanoTime()
+      // same forcing as Bench (noop sink prices every output column);
+      // rows are counted OUTSIDE the timed region as a sanity check
+      SparkEntry.queries(n)(s, dir).write.mode("overwrite").format("noop").save()
+      val sec = (System.nanoTime() - t) / 1e9
       val c = SparkEntry.queries(n)(s, dir).count()
-      println(f"$n run$r ${(System.nanoTime() - t) / 1e9}%.2fs rows=$c")
+      println(f"$n run$r $sec%.2fs rows=$c")
     }
     s.stop()
   }

@@ -147,11 +147,17 @@ object TextOps {
   }
 
   /** Registered scalar UDF showcase: normalize_text (trim + collapse
-    * whitespace + lowercase), kept SQL-replicable by design.
+    * whitespace + lowercase), kept SQL-replicable by design. The
+    * whitespace pattern is compiled ONCE and captured by the closure —
+    * `String.replaceAll` recompiles its regex on every call, and this
+    * UDF runs twice per row over the full corpus.
     */
+  private val wsPattern = java.util.regex.Pattern.compile("\\s+")
+
   def udfScalar(s: SparkSession, dir: String): DataFrame = {
     s.udf.register("normalize_text",
-      (t: String) => if (t == null) null else t.trim.replaceAll("\\s+", " ").toLowerCase)
+      (t: String) => if (t == null) null
+      else wsPattern.matcher(t.trim).replaceAll(" ").toLowerCase)
     Tables.documents(s, dir)
       .select(
         col("doc_id"),

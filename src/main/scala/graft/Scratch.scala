@@ -17,10 +17,17 @@ object Scratch {
     for (n <- names; r <- 1 to reps) {
       val t = System.nanoTime()
       // same forcing as Bench (noop sink prices every output column);
-      // rows are counted OUTSIDE the timed region as a sanity check
-      SparkEntry.queries(n)(s, dir).write.mode("overwrite").format("noop").save()
+      // the frame is built ONCE per rep — iterative queries do real
+      // driver-side work (checkpoint loops, bounded collects) during
+      // construction, which must be timed once, not twice — and rows
+      // are counted on the SAME frame OUTSIDE the timed region
+      val frame = SparkEntry.queries(n)(s, dir)
+      frame.write.mode("overwrite").format("noop").save()
       val sec = (System.nanoTime() - t) / 1e9
-      val c = SparkEntry.queries(n)(s, dir).count()
+      val c = frame.count()
+      // Bench parity: free the checkpoint blocks this rep pinned so
+      // later reps measure steady state, not accumulated pressure
+      s.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
       println(f"$n run$r $sec%.2fs rows=$c")
     }
     s.stop()

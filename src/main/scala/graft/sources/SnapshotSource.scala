@@ -80,10 +80,16 @@ class SnapshotSource extends TableProvider {
     * load that aborted between inferSchema and getTable cannot feed
     * a later load's schema; (2) entries are stamped with the
     * resolving THREAD id and getTable consumes only a same-thread
-    * entry (Spark resolves one load's inferSchema→getTable
-    * synchronously on one thread), so an external-metadata load —
-    * which skips inferSchema — can never swallow an orphan another
-    * thread left behind. CONCURRENT loads sharing one instance while
+    * entry — and leaves other threads' in-flight entries in place —
+    * (Spark resolves one load's inferSchema→getTable synchronously on
+    * one thread), so an external-metadata load — which skips
+    * inferSchema — can never swallow an orphan another thread left
+    * behind; (3) a THROWING inferSchema clears its own entry before
+    * propagating, so a failed load leaves no same-thread orphan
+    * either. The one remaining (theoretical) orphan window is a load
+    * whose inferSchema SUCCEEDS but is abandoned before getTable —
+    * Spark's load path has no such exit today, and the entry is
+    * overwritten by the next inferSchema on the same coords. CONCURRENT loads sharing one instance while
     * the catalog mutates are still NOT protected: Spark's API hands
     * getTable the schema separately from this resolution, so two
     * loads interleaving on one instance could pair one resolution's
@@ -123,24 +129,39 @@ class SnapshotSource extends TableProvider {
     manifestFor(options).flatMap(_.tables.get(coords(options)._3))
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    entryFor(options) match {
-      case Some(entry) =>
-        entry.schemaJson.map(DataType.fromJson(_).asInstanceOf[StructType]).getOrElse(
+    try {
+      entryFor(options) match {
+        case Some(entry) =>
+          entry.schemaJson.map(DataType.fromJson(_).asInstanceOf[StructType]).getOrElse(
+            throw new IllegalArgumentException(
+              s"snapshot entry for ${coords(options)._3} predates schemaJson manifests"))
+        case None if options.get("asOf") != null =>
+          // time travel is read-only: a missing table at the resolved
+          // snapshot is a read error, never a write-creation target
           throw new IllegalArgumentException(
-            s"snapshot entry for ${coords(options)._3} predates schemaJson manifests"))
-      case None if options.get("asOf") != null =>
-        // time travel is read-only: a missing table at the resolved
-        // snapshot is a read error, never a write-creation target
-        throw new IllegalArgumentException(
-          s"table ${coords(options)._3} not in the snapshot resolved for " +
-            s"asOf='${options.get("asOf")}'")
-      case None =>
-        // a new table being created by a write: the writer passes the
-        // dataframe schema explicitly (save() offers no other channel)
-        Option(options.get("schema")).map(DataType.fromJson(_).asInstanceOf[StructType])
-          .getOrElse(throw new IllegalArgumentException(
-            s"table ${coords(options)._3} not in snapshot ${coords(options)._2}; " +
-              "to create it via a write, pass .option(\"schema\", df.schema.json)"))
+            s"table ${coords(options)._3} not in the snapshot resolved for " +
+              s"asOf='${options.get("asOf")}'")
+        case None =>
+          // a new table being created by a write: the writer passes the
+          // dataframe schema explicitly (save() offers no other channel)
+          Option(options.get("schema")).map(DataType.fromJson(_).asInstanceOf[StructType])
+            .getOrElse(throw new IllegalArgumentException(
+              s"table ${coords(options)._3} not in snapshot ${coords(options)._2}; " +
+                "to create it via a write, pass .option(\"schema\", df.schema.json)"))
+      }
+    } catch {
+      case e: Throwable =>
+        // a FAILED load must not leave its resolution behind: the memo
+        // entry manifestFor just wrote would otherwise be a same-thread
+        // orphan that a LATER external-metadata load (which skips
+        // inferSchema) on this thread could consume — serving a stale
+        // file list under a fresh schema. No getTable follows a throw
+        // here, so the entry can never be legitimately claimed.
+        val (root, tag, _) = coords(options)
+        resolved.synchronized {
+          resolved.remove((root, tag, options.get("asOf")))
+        }
+        throw e
     }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],

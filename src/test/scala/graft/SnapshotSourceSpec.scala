@@ -574,6 +574,7 @@ class SnapshotSourceSpec extends SparkSpec {
     // list — the exact mispair the memo exists to prevent.
     import org.apache.spark.sql.util.CaseInsensitiveStringMap
     val r = Files.createTempDirectory("snap_threads").toString
+    try {
     val nation = Tables.nation(spark, sf)
     Snapshot.export(spark, Map("nation" -> nation), r, "g1") // manifest M1
     val m1Rows = nation.count()
@@ -609,5 +610,36 @@ class SnapshotSourceSpec extends SparkSpec {
     assert(t1Table.get.rows == m1Rows,
       s"T1 must materialize ITS memoized M1 resolution (${m1Rows} rows), " +
         s"not re-resolve the re-exported M2 (got ${t1Table.get.rows})")
+    } finally SessionToken.deleteDir(r) // leave no litter
+  }
+
+  test("a failed inferSchema leaves no memo orphan for a later same-thread load") {
+    // Failure path: inferSchema on a table that is NOT in the snapshot
+    // (no schema option) throws AFTER manifestFor memoized the
+    // resolution. The entry must be cleared on the way out — otherwise
+    // a later external-metadata load on the SAME thread would consume
+    // it and pair a fresh schema with the stale manifest's file list.
+    import org.apache.spark.sql.util.CaseInsensitiveStringMap
+    val r = Files.createTempDirectory("snap_orphan").toString
+    try {
+      val nation = Tables.nation(spark, sf)
+      Snapshot.export(spark, Map("nation" -> nation), r, "g1") // M1: nation only
+      val optMap = new java.util.HashMap[String, String]
+      optMap.put("root", r); optMap.put("tag", "g1"); optMap.put("table", "region")
+      val provider = new graft.sources.SnapshotSource
+      intercept[IllegalArgumentException] {
+        provider.inferSchema(new CaseInsensitiveStringMap(optMap)) // region absent, no schema opt
+      }
+      // the catalog mutates: M2 now CONTAINS region (10 rows)
+      val region10 = Tables.region(spark, sf).limit(10)
+      Snapshot.export(spark, Map("nation" -> nation, "region" -> region10), r, "g1")
+      // same-thread external-metadata load (skips inferSchema): with a
+      // surviving orphan it would serve M1 (no region → phantom write
+      // target); it must resolve fresh and see M2's region
+      val t = provider.getTable(region10.schema, Array.empty, optMap)
+        .asInstanceOf[graft.sources.SnapshotTable]
+      assert(t.existed && t.rows == region10.count(),
+        s"failed inferSchema must not leave a memo orphan (got existed=${t.existed}, rows=${t.rows})")
+    } finally SessionToken.deleteDir(r)
   }
 }

@@ -17,6 +17,9 @@ object Bench {
     spark.range(1000000L).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/lineitem.parquet")
       .groupBy("l_returnflag").count().collect()
+    // the noop DSv2 write path has its own first-use cost (write-exec
+    // classes, committer codegen) — pay it here, not in query #1
+    spark.range(1000L).write.mode("overwrite").format("noop").save()
     // Spike forensics (r8): every query gets ONE stderr line naming the
     // JVM GC time/count that landed inside its timed region plus heap
     // and OS page-cache state right after it, so a driver-session

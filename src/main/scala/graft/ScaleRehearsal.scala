@@ -21,6 +21,11 @@ object ScaleRehearsal {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // warmup (incl. the noop write path) so the first leg prices its
+    // own work, not JVM/codegen/write-exec first-use costs — the ×1
+    // and ×K runs then compare like for like on every leg
+    spark.range(1000000L).selectExpr("sum(id)").collect()
+    spark.range(1000L).write.mode("overwrite").format("noop").save()
 
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
       .withColumn("rep", explode(expr(s"sequence(1, $k)")))

@@ -12,6 +12,7 @@ object Scratch {
     s.sparkContext.setLogLevel("WARN")
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     s.range(1000000L).selectExpr("sum(id)").collect()
+    s.range(1000L).write.mode("overwrite").format("noop").save() // warm the noop write path too
     val names = if (a.nonEmpty) a.toSeq else Seq("q_dedup_clusters")
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
     for (n <- names; r <- 1 to reps) {

@@ -26,12 +26,9 @@ class HllSketch extends Aggregator[Long, Array[Byte], Long] {
   private val b = 10
   private val m = 1 << b // 1024 registers
 
-  private def splitmix64(x0: Long): Long = {
-    var x = x0 + 0x9E3779B97F4A7C15L
-    x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
-    x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
-    x ^ (x >>> 31)
-  }
+  // full splitmix64 = golden-ratio stream increment + the shared
+  // finalizer ([[Mix.mix64]] — bit-identical to the previous inline copy)
+  private def splitmix64(x0: Long): Long = Mix.mix64(x0 + 0x9E3779B97F4A7C15L)
 
   override def zero: Array[Byte] = new Array[Byte](m)
 

@@ -22,21 +22,27 @@ object NearDup {
   val RowsPerBand = 4 // 16 × 4 = 64
   val ShingleK = 3
 
-  /** splitmix64 finalizer — the standard 64-bit avalanche mix. */
-  private def mix64(x0: Long): Long = {
-    var x = x0
-    x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
-    x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
-    x ^ (x >>> 31)
-  }
+  /** splitmix64 finalizer — the standard 64-bit avalanche mix
+    * ([[graft.functions.Mix.mix64]], the single shared definition).
+    */
+  private def mix64(x0: Long): Long = graft.functions.Mix.mix64(x0)
 
   private def shingleHash(sh: String): Long =
     (MurmurHash3.stringHash(sh, 0x9747b28c).toLong << 32) |
       (MurmurHash3.stringHash(sh, 0x85ebca6b).toLong & 0xffffffffL)
 
-  /** k-token shingles of a whitespace-tokenized doc. */
+  /** k-token shingles of a whitespace-tokenized doc.
+    *
+    * Tokenization is `split(" ", -1)` — KEEPING empty tokens — to
+    * match Spark SQL's `split` and DuckDB's `string_split` exactly.
+    * Scala's default `split(" ")` silently drops trailing empties, so
+    * a doc with a trailing space would tokenize differently here than
+    * in the oracle SQL and in [[dedupNgramJaccardPrefix]]'s SQL-side
+    * shingling (dormant on the fixture corpus, which has no
+    * leading/trailing whitespace, but a real divergence).
+    */
   def shingles(text: String, k: Int = ShingleK): Seq[String] = {
-    val toks = text.split(" ")
+    val toks = text.split(" ", -1)
     if (toks.length < k) Seq(toks.mkString(" "))
     else toks.sliding(k).map(_.mkString(" ")).toSeq
   }
@@ -51,8 +57,11 @@ object NearDup {
     * (~n²/2⁶⁴ — the same budget the banded families already accept).
     */
   def shingleHashes(text: String): Array[Long] = {
-    val toks = text.split(" ")
+    val toks = text.split(" ", -1) // keep empties — same tokens as [[shingles]] / SQL split
     if (toks.length < ShingleK) {
+      // short doc: ONE shingle, hashed through the same order-sensitive
+      // chain as the long path so that distinct short docs ("" vs " ")
+      // keep distinct hashes, mirroring their distinct string shingles
       var h = 0xcbf29ce484222325L
       toks.foreach(t => h = mix64(h ^ shingleHash(t)))
       return Array(h)
@@ -61,13 +70,21 @@ object NearDup {
     var j = 0
     while (j < toks.length) { th(j) = shingleHash(toks(j)); j += 1 }
     val n = toks.length - (ShingleK - 1)
-    val seen = new java.util.HashSet[java.lang.Long](n * 2)
+    // dedup allocation-free in the per-document hot loop: sort the
+    // primitive array, then skip adjacent equals (a HashSet here boxes
+    // every probe and allocates a node per distinct shingle; output
+    // ORDER is irrelevant — every consumer treats this as a set)
     val out = new Array[Long](n)
-    var m = 0
     var i = 0
     while (i < n) {
-      val h = mix64(mix64(mix64(th(i)) ^ th(i + 1)) ^ th(i + 2))
-      if (seen.add(h)) { out(m) = h; m += 1 }
+      out(i) = mix64(mix64(mix64(th(i)) ^ th(i + 1)) ^ th(i + 2))
+      i += 1
+    }
+    java.util.Arrays.sort(out)
+    var m = 0
+    i = 0
+    while (i < n) {
+      if (i == 0 || out(i) != out(i - 1)) { out(m) = out(i); m += 1 }
       i += 1
     }
     java.util.Arrays.copyOf(out, m)
@@ -99,7 +116,7 @@ object NearDup {
   /** 64-bit SimHash over token hashes (unit weights). */
   def simhash64(text: String): Long = {
     val counts = new Array[Int](64)
-    text.split(" ").foreach { t =>
+    text.split(" ", -1).foreach { t =>
       val h = shingleHash(t)
       var b = 0
       while (b < 64) {
@@ -121,13 +138,22 @@ object NearDup {
     * No oracle: the hash family is not portable to DuckDB SQL;
     * NearDupSpec proves recall/precision on planted near-dups.
     */
+  /** LSH bucket key for one band: mix64 chain over the band's 4
+    * signature rows, seeded with the band index. Package-visible so
+    * NearDupSpec can pin band SELECTIVITY directly — a broken slice
+    * here degrades candidate generation to all-pairs (every doc in one
+    * bucket), which the exact-Jaccard confirm silently absorbs at test
+    * scale but which is quadratic death at corpus scale.
+    */
+  private[graft] def bandBucket(sig: Seq[Long], band: Int): Long = {
+    val slice = sig.slice(band * RowsPerBand, (band + 1) * RowsPerBand)
+    mix64(slice.foldLeft(band.toLong)((acc, v) => mix64(acc ^ v)))
+  }
+
   def dedupMinhash(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val sigUdf = udf((text: String) => minhashSignature(text))
-    val bandHashUdf = udf((sig: Seq[Long], band: Int) => {
-      val slice = sig.slice(band * RowsPerBand, (band + 1) * RowsPerBand)
-      mix64(slice.foldLeft(band.toLong)((acc, v) => mix64(acc ^ v)))
-    })
+    val bandHashUdf = udf((sig: Seq[Long], band: Int) => bandBucket(sig, band))
     val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
     val sigs = docs.withColumn("sig", sigUdf(col("text")))
     val buckets = sigs

@@ -56,6 +56,94 @@ class NearDupSpec extends SparkSpec {
     assert(java.lang.Long.bitCount(h1 ^ h2) < java.lang.Long.bitCount(h1 ^ h3))
   }
 
+  test("minhash+LSH DATAFLOW finds planted dups through the real banded buckets (non-vacuous)") {
+    // Runs dedupMinhash itself — signature → 16-band bucket join →
+    // exact-Jaccard confirm — against a planted parquet corpus, so a
+    // broken band slice / bucket key / confirm threshold cannot pass
+    // vacuously (the fixture-corpus test above accepts an empty
+    // result; this one pins exact expected pairs). The exact duplicate
+    // (1,5) collides in ALL 16 bands, so its presence is guaranteed by
+    // construction, not probabilistically.
+    val dir = java.nio.file.Files.createTempDirectory("minhash_flow").toString
+    try {
+      Seq(
+        (1L, base, "en", "t", base.length.toLong),
+        (2L, nearDup, "en", "t", nearDup.length.toLong),
+        (3L, disjoint, "en", "t", disjoint.length.toLong),
+        (4L, "join a filter window row scan hash batch", "en", "t", 41L),
+        (5L, base, "en", "t", base.length.toLong)
+      ).toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.parquet(s"$dir/documents.parquet")
+      val pairs = NearDup.dedupMinhash(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDecimal(2).doubleValue).toMap
+      assert(pairs.contains((1L, 5L)) && pairs((1L, 5L)) == 1.0,
+        s"exact dup must be found with jaccard 1.0: $pairs")
+      assert(pairs.contains((1L, 2L)) && pairs.contains((2L, 5L)),
+        s"planted near-dup (jaccard ~0.82) must be found: $pairs")
+      assert(!pairs.keys.exists(p => p._1 == 3L || p._2 == 3L), s"disjoint doc paired: $pairs")
+    } finally SessionToken.deleteDir(dir)
+  }
+
+  test("simhash DATAFLOW result equals the exact hamming<=3 pair set (pigeonhole recall)") {
+    // dedupSimhash's 4×16-bit chunk banding must find EVERY pair at
+    // hamming <= 3 (pigeonhole: 3 flipped bits cannot touch all 4
+    // chunks) and the confirm must drop everything above. Expected set
+    // computed directly from simhash64 — equality in BOTH directions.
+    val dir = java.nio.file.Files.createTempDirectory("simhash_flow").toString
+    try {
+      val docs = Seq((1L, base), (2L, nearDup), (3L, disjoint),
+        (4L, "join a filter window row scan hash batch"), (5L, base))
+      docs.map { case (id, t) => (id, t, "en", "t", t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.parquet(s"$dir/documents.parquet")
+      val expected = (for {
+        (i, ti) <- docs; (j, tj) <- docs if i < j
+        h = java.lang.Long.bitCount(NearDup.simhash64(ti) ^ NearDup.simhash64(tj))
+        if h <= 3
+      } yield (i, j, h)).toSet
+      assert(expected.nonEmpty, "planted corpus must contain at least one hamming<=3 pair")
+      val got = NearDup.dedupSimhash(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(got == expected, s"banded result $got != exact pair set $expected")
+    } finally SessionToken.deleteDir(dir)
+  }
+
+  test("band buckets are SELECTIVE: disjoint docs share no bucket, near-dups share some, dups all") {
+    // Pins candidate-generation selectivity on the production
+    // bandBucket function itself: a collapsed bucket key (e.g. an
+    // empty band slice) makes every doc collide in every band —
+    // invisible to the dataflow tests (the exact confirm cleans it up
+    // on 5 docs) but all-pairs-quadratic at corpus scale.
+    def buckets(t: String): Seq[Long] = {
+      val sig = NearDup.minhashSignature(t).toSeq
+      (0 until NearDup.Bands).map(b => NearDup.bandBucket(sig, b))
+    }
+    val (b1, b2, b3) = (buckets(base), buckets(nearDup), buckets(disjoint))
+    assert(b1.zip(b3).count { case (x, y) => x == y } == 0,
+      "disjoint docs must not share any band bucket")
+    assert(b1.zip(b2).count { case (x, y) => x == y } >= 1,
+      "jaccard ~0.82 near-dups must share at least one band bucket")
+    assert(b1.zip(buckets(base)).count { case (x, y) => x == y } == NearDup.Bands)
+    assert(b1.distinct.length == NearDup.Bands,
+      "one doc's 16 band buckets must not collapse onto each other (band index seeds the chain)")
+  }
+
+  test("hash-model shingles mirror string-model shingles on degenerate whitespace docs") {
+    // split(" ", -1) keeps empty tokens (Spark SQL / DuckDB
+    // string_split semantics): distinct degenerate docs must keep
+    // distinct shingle sets in BOTH models, and the hash-set jaccard
+    // must equal the string-set jaccard on every pair.
+    val texts = Seq("", " ", "a", "a ", " a", "a b c", "a b c ", "a  b c", "a b c d")
+    for (t <- texts)
+      assert(NearDup.shingleHashes(t).toSet.size == NearDup.shingles(t).toSet.size,
+        s"hash/string shingle-count mismatch for '$t'")
+    for (a <- texts; b <- texts) {
+      val hj = NearDup.jaccard(NearDup.shingleHashes(a).toSet, NearDup.shingleHashes(b).toSet)
+      val sj = NearDup.jaccard(NearDup.shingles(a).toSet, NearDup.shingles(b).toSet)
+      assert(hj == sj, s"jaccard mismatch for ('$a','$b'): hash=$hj string=$sj")
+    }
+  }
+
   test("fixture corpus: minhash pairs are confirmed by exact jaccard >= 0.8 and are symmetric-free") {
     val df = q("q_dedup_minhash").collect()
     df.foreach { r =>

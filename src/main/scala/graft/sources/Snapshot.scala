@@ -7,13 +7,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * capability re-expressed for a Spark+parquet world (SURVEY §0.1,
   * §7.2 M3): discover → copy-or-link → manifest → retention.
   *
-  * Model: a snapshot `tag` is an immutable directory
-  * `root/<tag>/<table>/part-*.parquet` plus `root/<tag>/manifest.json`
-  * describing every table's files (path, size, rows) and the parent
-  * tag. Incremental export exploits immutability the way the
-  * reference exploits SSTable immutability: a table whose content
-  * signature matches the parent snapshot is NOT rewritten — its
-  * manifest entry points at the parent's files.
+  * Model: a snapshot `tag` is `root/<tag>/manifest.json` plus the
+  * immutable data generations it references
+  * (`root/<tag>/<table>/g-<uuid>/part-*.parquet` — each export writes
+  * a FRESH generation dir and swaps the manifest; superseded
+  * generations stay on disk until vacuum). The manifest describes
+  * every table's files (path, size, rows) and the parent tag.
+  * Incremental export exploits immutability the way the reference
+  * exploits SSTable immutability: a table whose content signature
+  * matches the parent snapshot is NOT rewritten — its manifest entry
+  * points at the parent's files.
   *
   * All I/O goes through the Hadoop FileSystem API, so the same code
   * runs against local disk here and HDFS/S3 on a cluster. The
@@ -53,25 +56,34 @@ object Snapshot {
   private implicit val fmts: Formats = Serialization.formats(NoTypeHints)
 
   /** Atomic swap: the manifest is written to a temp sibling and
-    * renamed into place (rename is atomic on HDFS/local FS), so a
-    * reader sees the old manifest or the new one — never a truncated
-    * in-progress file. Writing with overwrite=true directly would
-    * destroy the live manifest the instant the stream opens. Hadoop
-    * rename won't replace an existing destination, so the old file is
-    * deleted first: that narrows the failure window to a transient
-    * manifest-not-found (a clean, retryable error) instead of a
-    * permanently corrupt half-written JSON; an object-store deployment
-    * would use a conditional PUT here instead.
+    * renamed OVER the destination in one `FileContext.rename(...,
+    * Options.Rename.OVERWRITE)` — atomic replace on local FS and HDFS
+    * — so a reader sees the old manifest or the new one, never a
+    * truncated file and never a missing one. (An earlier version
+    * deleted the old manifest before a non-overwriting rename; that
+    * "transient" manifest-not-found window was NOT harmless: listTags
+    * drops a manifest-less tag, so a concurrently-running vacuum would
+    * treat every file of the tag as orphaned and delete committed
+    * data, and the DSv2 committer would rebuild the tag with only its
+    * own table. An object-store deployment would use a conditional PUT
+    * here instead.) The temp file is removed on any failure so retries
+    * never accrete `.tmp-*` orphans.
     */
   def writeManifest(s: SparkSession, root: String, m: Manifest): Unit = {
     val f = fs(s, root)
-    val p = manifestPath(root, m.tag)
+    val p = f.makeQualified(manifestPath(root, m.tag))
     val tmp = new Path(p.getParent, s".${p.getName}.tmp-${java.util.UUID.randomUUID()}")
-    val out = f.create(tmp, false)
-    try out.write(Serialization.write(m).getBytes("UTF-8")) finally out.close()
-    if (f.exists(p)) f.delete(p, false) // local RawLocalFileSystem rename won't replace
-    if (!f.rename(tmp, p))
-      throw new java.io.IOException(s"manifest commit failed: rename $tmp -> $p")
+    try {
+      val out = f.create(tmp, false)
+      try out.write(Serialization.write(m).getBytes("UTF-8")) finally out.close()
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+        p.toUri, s.sparkContext.hadoopConfiguration)
+      fc.rename(f.makeQualified(tmp), p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    } catch {
+      case e: Throwable =>
+        try f.delete(tmp, false) catch { case _: Exception => () }
+        throw e
+    }
   }
 
   def readManifest(s: SparkSession, root: String, tag: String): Manifest = {
@@ -81,16 +93,41 @@ object Snapshot {
     finally in.close()
   }
 
-  /** Content signature used for incremental skip: row count + schema.
-    * (A real deployment would use source-file checksums; fixtures are
-    * in-memory DataFrames, so content-level identity is the honest
-    * equivalent. The count is one cheap column-pruned job.)
+  /** Content signature used for incremental skip: row count + schema
+    * hash + an order-independent CONTENT fingerprint (the DECIMAL(38,0)
+    * sum of per-row xxhash64 over every column — commutative, so
+    * partition order and parallelism cannot change it, and exact
+    * integer so both the sum and the comparison are deterministic).
+    * Without the content term, a change that preserves row count and
+    * schema (an UPDATE) would silently inherit the parent's stale
+    * files — wrong data, not a degraded mode. The (count, hash) pair
+    * is ONE aggregation job over the same scan the old count-only
+    * signature already paid for.
+    *
+    * Columns xxhash64 cannot consume (maps) degrade to a no-fingerprint
+    * signature that never matches — such tables are always rewritten
+    * (conservative, never wrong).
     */
-  private def signature(df: DataFrame, rows: Long): String =
-    signatureOf(df.schema, rows)
+  private def signatureAndRows(df: DataFrame): (Long, String) = {
+    import org.apache.spark.sql.functions.{xxhash64, struct, col, sum, count, lit}
+    try {
+      val r = df.select(xxhash64(struct(df.columns.map(col): _*)).cast("decimal(38,0)").as("h"))
+        .agg(count(lit(1)), sum(col("h"))).head
+      val rows = r.getLong(0)
+      val content = if (r.isNullAt(1)) "empty" else r.getDecimal(1).toBigInteger.toString
+      (rows, s"${signatureOf(df.schema, rows)}:$content")
+    } catch {
+      case _: org.apache.spark.sql.AnalysisException =>
+        val rows = df.count()
+        (rows, s"${signatureOf(df.schema, rows)}:nohash-${java.util.UUID.randomUUID()}")
+    }
+  }
 
-  /** Same signature scheme for writers that have a schema but no
-    * DataFrame (the DSv2 write path's manifest commit).
+  /** Schema+rows signature for writers that have a schema but no
+    * DataFrame (the DSv2 write path's manifest commit). Deliberately a
+    * PREFIX of [[signature]]'s format with no content term: an export
+    * over a DSv2-committed entry never equals it, so incremental skip
+    * stays conservative across the two writers.
     */
   private[sources] def signatureOf(schema: org.apache.spark.sql.types.StructType,
                                    rows: Long): String =
@@ -99,21 +136,32 @@ object Snapshot {
   /** Export `tables` as snapshot `tag`. With a parent, tables whose
     * signature is unchanged are linked to the parent's files instead
     * of rewritten (incremental transfer).
+    *
+    * Each written table lands in a FRESH generation directory
+    * `root/<tag>/<table>/g-<uuid>` — never `mode("overwrite")` into a
+    * fixed path, which would DELETE the live generation's data files
+    * while the current manifest still references them (a crash or a
+    * concurrent reader between that delete and the manifest swap loses
+    * committed data). The old generation stays on disk, unreferenced
+    * once the new manifest lands, and vacuum() sweeps it — the same
+    * write-new/swap/sweep discipline the DSv2 committer uses. The
+    * manifest swap itself serializes on the DSv2 commit lock so an
+    * export and a streaming append composing the same tag's manifest
+    * in one JVM cannot lose each other's update.
     */
   def export(s: SparkSession, tables: Map[String, DataFrame], root: String,
              tag: String, parent: Option[String] = None,
              partitionBy: Map[String, Seq[String]] = Map.empty): Manifest = {
     val parentManifest = parent.map(readManifest(s, root, _))
     val entries = tables.map { case (name, df) =>
-      val rows = df.count()
-      val sig = signature(df, rows)
+      val (rows, sig) = signatureAndRows(df)
       val inherited = parentManifest.flatMap(_.tables.get(name)).filter(_.signature == sig)
       val entry = inherited.getOrElse {
-        val dir = s"$root/$tag/$name"
+        val dir = s"$root/$tag/$name/g-${java.util.UUID.randomUUID().toString.take(8)}"
         val partCols = partitionBy.getOrElse(name, Nil)
-        val writer = df.write.mode("overwrite")
+        val writer = df.write.mode("error") // the generation dir is fresh by construction
         (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer).parquet(dir)
-        val files = listParquetRecursive(fs(s, root), new Path(dir))
+        val files = listParquetRecursive(s, fs(s, root), new Path(dir))
         TableEntry(files, rows, sig,
           dir = if (partCols.nonEmpty) Some(dir) else None, partitionBy = partCols,
           schemaJson = Some(df.schema.json))
@@ -121,17 +169,18 @@ object Snapshot {
       name -> entry
     }
     val m = Manifest(tag, parent, entries)
-    writeManifest(s, root, m)
+    SnapshotBatchWrite.commitLock.synchronized { writeManifest(s, root, m) }
     m
   }
 
-  private def listParquetRecursive(f: FileSystem, dir: Path): Seq[FileEntry] = {
+  private def listParquetRecursive(s: SparkSession, f: FileSystem, dir: Path): Seq[FileEntry] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[FileEntry]
     val it = f.listFiles(dir, true)
     while (it.hasNext) {
       val st = it.next()
       if (st.getPath.getName.endsWith(".parquet"))
-        out += FileEntry(st.getPath.toString, st.getLen, footerStats(st.getPath))
+        out += FileEntry(st.getPath.toString, st.getLen,
+          footerStats(st.getPath, s.sparkContext.hadoopConfiguration))
     }
     out.sortBy(_.path).toSeq
   }
@@ -143,10 +192,14 @@ object Snapshot {
     * correctness. Errors degrade to "no stats" — pruning is always
     * advisory.
     */
-  private def footerStats(p: Path): Map[String, ColumnStats] =
+  private def footerStats(p: Path,
+                          conf: org.apache.hadoop.conf.Configuration): Map[String, ColumnStats] =
     try {
-      val inputFile = org.apache.parquet.hadoop.util.HadoopInputFile
-        .fromPath(p, new org.apache.hadoop.conf.Configuration())
+      // the SESSION's Hadoop conf, not a bare `new Configuration()` —
+      // a configured filesystem (S3 credentials, HA nameservice) would
+      // otherwise fail to resolve here, the catch-all would swallow it,
+      // and every manifest would silently carry no stats (no pruning)
+      val inputFile = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf)
       val reader = org.apache.parquet.hadoop.ParquetFileReader.open(inputFile)
       try {
         import scala.jdk.CollectionConverters._
@@ -243,9 +296,16 @@ object Snapshot {
     val entry = m.tables.getOrElse(table,
       throw new IllegalArgumentException(s"table $table not in snapshot ${m.tag}"))
     entry.dir match {
-      // partitioned: read the directory so partition values decode from
-      // the layout and partition pruning applies to predicates
-      case Some(d) => s.read.parquet(d)
+      // partitioned: scan the MANIFEST's file list with the generation
+      // dir as basePath, so partition values decode from the layout and
+      // partition pruning applies — but directory contents do NOT
+      // define the snapshot (an orphan file from a crashed later write,
+      // or a new generation landing in a shared dir, must not leak into
+      // a committed snapshot's rows; the manifest is the unit of truth
+      // for partitioned tables exactly as for unpartitioned ones)
+      case Some(d) if entry.files.nonEmpty =>
+        s.read.option("basePath", d).parquet(entry.files.map(_.path): _*)
+      case Some(d) => s.read.parquet(d) // legacy empty-file-list entry
       case None => s.read.parquet(entry.files.map(_.path): _*)
     }
   }
@@ -288,12 +348,17 @@ object Snapshot {
   }
 
   /** Retention: keep the `n` newest tags (lexicographic tag order —
-    * callers use sortable tags like ISO timestamps) plus any ancestor
-    * snapshot still referenced by a kept manifest's file links.
+    * callers use sortable tags like ISO timestamps) plus every
+    * snapshot TRANSITIVELY referenced by a surviving manifest's file
+    * links. The closure matters: a tag kept only because a kept
+    * manifest links into it can itself link into an older tag (chain
+    * g→p→k where p inherited table B from g and k inherited table A
+    * from p) — single-level protection would delete g and leave p, a
+    * live listed snapshot, with dangling file references. Iterate to
+    * fixpoint over the manifests of every protected tag.
     */
   def retain(s: SparkSession, root: String, n: Int): Seq[String] = {
     val tags = listTags(s, root)
-    val keep = tags.takeRight(n).toSet
     val f = fs(s, root)
     // Owner tag = first path segment under root. Counting parent hops
     // instead would mis-resolve hive-partitioned layouts
@@ -306,14 +371,17 @@ object Snapshot {
       while (cur.getParent != null && cur.getParent != rootQ) cur = cur.getParent
       if (cur.getParent == rootQ) Some(cur.getName) else None
     }
-    val referenced = scala.collection.mutable.Set.empty[String]
-    keep.foreach { t =>
-      val m = readManifest(s, root, t)
-      m.tables.values.flatMap(_.files).foreach { fe =>
-        ownerTag(new Path(fe.path)).foreach(referenced += _)
-      }
+    val keep = scala.collection.mutable.Set.empty[String]
+    var frontier: Seq[String] = tags.takeRight(n)
+    frontier.foreach(keep += _)
+    while (frontier.nonEmpty) {
+      frontier = frontier.flatMap { t =>
+        readManifest(s, root, t).tables.values.flatMap(_.files)
+          .flatMap(fe => ownerTag(new Path(fe.path)))
+      }.distinct.filterNot(keep)
+      frontier.foreach(keep += _)
     }
-    val doomed = tags.filterNot(t => keep.contains(t) || referenced.contains(t))
+    val doomed = tags.filterNot(keep)
     doomed.foreach(t => f.delete(new Path(s"$root/$t"), true))
     doomed
   }

@@ -838,7 +838,9 @@ case class SnapshotBatchWrite(root: String, tag: String, table: String,
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
-    val conf = new Configuration()
+    // session conf, not a bare Configuration — a configured filesystem
+    // (S3 credentials, HA nameservice) would fail to resolve otherwise
+    val conf = SparkSession.active.sparkContext.hadoopConfiguration
     messages.collect { case m: SnapshotCommitMessage => m }.foreach { m =>
       val p = new org.apache.hadoop.fs.Path(m.path)
       p.getFileSystem(conf).delete(p, false)

@@ -89,4 +89,78 @@ class SnapshotSpec extends SparkSpec {
     assert(!Snapshot.listTags(spark, root).contains("half_done"))
     intercept[Exception](Snapshot.readManifest(spark, root, "half_done"))
   }
+
+  test("re-exporting a tag never deletes the superseded generation before the swap") {
+    // write-new/swap/sweep: the first generation's files must survive a
+    // re-export (a crash or concurrent reader between a delete and the
+    // manifest swap would otherwise lose committed data) and be swept
+    // only by vacuum once unreferenced.
+    val root = Files.createTempDirectory("snap_regen").toString
+    val f = new java.io.File(_: String)
+    val m1 = Snapshot.export(spark, Map("nation" -> Tables.nation(spark, sf)), root, "live")
+    val gen1 = m1.tables("nation").files.map(_.path.stripPrefix("file:"))
+    assert(gen1.nonEmpty && gen1.forall(p => f(p).exists))
+    val m2 = Snapshot.export(spark,
+      Map("nation" -> Tables.nation(spark, sf).where(col("n_nationkey") < 5)), root, "live")
+    assert(Snapshot.read(spark, root, "live", "nation").count() == 5)
+    assert(gen1.forall(p => f(p).exists),
+      "superseded generation must stay on disk until vacuum")
+    assert(m2.tables("nation").files.map(_.path).intersect(m1.tables("nation").files.map(_.path)).isEmpty)
+    val swept = Snapshot.vacuum(spark, root)
+    assert(gen1.forall(p => !f(p).exists), s"vacuum must sweep the old generation: $swept")
+    assert(Snapshot.read(spark, root, "live", "nation").count() == 5)
+  }
+
+  test("retention protection is TRANSITIVE across inheritance chains") {
+    // g -> p -> k where p inherited B from g and k inherited A from p:
+    // keeping only k must also keep p (A's owner) AND g (B's owner,
+    // reachable only through p's manifest) — single-level protection
+    // would delete g and leave p with dangling references.
+    val root = Files.createTempDirectory("snap_chain").toString
+    val a1 = Tables.nation(spark, sf)
+    val b1 = Tables.region(spark, sf)
+    Snapshot.export(spark, Map("A" -> a1, "B" -> b1), root, "tag_g")
+    // p: rewrite A (content change), inherit B
+    Snapshot.export(spark, Map("A" -> a1.where(col("n_nationkey") < 20), "B" -> b1),
+      root, "tag_p", Some("tag_g"))
+    // k: inherit A (same content as p's), rewrite B
+    Snapshot.export(spark, Map("A" -> a1.where(col("n_nationkey") < 20),
+      "B" -> b1.where(col("r_regionkey") < 3)), root, "tag_q", Some("tag_p"))
+    val doomed = Snapshot.retain(spark, root, 1)
+    assert(doomed.isEmpty, s"all three tags are transitively referenced, deleted: $doomed")
+    assert(Snapshot.read(spark, root, "tag_p", "B").count() == b1.count(),
+      "p's inherited table must still resolve through g's surviving files")
+  }
+
+  test("an UPDATE preserving row count and schema is NOT inherited (content signature)") {
+    val root = Files.createTempDirectory("snap_sig").toString
+    val v1 = Tables.nation(spark, sf).select(col("n_nationkey"), col("n_name"))
+    Snapshot.export(spark, Map("n" -> v1), root, "s1")
+    // same rows, same schema, one value changed
+    val v2 = v1.withColumn("n_name",
+      when(col("n_nationkey") === 0, lit("MUTATED")).otherwise(col("n_name")))
+    val m2 = Snapshot.export(spark, Map("n" -> v2), root, "s2", Some("s1"))
+    assert(m2.tables("n").files.forall(_.path.contains("/s2/")),
+      "content change with identical rowcount+schema must be rewritten, not inherited")
+    val back = Snapshot.read(spark, root, "s2", "n")
+    assert(back.where(col("n_name") === "MUTATED").count() == 1)
+    // and the unchanged case still skips (links parent files)
+    val m3 = Snapshot.export(spark, Map("n" -> v2), root, "s3", Some("s2"))
+    assert(m3.tables("n").files == m2.tables("n").files)
+  }
+
+  test("partitioned snapshot reads are pinned to the manifest, not directory contents") {
+    val root = Files.createTempDirectory("snap_pin").toString
+    val nation = Tables.nation(spark, sf)
+    val m = Snapshot.export(spark, Map("nation" -> nation), root, "pt",
+      partitionBy = Map("nation" -> Seq("n_regionkey")))
+    val before = Snapshot.read(spark, root, "pt", "nation").count()
+    assert(before == nation.count())
+    // an orphan parquet file lands inside the generation dir (crashed
+    // later write, foreign writer) — committed snapshot must not see it
+    val dir = m.tables("nation").dir.get
+    nation.limit(7).drop("n_regionkey").write.mode("append").parquet(s"$dir/n_regionkey=0")
+    assert(Snapshot.read(spark, root, "pt", "nation").count() == before,
+      "orphan files in the generation dir must not leak into a committed snapshot")
+  }
 }

@@ -56,18 +56,33 @@ object Snapshot {
   private implicit val fmts: Formats = Serialization.formats(NoTypeHints)
 
   /** Atomic swap: the manifest is written to a temp sibling and
-    * renamed OVER the destination in one `FileContext.rename(...,
-    * Options.Rename.OVERWRITE)` — atomic replace on local FS and HDFS
-    * — so a reader sees the old manifest or the new one, never a
-    * truncated file and never a missing one. (An earlier version
-    * deleted the old manifest before a non-overwriting rename; that
-    * "transient" manifest-not-found window was NOT harmless: listTags
-    * drops a manifest-less tag, so a concurrently-running vacuum would
-    * treat every file of the tag as orphaned and delete committed
-    * data, and the DSv2 committer would rebuild the tag with only its
-    * own table. An object-store deployment would use a conditional PUT
-    * here instead.) The temp file is removed on any failure so retries
-    * never accrete `.tmp-*` orphans.
+    * renamed OVER the destination, so a reader sees the old manifest
+    * or the new one — never a truncated file and (on capable
+    * filesystems) never a missing one. A manifest-not-found window is
+    * NOT harmless: listTags drops a manifest-less tag, so a
+    * concurrently-running vacuum would treat every file of the tag as
+    * orphaned and delete committed data, and the DSv2 committer would
+    * silently rebuild the tag with only its own table.
+    *
+    * The replace is scheme-aware, because Hadoop gives no single
+    * atomic-overwrite primitive (verified against the shipped
+    * hadoop-client 3.4.2: `FileContext.rename(OVERWRITE)` on LOCAL
+    * files falls through to AbstractFileSystem's default
+    * delete-then-rename — only HDFS overrides it atomically):
+    *  - `file:` → `java.nio.Files.move(ATOMIC_MOVE|REPLACE_EXISTING)`,
+    *    a single rename(2) — genuinely atomic;
+    *  - schemes with an AbstractFileSystem binding (hdfs: etc.) →
+    *    `FileContext.rename(OVERWRITE)` — atomic where the FS supports
+    *    it;
+    *  - anything else → documented non-atomic delete+rename fallback
+    *    (an object-store deployment would use a conditional PUT).
+    *
+    * Failure domains are separated: a failure while WRITING the temp
+    * file deletes it (the live manifest is untouched). A failure
+    * during the SWAP leaves the temp file in place and names it in the
+    * error — in the non-atomic fallback it may be the only complete
+    * copy of the manifest, and deleting it would turn a recoverable
+    * crash into permanent tag loss.
     */
   def writeManifest(s: SparkSession, root: String, m: Manifest): Unit = {
     val f = fs(s, root)
@@ -76,13 +91,41 @@ object Snapshot {
     try {
       val out = f.create(tmp, false)
       try out.write(Serialization.write(m).getBytes("UTF-8")) finally out.close()
-      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
-        p.toUri, s.sparkContext.hadoopConfiguration)
-      fc.rename(f.makeQualified(tmp), p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
     } catch {
       case e: Throwable =>
         try f.delete(tmp, false) catch { case _: Exception => () }
         throw e
+    }
+    val scheme = Option(p.toUri.getScheme).getOrElse("file")
+    try {
+      if (scheme == "file") {
+        java.nio.file.Files.move(
+          java.nio.file.Paths.get(f.makeQualified(tmp).toUri),
+          java.nio.file.Paths.get(p.toUri),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      } else {
+        try {
+          val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+            p.toUri, s.sparkContext.hadoopConfiguration)
+          fc.rename(f.makeQualified(tmp), p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+        } catch {
+          case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
+            // no AbstractFileSystem binding (gs:, custom FS): legacy
+            // delete+rename through the FileSystem API — non-atomic,
+            // window documented above
+            if (f.exists(p)) f.delete(p, false)
+            if (!f.rename(tmp, p))
+              throw new java.io.IOException(
+                s"manifest commit failed: rename $tmp -> $p (tmp left for recovery)")
+        }
+      }
+    } catch {
+      case e: Throwable =>
+        // do NOT delete tmp here: in the fallback path the destination
+        // may already be gone, making tmp the only surviving copy
+        throw new java.io.IOException(
+          s"manifest swap failed for ${m.tag}; recover from $tmp", e)
     }
   }
 
@@ -111,7 +154,12 @@ object Snapshot {
   private def signatureAndRows(df: DataFrame): (Long, String) = {
     import org.apache.spark.sql.functions.{xxhash64, struct, col, sum, count, lit}
     try {
-      val r = df.select(xxhash64(struct(df.columns.map(col): _*)).cast("decimal(38,0)").as("h"))
+      // backtick-quote each column name: bare col(name) RE-PARSES the
+      // name, so a column literally named "a.b" would resolve as
+      // struct-field access — fingerprinting the wrong data (silent
+      // stale inheritance) or failing analysis for no reason
+      val cols = df.columns.map(n => col(s"`${n.replace("`", "``")}`"))
+      val r = df.select(xxhash64(struct(cols: _*)).cast("decimal(38,0)").as("h"))
         .agg(count(lit(1)), sum(col("h"))).head
       val rows = r.getLong(0)
       val content = if (r.isNullAt(1)) "empty" else r.getDecimal(1).toBigInteger.toString
@@ -145,9 +193,14 @@ object Snapshot {
     * committed data). The old generation stays on disk, unreferenced
     * once the new manifest lands, and vacuum() sweeps it — the same
     * write-new/swap/sweep discipline the DSv2 committer uses. The
-    * manifest swap itself serializes on the DSv2 commit lock so an
-    * export and a streaming append composing the same tag's manifest
-    * in one JVM cannot lose each other's update.
+    * manifest swap serializes on the DSv2 commit lock, so a swap never
+    * interleaves with a DSv2 commit's read-modify-write — but note the
+    * SEMANTICS: export REPLACES the tag's table set wholesale (the
+    * caller declares the complete snapshot), so a table appended to
+    * the same tag by a concurrent DSv2 writer and not included in
+    * `tables` is dropped from the new manifest by design. Don't mix
+    * live appends and exports on one tag; use separate tags with a
+    * parent link.
     */
   def export(s: SparkSession, tables: Map[String, DataFrame], root: String,
              tag: String, parent: Option[String] = None,
@@ -376,8 +429,16 @@ object Snapshot {
     frontier.foreach(keep += _)
     while (frontier.nonEmpty) {
       frontier = frontier.flatMap { t =>
-        readManifest(s, root, t).tables.values.flatMap(_.files)
+        // an owner tag derived from a file path may have no manifest
+        // (a root damaged before this fix, or a crashed legacy swap):
+        // it is not in listTags, hence never a deletion candidate —
+        // skip it rather than wedging retention forever. Its own
+        // onward references are unknowable without the manifest; that
+        // degradation matches the pre-fix behavior and is logged by
+        // the thrown-away read, not silently ignored.
+        try readManifest(s, root, t).tables.values.flatMap(_.files)
           .flatMap(fe => ownerTag(new Path(fe.path)))
+        catch { case _: java.io.FileNotFoundException => Nil }
       }.distinct.filterNot(keep)
       frontier.foreach(keep += _)
     }

@@ -132,6 +132,22 @@ class SnapshotSpec extends SparkSpec {
       "p's inherited table must still resolve through g's surviving files")
   }
 
+  test("retention survives a dangling owner tag (manifest gone, files still referenced)") {
+    // A kept manifest links files under a tag whose manifest.json is
+    // missing (damaged root). The fixpoint walk must skip it — not
+    // throw and wedge GC forever — and must not delete its directory
+    // (it is not a listTags candidate), so the kept tag stays readable.
+    val root = Files.createTempDirectory("snap_dangle").toString
+    val nation = Tables.nation(spark, sf)
+    Snapshot.export(spark, Map("A" -> nation), root, "tag_p")
+    Snapshot.export(spark, Map("A" -> nation), root, "tag_q", Some("tag_p")) // inherits A
+    assert(new java.io.File(s"$root/tag_p/manifest.json").delete())
+    val doomed = Snapshot.retain(spark, root, 1)
+    assert(doomed.isEmpty, s"nothing eligible should be deleted: $doomed")
+    assert(Snapshot.read(spark, root, "tag_q", "A").count() == nation.count(),
+      "kept tag must stay readable through the dangling owner's surviving files")
+  }
+
   test("an UPDATE preserving row count and schema is NOT inherited (content signature)") {
     val root = Files.createTempDirectory("snap_sig").toString
     val v1 = Tables.nation(spark, sf).select(col("n_nationkey"), col("n_name"))

@@ -9,6 +9,13 @@ object Verify {
     // iteration aid) restrict the dump; the driver passes exactly two.
     val Array(sfDir, outDir) = args.take(2)
     val only = args.drop(2).toSet
+    val unknown = only.diff(SparkEntry.queries.keySet)
+    if (unknown.nonEmpty) {
+      // a typo'd name would otherwise dump nothing and exit 0 — and a
+      // stale result dir from a prior run would then read as green
+      System.err.println(s"[verify] unknown query name(s): ${unknown.mkString(", ")}")
+      sys.exit(2)
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -17,6 +24,12 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // FULL runs start from a clean slate: a query that fails before its
+    // overwrite (analysis error) must leave NO result dir — a stale dir
+    // from the previous run would otherwise be compared as fresh and
+    // certify a broken query green. Partial runs (`only`) deliberately
+    // keep the other queries' dumps.
+    if (only.isEmpty) SessionToken.deleteDir(outDir)
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
@@ -46,6 +59,11 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // the COMPLETE inventory, so the checker can flag a query whose dump
+    // is missing even when it has no oracle entry (a failed no-oracle
+    // query was previously invisible)
+    Files.writeString(Paths.get(s"$outDir/queries.json"),
+      SparkEntry.queries.keys.toSeq.sorted.map(q).mkString("[", ",", "]"))
     spark.stop()
   }
 }

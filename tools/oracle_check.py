@@ -12,7 +12,7 @@ equality, in produced row order (the driver hashes in this shape).
 Exit 0 iff all queries match.
 """
 import json
-import math
+import struct
 import sys
 from pathlib import Path
 
@@ -32,8 +32,17 @@ def norm(v):
     — and the schema lint below rejects them outright, since oracle'd
     queries must emit DOUBLE finals.
     """
+    if isinstance(v, bool):
+        # BEFORE the int passthrough: Python bool is an int subclass and
+        # True == 1, so a boolean-vs-integer engine divergence would
+        # compare equal here while the driver's pandas hash of a bool
+        # column vs an int64 column mismatches
+        return ("b", v)
     if isinstance(v, float):
-        return ("f", v)  # exact float equality intended
+        # BITWISE equality, like the driver (pandas hash_array views
+        # float64 bits): distinguishes -0.0 from 0.0, and makes two
+        # identical NaN payloads compare equal instead of never-equal
+        return ("f", struct.pack("<d", v))
     import decimal
     if isinstance(v, decimal.Decimal):
         return ("d", str(v))
@@ -68,7 +77,17 @@ def main():
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
     oracle = json.loads((Path(out_dir) / "oracle_sql.json").read_text())
-    failures, checked, skipped = [], 0, []
+    qfile = Path(out_dir) / "queries.json"
+    inventory = set(json.loads(qfile.read_text())) if qfile.exists() else None
+    if only:
+        known = (inventory or set(oracle)) | {d.name for d in Path(out_dir).iterdir() if d.is_dir()}
+        unknown = only - known
+        if unknown:
+            # a typo'd name would match nothing → "0 matched, 0 failed",
+            # exit 0 — certifying nothing while looking green
+            print(f"ERROR: unknown query name(s): {sorted(unknown)}")
+            sys.exit(2)
+    failures, checked, skipped, drift = [], 0, [], []
     for name, sql in sorted(oracle.items()):
         if only and name not in only:
             continue
@@ -88,8 +107,11 @@ def main():
         if wcols != gcols:
             failures.append((name, f"column mismatch: oracle={wcols} spark={gcols}"))
             continue
-        if not (lint_schema(name, "spark", got, failures)
-                and lint_schema(name, "oracle", want, failures)):
+        # evaluate BOTH lints before combining, so one side's failure
+        # doesn't hide the other side's (costing an extra iteration)
+        spark_ok = lint_schema(name, "spark", got, failures)
+        oracle_ok = lint_schema(name, "oracle", want, failures)
+        if not (spark_ok and oracle_ok):
             continue
         # surface arrow-dtype drift even when values match (the driver's
         # schema check may be stricter than value equality)
@@ -97,6 +119,7 @@ def main():
             wt = want.schema.field(c).type
             gt = got.schema.field(c).type
             if str(wt) != str(gt):
+                drift.append(f"{name}.{c}: oracle={wt} spark={gt}")
                 print(f"  ~~ {name}.{c}: dtype oracle={wt} spark={gt}")
         wrows = [tuple(norm(r[c]) for c in wcols) for r in want.to_pylist()]
         grows = [tuple(norm(r[c]) for c in gcols) for r in got.to_pylist()]
@@ -112,12 +135,31 @@ def main():
         print(f"  OK  {name} ({len(wrows)} rows)")
 
     # queries present in results but not in oracle map → rows-only check
+    # (must return rows: a no-oracle query regressing to 0 rows — or
+    # throwing entirely, see the inventory check below — is a failure,
+    # not a healthy line)
     for d in sorted(Path(out_dir).iterdir()):
-        if d.is_dir() and d.name not in oracle:
+        if d.is_dir() and d.name not in oracle and (not only or d.name in only):
             n = con.execute(f"SELECT count(*) FROM read_parquet('{d}/*.parquet')").fetchone()[0]
-            skipped.append(d.name)
-            print(f"  --  {d.name}: no oracle, {n} rows (rows-only check)")
+            if n == 0:
+                failures.append((d.name, "no-oracle query returned 0 rows"))
+            else:
+                skipped.append(d.name)
+                print(f"  --  {d.name}: no oracle, {n} rows (rows-only check)")
 
+    # the full inventory (queries.json, written by Verify) closes the
+    # blind spot where a FAILED no-oracle query simply has no result dir
+    # and appears nowhere in the output
+    if inventory is not None:
+        expected = {n for n in inventory if not only or n in only}
+        have = {d.name for d in Path(out_dir).iterdir() if d.is_dir()}
+        for name in sorted(expected - have - set(oracle)):
+            failures.append((name, "result dir missing (no-oracle query failed in Verify?)"))
+
+    if drift:
+        print(f"\n{len(drift)} dtype drift(s) (non-fatal, driver may be stricter):")
+        for d in drift:
+            print(f"  ~~ {d}")
     print(f"\n{checked} matched, {len(failures)} failed, {len(skipped)} no-oracle")
     for name, msg in failures:
         print(f"FAIL {name}: {msg}")

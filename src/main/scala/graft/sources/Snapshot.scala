@@ -129,6 +129,12 @@ object Snapshot {
     }
   }
 
+  /** One existence probe (single filesystem call — listTags pays one
+    * RPC per tag directory, which catalog hot paths must not).
+    */
+  def tagExists(s: SparkSession, root: String, tag: String): Boolean =
+    fs(s, root).exists(manifestPath(root, tag))
+
   def readManifest(s: SparkSession, root: String, tag: String): Manifest = {
     val p = manifestPath(root, tag)
     val in = fs(s, root).open(p)

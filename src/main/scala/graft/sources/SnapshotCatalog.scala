@@ -57,43 +57,105 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces {
 
   private def spark: SparkSession = SparkSession.active
 
-  private def tagOf(ident: Identifier): String = {
-    require(ident.namespace.length == 1,
-      s"snapshot identifiers are <tag>.<table>, got ${ident.toString}")
-    ident.namespace.head
-  }
+  /** SQL identifiers reach filesystem paths (`root/<tag>/...` and the
+    * write dir `root/<tag>/<table>`), and backquoted identifiers may
+    * contain ANY characters — `snap.`..`.t` would read a sibling
+    * root's manifest, and a slashed tag would commit a manifest
+    * listTags never sees (whose referenced files vacuum would then
+    * sweep as orphans). Only a single safe path segment is a legal tag
+    * or table name.
+    */
+  private def safeSegment(s: String): Boolean =
+    s != null && s.nonEmpty && s != "." && s != ".." &&
+      !s.exists(c => c == '/' || c == '\\' || c == '\u0000')
 
   private def noSuchTable(ident: Identifier): Nothing =
     throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
       Seq(catalogName) ++ ident.namespace :+ ident.name)
 
-  /** ONE fresh manifest resolution per call (freshness invariant). */
-  override def loadTable(ident: Identifier): Table = {
-    val tag = tagOf(ident)
-    val manifest =
-      try Snapshot.readManifest(spark, root, tag)
-      catch { case _: java.io.FileNotFoundException => noSuchTable(ident) }
-    manifest.tables.get(ident.name) match {
-      case Some(entry) =>
-        val schema = entry.schemaJson
-          .map(DataType.fromJson(_).asInstanceOf[StructType])
-          .getOrElse(throw new IllegalArgumentException(
-            s"snapshot entry for ${ident.name} predates schemaJson manifests"))
-        SnapshotTable(ident.name, schema, entry.files,
-          entry.files.map(_.size).sum, entry.rows, root, tag)
-      case None => noSuchTable(ident)
+  private def noSuchNamespace(namespace: Array[String]): Nothing =
+    throw new org.apache.spark.sql.catalyst.analysis.NoSuchNamespaceException(
+      Seq(catalogName) ++ namespace)
+
+  /** Resolve a tag name: exact match first (one fs probe), then a
+    * UNIQUE case-insensitive match (Spark's default analysis is
+    * case-preserving but case-insensitive, so `snap.V1.t` should find
+    * tag `v1` — but never guess among several casings).
+    */
+  private def resolveTag(tag: String): Option[String] =
+    if (!safeSegment(tag)) None
+    else if (Snapshot.tagExists(spark, root, tag)) Some(tag)
+    else Snapshot.listTags(spark, root).filter(_.equalsIgnoreCase(tag)) match {
+      case Seq(unique) => Some(unique)
+      case _ => None
     }
+
+  private def loadManifest(ident: Identifier): (String, Snapshot.Manifest) = {
+    // wrong arity and traversal-shaped names are NOT-FOUND, never a bare
+    // require failure: Spark's default tableExists catches only
+    // NoSuchTableException, so anything else crashes writer paths
+    if (ident.namespace.length != 1 || !safeSegment(ident.name)) noSuchTable(ident)
+    val tag = resolveTag(ident.namespace.head).getOrElse(noSuchTable(ident))
+    try (tag, Snapshot.readManifest(spark, root, tag))
+    catch { case _: java.io.FileNotFoundException => noSuchTable(ident) }
   }
 
-  override def listTables(namespace: Array[String]): Array[Identifier] = {
-    require(namespace.length == 1, s"expected <tag>, got ${namespace.mkString(".")}")
+  private def toTable(ident: Identifier, tag: String, manifest: Snapshot.Manifest,
+                      writable: Boolean): Table = {
+    val entry = manifest.tables.get(ident.name)
+      .orElse(manifest.tables.find(_._1.equalsIgnoreCase(ident.name)) match {
+        // unique case-insensitive fallback, same rule as tags
+        case Some((n, e)) if manifest.tables.keys.count(_.equalsIgnoreCase(ident.name)) == 1 =>
+          Some(e)
+        case _ => None
+      })
+      .getOrElse(noSuchTable(ident))
+    val schema = entry.schemaJson
+      .map(DataType.fromJson(_).asInstanceOf[StructType])
+      // a legacy pre-schemaJson entry exists but cannot be served; the
+      // catalog contract's catchable signal is NoSuchTableException
+      .getOrElse(noSuchTable(ident))
+    SnapshotTable(ident.name, schema, entry.files,
+      entry.files.map(_.size).sum, entry.rows, root, tag, writable = writable)
+  }
+
+  /** ONE fresh manifest resolution per call (freshness invariant). */
+  override def loadTable(ident: Identifier): Table = {
+    val (tag, manifest) = loadManifest(ident)
+    toTable(ident, tag, manifest, writable = true)
+  }
+
+  /** SQL time travel: `FOR VERSION AS OF '<tag-or-sortable-string>'`
+    * resolves the identifier tag's parent chain as of that version
+    * (lineage-respecting, same rule as the options path's `asOf`).
+    * Read-only, like every time-travel handle.
+    */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    if (ident.namespace.length != 1 || !safeSegment(ident.name) ||
+        !safeSegment(version)) noSuchTable(ident)
+    val tag = resolveTag(ident.namespace.head).getOrElse(noSuchTable(ident))
     val manifest =
-      try Snapshot.readManifest(spark, root, namespace.head)
-      catch {
-        case _: java.io.FileNotFoundException =>
-          throw new org.apache.spark.sql.catalyst.analysis.NoSuchNamespaceException(
-            Seq(catalogName) ++ namespace)
-      }
+      try Snapshot.resolveAsOf(spark, root, version, Some(tag))
+      catch { case _: IllegalArgumentException => noSuchTable(ident) }
+    toTable(ident, manifest.tag, manifest, writable = false)
+  }
+
+  /** `FOR TIMESTAMP AS OF <ts>`: Spark hands micros since epoch; tags
+    * are sortable strings (ISO instants in production), so the instant
+    * string resolves through the same asOf walk.
+    */
+  override def loadTable(ident: Identifier, timestamp: Long): Table =
+    loadTable(ident, java.time.Instant.ofEpochSecond(
+      timestamp / 1000000L, (timestamp % 1000000L) * 1000L).toString)
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    // arity != 1 (incl. the empty default namespace from `USE snap`) is
+    // the standard namespace-not-found, not a require crash
+    if (namespace.length != 1 || !safeSegment(namespace.head)) noSuchNamespace(namespace)
+    val tag = resolveTag(namespace.head).getOrElse(noSuchNamespace(namespace))
+    val manifest =
+      try Snapshot.readManifest(spark, root, tag)
+      catch { case _: java.io.FileNotFoundException => noSuchNamespace(namespace) }
     manifest.tables.keys.toArray.sorted.map(Identifier.of(namespace, _))
   }
 
@@ -125,7 +187,7 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces {
   }
 
   override def namespaceExists(namespace: Array[String]): Boolean =
-    namespace.length == 1 && Snapshot.listTags(spark, root).contains(namespace.head)
+    namespace.length == 1 && resolveTag(namespace.head).isDefined
 
   override def loadNamespaceMetadata(namespace: Array[String]): util.Map[String, String] =
     if (namespaceExists(namespace)) new util.HashMap[String, String]()

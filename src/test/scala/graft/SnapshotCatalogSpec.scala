@@ -121,4 +121,59 @@ class SnapshotCatalogSpec extends SparkSpec
       .collect().map(_.getString(1)).toSet
     assert(tables == Set("nation", "region"))
   }
+
+  test("traversal-shaped identifiers are NOT-FOUND, never filesystem paths") {
+    // backquoted SQL identifiers can contain any characters; a tag of
+    // `..` or `a/b` must never reach Path construction (reading a
+    // sibling root's manifest / writing one listTags can't see)
+    val root = registerCatalog("snapc7")
+    Snapshot.export(spark, Map("nation" -> Tables.nation(spark, sf)), root, "v1")
+    // plant a readable manifest OUTSIDE the root where `..` would land
+    Snapshot.export(spark, Map("region" -> Tables.region(spark, sf)),
+      new java.io.File(root).getParent, "escape_tag")
+    for (bad <- Seq("SELECT * FROM snapc7.`..`.nation",
+                    "SELECT * FROM snapc7.`../..`.nation",
+                    "SELECT * FROM snapc7.`a/b`.nation",
+                    "SELECT * FROM snapc7.v1.`../v1/nation`")) {
+      val e = intercept[org.apache.spark.sql.AnalysisException](spark.sql(bad).collect())
+      assert(e.getMessage.toLowerCase.matches("(?s).*(table|not found|cannot be found).*"),
+        s"expected a clean not-found for $bad, got: ${e.getMessage.take(120)}")
+    }
+  }
+
+  test("wrong-arity namespaces get standard not-found errors, not require crashes") {
+    registerCatalog("snapc8")
+    // catalog-level SHOW TABLES resolves to the empty default namespace
+    val e1 = intercept[org.apache.spark.sql.AnalysisException](
+      spark.sql("SHOW TABLES IN snapc8").collect())
+    assert(!e1.getMessage.contains("requirement failed"), e1.getMessage.take(120))
+    val e2 = intercept[org.apache.spark.sql.AnalysisException](
+      spark.sql("SELECT * FROM snapc8.a.b.c.t").collect())
+    assert(!e2.getMessage.contains("requirement failed"), e2.getMessage.take(120))
+  }
+
+  test("unquoted identifiers resolve case-insensitively when the match is unique") {
+    val root = registerCatalog("snapc9")
+    Snapshot.export(spark, Map("nation" -> Tables.nation(spark, sf)), root, "v1")
+    assert(spark.sql("SELECT count(*) AS n FROM snapc9.V1.NATION")
+      .collect().head.getLong(0) == Tables.nation(spark, sf).count())
+  }
+
+  test("SQL time travel: FOR VERSION AS OF resolves the tag's parent chain read-only") {
+    val root = registerCatalog("snapc10")
+    val nation = Tables.nation(spark, sf)
+    Snapshot.export(spark, Map("nation" -> nation.limit(5)), root, "2024-01-01")
+    Snapshot.export(spark, Map("nation" -> nation), root, "2024-02-01",
+      parent = Some("2024-01-01"))
+    // as of an instant between the two tags → the older manifest
+    val n = spark.sql(
+      "SELECT count(*) AS n FROM snapc10.`2024-02-01`.nation VERSION AS OF '2024-01-15'")
+      .collect().head.getLong(0)
+    assert(n == 5, s"expected the 2024-01-01 snapshot's 5 rows, got $n")
+    // as of its own tag → current
+    val cur = spark.sql(
+      "SELECT count(*) AS n FROM snapc10.`2024-02-01`.nation VERSION AS OF '2024-02-01'")
+      .collect().head.getLong(0)
+    assert(cur == nation.count())
+  }
 }

@@ -271,8 +271,9 @@ object ScaleRehearsal {
         li.select(col("l_orderkey"), col("l_partkey")))
         .orderBy(desc("ab"), asc("pa"), asc("pb")).limit(20))
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true") // events.ts is TIMESTAMP(NANOS)
-    val evK = spark.read.parquet(s"$sfDir/events.parquet")
+    // through the adaptive events seam (ts encoding varies by fixture
+    // generation); only user_id survives pruning anyway
+    val evK = graft.sources.Tables.events(spark, sfDir)
       .withColumn("rep", explode(expr(s"sequence(1, $k)")))
       .select(col("user_id"))
     time("countmin_inflated") {

@@ -24,6 +24,10 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // fixture-drift tripwire: name any unhandled input encoding ONCE,
+    // up front, instead of letting it surface as N scattered per-query
+    // failures (the r8 events drift failure mode)
+    graft.sources.Fixtures.report(spark, sfDir)
     // FULL runs start from a clean slate: a query that fails before its
     // overwrite (analysis error) must leave NO result dir — a stale dir
     // from the previous run would otherwise be compared as fresh and

@@ -1,0 +1,115 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.types._
+
+/** Fixture-drift tripwire (FIXTURES.md is the prose twin of this
+  * table). The driver regenerates `/root/testdata` between rounds and
+  * has already shipped `events.ts` in three physical encodings
+  * (ms, ns, µs-NTZ); r8 ended with 32 queries silently absent from the
+  * correctness file because nothing diagnosed the change up front.
+  * Verify and Bench call [[report]] before running any query: one loud
+  * named line per drifted column beats 32 scattered analysis errors.
+  *
+  * Columns may accept MULTIPLE Spark types — every encoding the scan
+  * seam (`Tables.events` / the oracle SQL) is known to handle. A drift
+  * line therefore means "no code path handles this", not "different
+  * from last round".
+  */
+object Fixtures {
+  /** Both landings of a parquet timestamp column (adjusted-to-UTC →
+    * TimestampType; NTZ → TimestampNTZType under Spark 4's default
+    * inferTimestampNTZ). */
+  private val anyTimestamp: Seq[DataType] = Seq(TimestampType, TimestampNTZType)
+  /** events.ts additionally lands LongType when the fixture is
+    * TIMESTAMP(NANOS) and `nanosAsLong` is set (see Tables.events). */
+  private val eventsTs: Seq[DataType] = LongType +: anyTimestamp
+
+  val expected: Map[String, Seq[(String, Seq[DataType])]] = Map(
+    "region" -> Seq(
+      "r_regionkey" -> Seq(IntegerType), "r_name" -> Seq(StringType)),
+    "nation" -> Seq(
+      "n_nationkey" -> Seq(IntegerType), "n_name" -> Seq(StringType),
+      "n_regionkey" -> Seq(IntegerType)),
+    "customer" -> Seq(
+      "c_custkey" -> Seq(LongType), "c_name" -> Seq(StringType),
+      "c_nationkey" -> Seq(IntegerType), "c_acctbal" -> Seq(DoubleType),
+      "c_mktsegment" -> Seq(StringType)),
+    "supplier" -> Seq(
+      "s_suppkey" -> Seq(LongType), "s_name" -> Seq(StringType),
+      "s_nationkey" -> Seq(IntegerType), "s_acctbal" -> Seq(DoubleType)),
+    "part" -> Seq(
+      "p_partkey" -> Seq(LongType), "p_name" -> Seq(StringType),
+      "p_brand" -> Seq(StringType), "p_type" -> Seq(StringType),
+      "p_size" -> Seq(IntegerType), "p_retailprice" -> Seq(DoubleType)),
+    "orders" -> Seq(
+      "o_orderkey" -> Seq(LongType), "o_custkey" -> Seq(LongType),
+      "o_orderstatus" -> Seq(StringType), "o_totalprice" -> Seq(DoubleType),
+      "o_orderdate" -> anyTimestamp, "o_orderpriority" -> Seq(StringType)),
+    "lineitem" -> Seq(
+      "l_orderkey" -> Seq(LongType), "l_partkey" -> Seq(LongType),
+      "l_suppkey" -> Seq(LongType), "l_linenumber" -> Seq(IntegerType),
+      "l_quantity" -> Seq(DoubleType), "l_extendedprice" -> Seq(DoubleType),
+      "l_discount" -> Seq(DoubleType), "l_tax" -> Seq(DoubleType),
+      "l_returnflag" -> Seq(StringType), "l_linestatus" -> Seq(StringType),
+      "l_shipdate" -> anyTimestamp),
+    "events" -> Seq(
+      "event_id" -> Seq(LongType), "ts" -> eventsTs,
+      "user_id" -> Seq(LongType), "event_type" -> Seq(StringType),
+      "value" -> Seq(DoubleType), "props" -> Seq(StringType)),
+    "documents" -> Seq(
+      "doc_id" -> Seq(LongType), "text" -> Seq(StringType),
+      "lang" -> Seq(StringType), "source" -> Seq(StringType),
+      "n_chars" -> Seq(LongType)),
+    "embeddings" -> Seq(
+      "vec_id" -> Seq(LongType),
+      // element nullability varies by writer; accept either
+      "embedding" -> Seq(ArrayType(FloatType, containsNull = true),
+        ArrayType(FloatType, containsNull = false)),
+      "label" -> Seq(IntegerType))
+  )
+
+  /** One message per drift found under `sfDir`; empty = all fixtures
+    * match a handled encoding. Footer-only reads — no data scan. */
+  def drift(spark: SparkSession, sfDir: String): Seq[String] = {
+    // events may be TIMESTAMP(NANOS); without this the footer read
+    // itself throws on the old encoding
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    expected.toSeq.sortBy(_._1).flatMap { case (table, cols) =>
+      val landed =
+        try Right(spark.read.parquet(s"$sfDir/$table.parquet").schema)
+        catch { case e: Throwable => Left(e) }
+      landed match {
+        case Left(e) =>
+          Seq(s"table=$table UNREADABLE: ${e.getClass.getSimpleName}: ${e.getMessage}")
+        case Right(schema) =>
+          val byName = schema.fields.map(f => f.name -> f.dataType).toMap
+          val missingOrWrong = cols.flatMap { case (name, accepted) =>
+            byName.get(name) match {
+              case None => Seq(s"table=$table column=$name MISSING " +
+                s"(expected one of ${accepted.map(_.simpleString).mkString("/")})")
+              case Some(t) if !accepted.contains(t) =>
+                Seq(s"table=$table column=$name TYPE DRIFT: found ${t.simpleString}, " +
+                  s"handled encodings: ${accepted.map(_.simpleString).mkString("/")}")
+              case _ => Nil
+            }
+          }
+          val extra = schema.fields.map(_.name).filterNot(cols.map(_._1).toSet)
+            .map(n => s"table=$table column=$n UNEXPECTED (new column in fixture)")
+          missingOrWrong ++ extra
+      }
+    }
+  }
+
+  /** Print every drift loudly to stderr; returns the count so callers
+    * can decide to proceed (Verify/Bench do — partial results still
+    * beat none) while the log names the root cause up front. */
+  def report(spark: SparkSession, sfDir: String): Int = {
+    val d = drift(spark, sfDir)
+    d.foreach(m => System.err.println(s"[fixture-drift] $m"))
+    if (d.nonEmpty) System.err.println(
+      s"[fixture-drift] ${d.size} drift(s) in $sfDir — queries touching these " +
+        "columns will likely fail; fix the scan seam (graft.sources) first")
+    d.size
+  }
+}

@@ -20,18 +20,46 @@ object Tables {
   def part(s: SparkSession, dir: String): DataFrame      = read(s, dir, "part")
   def orders(s: SparkSession, dir: String): DataFrame    = read(s, dir, "orders")
   def lineitem(s: SparkSession, dir: String): DataFrame  = read(s, dir, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 rejects
-    * ([PARQUET_TYPE_ILLEGAL]). Read it as a raw ns long
-    * (`nanosAsLong`) and rebuild a µs TimestampType with exact
-    * integer division (`div` — a double division would lose precision
-    * on ~1.7e18 ns epochs). Matches DuckDB's CAST(ts AS TIMESTAMP)
-    * truncation, which oracle SQL must apply on its side too.
+  /** `events.ts` has shipped in two physical parquet encodings across
+    * fixture generations, so this seam adapts on the LANDED Spark type
+    * instead of assuming one:
+    *
+    *  - TIMESTAMP(NANOS): Spark 4 rejects it ([PARQUET_TYPE_ILLEGAL])
+    *    unless `nanosAsLong` maps it to a raw ns LongType — then
+    *    rebuild a µs TimestampType with exact integer division
+    *    (`div`; a double division would lose precision on ~1.7e18 ns
+    *    epochs). Matches DuckDB's CAST(ts AS TIMESTAMP) truncation.
+    *  - timestamp[µs] isAdjustedToUTC=false: Spark reads
+    *    TIMESTAMP_NTZ; cast to TimestampType — instant-preserving
+    *    because every entry point pins spark.sql.session.timeZone=UTC.
+    *  - timestamp[µs] adjusted-to-UTC: already TimestampType; pass
+    *    through.
+    *
+    * Any other landed type fails loudly here (one named error at the
+    * seam) rather than as scattered per-query analysis errors — the
+    * r8 fixture drift failure mode.
     */
   def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    read(s, dir, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    normalizeEventsTs(read(s, dir, "events"))
+  }
+
+  /** The one place that knows how to turn a landed `ts` column into a
+    * µs TimestampType — shared by the batch reader above and the
+    * streaming specs (whose `readStream.schema(...)` must declare the
+    * landed type, then normalize identically).
+    */
+  private[graft] def normalizeEventsTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema("ts").dataType match {
+      case LongType         => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType    => df
+      case other => throw new IllegalStateException(
+        s"events.ts landed as unsupported type $other " +
+          "(expected ns-long, timestamp_ntz, or timestamp) — fixture drift?")
+    }
   }
   def documents(s: SparkSession, dir: String): DataFrame = read(s, dir, "documents")
   def embeddings(s: SparkSession, dir: String): DataFrame = read(s, dir, "embeddings")

@@ -17,9 +17,6 @@ case class UserCount(user_id: Long, n: Long)
 class StreamingSpec extends SparkSpec {
   import spark.implicits._
 
-  /** Streaming view of events: parquet nanos read as long (same trick
-    * as Tables.events), rebuilt to a µs timestamp.
-    */
   /** File stream sources need a directory: stage the single fixture
     * file behind a symlink in a temp dir.
     */
@@ -31,13 +28,14 @@ class StreamingSpec extends SparkSpec {
   }
 
   private def eventsStream: DataFrame = {
+    // readStream needs an explicit schema; declare the LANDED types by
+    // reading the fixture footer batch-side, then normalize ts through
+    // the same seam as Tables.events (adaptive to both encodings the
+    // driver has shipped: ns-as-long and µs TIMESTAMP_NTZ)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
-    spark.readStream.schema(schema).parquet(eventsDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val landed = spark.read.parquet(s"$sf/events.parquet").schema
+    graft.sources.Tables.normalizeEventsTs(
+      spark.readStream.schema(landed).parquet(eventsDir))
   }
 
   private def runToMemory(df: DataFrame, name: String, mode: OutputMode): DataFrame = {
@@ -218,14 +216,10 @@ class TransformWithStateSpec extends SparkSpec {
     val d = java.nio.file.Files.createTempDirectory("tws_events")
     java.nio.file.Files.createSymbolicLink(
       d.resolve("events.parquet"), java.nio.file.Paths.get(s"$sf/events.parquet"))
-    val schema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
-      org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType),
-      org.apache.spark.sql.types.StructField("props", org.apache.spark.sql.types.StringType)))
-    val stream = spark.readStream.schema(schema).parquet(d.toString)
+    // landed schema from the fixture footer (ts unused here, but the
+    // declared stream schema must still match what parquet delivers)
+    val landed = spark.read.parquet(s"$sf/events.parquet").schema
+    val stream = spark.readStream.schema(landed).parquet(d.toString)
       .select(col("user_id"), col("value"))
 
     val processor = new org.apache.spark.sql.streaming.StatefulProcessor[Long, org.apache.spark.sql.Row, (Long, Double)] {
@@ -275,13 +269,11 @@ class StreamStreamJoinSpec extends SparkSpec {
   }
 
   private def stream = {
+    // same adaptive landed-schema pattern as StreamingSpec.eventsStream
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
-    spark.readStream.schema(schema).parquet(eventsDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val landed = spark.read.parquet(s"$sf/events.parquet").schema
+    graft.sources.Tables.normalizeEventsTs(
+      spark.readStream.schema(landed).parquet(eventsDir))
   }
 
   test("watermarked stream-stream interval join matches the batch interval join") {

@@ -72,13 +72,19 @@ object Fixtures {
   /** One message per drift found under `sfDir`; empty = all fixtures
     * match a handled encoding. Footer-only reads — no data scan. */
   def drift(spark: SparkSession, sfDir: String): Seq[String] = {
+    import scala.util.control.NonFatal
     // events may be TIMESTAMP(NANOS); without this the footer read
-    // itself throws on the old encoding
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    expected.toSeq.sortBy(_._1).flatMap { case (table, cols) =>
+    // itself throws on the old encoding. Scoped set-and-restore: the
+    // legacy mapping must not silently leak to every later read in the
+    // session (a NANOS regeneration of a NON-events column should
+    // still fail loudly at its scan, not land as a surprise long)
+    val nanosKey = "spark.sql.legacy.parquet.nanosAsLong"
+    val prevNanos = spark.conf.getOption(nanosKey)
+    spark.conf.set(nanosKey, "true")
+    try expected.toSeq.sortBy(_._1).flatMap { case (table, cols) =>
       val landed =
         try Right(spark.read.parquet(s"$sfDir/$table.parquet").schema)
-        catch { case e: Throwable => Left(e) }
+        catch { case NonFatal(e) => Left(e) }
       landed match {
         case Left(e) =>
           Seq(s"table=$table UNREADABLE: ${e.getClass.getSimpleName}: ${e.getMessage}")
@@ -98,6 +104,9 @@ object Fixtures {
             .map(n => s"table=$table column=$n UNEXPECTED (new column in fixture)")
           missingOrWrong ++ extra
       }
+    } finally prevNanos match {
+      case Some(v) => spark.conf.set(nanosKey, v)
+      case None    => spark.conf.unset(nanosKey)
     }
   }
 

@@ -44,9 +44,22 @@ object Tables {
     normalizeEventsTs(read(s, dir, "events"))
   }
 
+  /** Streaming twin of [[events]] for specs: file-stream sources need
+    * an explicit schema, so declare the LANDED footer types read from
+    * `fixtureFile` batch-side, then normalize `ts` through the same
+    * seam. One helper instead of per-spec copies — a fixture-encoding
+    * change (the r8 failure mode) then needs exactly one edit.
+    */
+  private[graft] def eventsStream(s: SparkSession, fixtureFile: String,
+                                  streamDir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val landed = s.read.parquet(fixtureFile).schema
+    normalizeEventsTs(s.readStream.schema(landed).parquet(streamDir))
+  }
+
   /** The one place that knows how to turn a landed `ts` column into a
     * µs TimestampType — shared by the batch reader above and the
-    * streaming specs (whose `readStream.schema(...)` must declare the
+    * streaming helper (whose `readStream.schema(...)` must declare the
     * landed type, then normalize identically).
     */
   private[graft] def normalizeEventsTs(df: DataFrame): DataFrame = {

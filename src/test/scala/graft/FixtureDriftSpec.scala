@@ -8,43 +8,62 @@ import org.apache.spark.sql.functions._
   */
 class FixtureDriftSpec extends SparkSpec {
 
-  test("silent on the real fixtures (all SFs)") {
-    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+  test("silent on the real fixtures (all SFs, incl. Bench's default sf0.1)") {
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+        "/root/testdata/sf0.1")) {
       val d = graft.sources.Fixtures.drift(spark, dir)
       assert(d.isEmpty, s"unexpected drift reported for $dir:\n${d.mkString("\n")}")
     }
   }
 
+  test("drift() restores the nanosAsLong conf it sets for the footer reads") {
+    // note: getOption on a registered conf returns the DEFAULT
+    // ("false") even when unset, so assert on the effective value —
+    // what matters is the legacy mapping is not left enabled
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    spark.conf.unset(key)
+    graft.sources.Fixtures.drift(spark, sf)
+    assert(spark.conf.get(key) == "false",
+      "drift() leaked nanosAsLong=true into the session")
+    // and an explicit pre-existing true must survive the restore
+    spark.conf.set(key, "true")
+    graft.sources.Fixtures.drift(spark, sf)
+    assert(spark.conf.get(key) == "true")
+    spark.conf.unset(key)
+  }
+
   test("fires on a synthetic type drift, missing column, and extra column") {
     val dir = java.nio.file.Files.createTempDirectory("drifted_fixtures").toString
-    // clone the real tables so only the deliberate drift differs
-    for (t <- graft.sources.Fixtures.expected.keys if t != "events" && t != "documents")
-      spark.read.parquet(s"$sf/$t.parquet")
-        .coalesce(1).write.parquet(s"$dir/$t.parquet")
-    // events: ts re-typed to string (an encoding no seam handles)
-    graft.sources.Tables.events(spark, sf)
-      .withColumn("ts", col("ts").cast("string"))
-      .coalesce(1).write.parquet(s"$dir/events.parquet")
-    // documents: drop one column, add one
-    spark.read.parquet(s"$sf/documents.parquet")
-      .drop("n_chars").withColumn("extra_col", lit(1))
-      .coalesce(1).write.parquet(s"$dir/documents.parquet")
-    val d = graft.sources.Fixtures.drift(spark, dir)
-    assert(d.exists(m => m.contains("table=events") && m.contains("column=ts")
-      && m.contains("TYPE DRIFT")), d.mkString("\n"))
-    assert(d.exists(m => m.contains("table=documents") && m.contains("column=n_chars")
-      && m.contains("MISSING")), d.mkString("\n"))
-    assert(d.exists(m => m.contains("table=documents") && m.contains("column=extra_col")
-      && m.contains("UNEXPECTED")), d.mkString("\n"))
-    // nothing spurious about the untouched tables
-    assert(!d.exists(_.contains("table=lineitem")), d.mkString("\n"))
-    SessionToken.deleteDir(dir)
+    try {
+      // clone the real tables so only the deliberate drift differs
+      for (t <- graft.sources.Fixtures.expected.keys if t != "events" && t != "documents")
+        spark.read.parquet(s"$sf/$t.parquet")
+          .coalesce(1).write.parquet(s"$dir/$t.parquet")
+      // events: ts re-typed to string (an encoding no seam handles)
+      graft.sources.Tables.events(spark, sf)
+        .withColumn("ts", col("ts").cast("string"))
+        .coalesce(1).write.parquet(s"$dir/events.parquet")
+      // documents: drop one column, add one
+      spark.read.parquet(s"$sf/documents.parquet")
+        .drop("n_chars").withColumn("extra_col", lit(1))
+        .coalesce(1).write.parquet(s"$dir/documents.parquet")
+      val d = graft.sources.Fixtures.drift(spark, dir)
+      assert(d.exists(m => m.contains("table=events") && m.contains("column=ts")
+        && m.contains("TYPE DRIFT")), d.mkString("\n"))
+      assert(d.exists(m => m.contains("table=documents") && m.contains("column=n_chars")
+        && m.contains("MISSING")), d.mkString("\n"))
+      assert(d.exists(m => m.contains("table=documents") && m.contains("column=extra_col")
+        && m.contains("UNEXPECTED")), d.mkString("\n"))
+      // nothing spurious about the untouched tables
+      assert(!d.exists(_.contains("table=lineitem")), d.mkString("\n"))
+    } finally SessionToken.deleteDir(dir)
   }
 
   test("fires UNREADABLE on an absent table") {
     val dir = java.nio.file.Files.createTempDirectory("empty_fixtures").toString
-    val d = graft.sources.Fixtures.drift(spark, dir)
-    assert(d.exists(m => m.contains("table=region") && m.contains("UNREADABLE")))
-    SessionToken.deleteDir(dir)
+    try {
+      val d = graft.sources.Fixtures.drift(spark, dir)
+      assert(d.exists(m => m.contains("table=region") && m.contains("UNREADABLE")))
+    } finally SessionToken.deleteDir(dir)
   }
 }

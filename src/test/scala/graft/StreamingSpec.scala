@@ -27,16 +27,8 @@ class StreamingSpec extends SparkSpec {
     d.toString
   }
 
-  private def eventsStream: DataFrame = {
-    // readStream needs an explicit schema; declare the LANDED types by
-    // reading the fixture footer batch-side, then normalize ts through
-    // the same seam as Tables.events (adaptive to both encodings the
-    // driver has shipped: ns-as-long and µs TIMESTAMP_NTZ)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val landed = spark.read.parquet(s"$sf/events.parquet").schema
-    graft.sources.Tables.normalizeEventsTs(
-      spark.readStream.schema(landed).parquet(eventsDir))
-  }
+  private def eventsStream: DataFrame =
+    graft.sources.Tables.eventsStream(spark, s"$sf/events.parquet", eventsDir)
 
   private def runToMemory(df: DataFrame, name: String, mode: OutputMode): DataFrame = {
     val q = df.writeStream.outputMode(mode).format("memory").queryName(name)
@@ -216,10 +208,10 @@ class TransformWithStateSpec extends SparkSpec {
     val d = java.nio.file.Files.createTempDirectory("tws_events")
     java.nio.file.Files.createSymbolicLink(
       d.resolve("events.parquet"), java.nio.file.Paths.get(s"$sf/events.parquet"))
-    // landed schema from the fixture footer (ts unused here, but the
-    // declared stream schema must still match what parquet delivers)
-    val landed = spark.read.parquet(s"$sf/events.parquet").schema
-    val stream = spark.readStream.schema(landed).parquet(d.toString)
+    // shared landed-schema helper (ts normalization gets pruned away —
+    // only user_id/value are selected)
+    val stream = graft.sources.Tables
+      .eventsStream(spark, s"$sf/events.parquet", d.toString)
       .select(col("user_id"), col("value"))
 
     val processor = new org.apache.spark.sql.streaming.StatefulProcessor[Long, org.apache.spark.sql.Row, (Long, Double)] {
@@ -268,13 +260,8 @@ class StreamStreamJoinSpec extends SparkSpec {
     d.toString
   }
 
-  private def stream = {
-    // same adaptive landed-schema pattern as StreamingSpec.eventsStream
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val landed = spark.read.parquet(s"$sf/events.parquet").schema
-    graft.sources.Tables.normalizeEventsTs(
-      spark.readStream.schema(landed).parquet(eventsDir))
-  }
+  private def stream =
+    graft.sources.Tables.eventsStream(spark, s"$sf/events.parquet", eventsDir)
 
   test("watermarked stream-stream interval join matches the batch interval join") {
     val purchases = stream.where(col("event_type") === "purchase")

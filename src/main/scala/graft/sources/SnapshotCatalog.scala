@@ -102,20 +102,22 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces {
 
   private def toTable(ident: Identifier, tag: String, manifest: Snapshot.Manifest,
                       writable: Boolean): Table = {
-    val entry = manifest.tables.get(ident.name)
-      .orElse(manifest.tables.find(_._1.equalsIgnoreCase(ident.name)) match {
+    // resolve to the MANIFEST's key, not the user's casing: the name
+    // flows into SnapshotWriteBuilder, which keys the manifest update
+    // and the data dir — serving `snap.v1.ORDERS` as "ORDERS" when the
+    // entry is "orders" would fork the table on the first INSERT
+    // (reads fine, writes commit a brand-new "ORDERS" entry)
+    val (actualName, entry) = manifest.tables.get(ident.name).map(ident.name -> _)
+      .orElse(manifest.tables.find(_._1.equalsIgnoreCase(ident.name))
         // unique case-insensitive fallback, same rule as tags
-        case Some((n, e)) if manifest.tables.keys.count(_.equalsIgnoreCase(ident.name)) == 1 =>
-          Some(e)
-        case _ => None
-      })
+        .filter(_ => manifest.tables.keys.count(_.equalsIgnoreCase(ident.name)) == 1))
       .getOrElse(noSuchTable(ident))
     val schema = entry.schemaJson
       .map(DataType.fromJson(_).asInstanceOf[StructType])
       // a legacy pre-schemaJson entry exists but cannot be served; the
       // catalog contract's catchable signal is NoSuchTableException
       .getOrElse(noSuchTable(ident))
-    SnapshotTable(ident.name, schema, entry.files,
+    SnapshotTable(actualName, schema, entry.files,
       entry.files.map(_.size).sum, entry.rows, root, tag, writable = writable)
   }
 

@@ -159,6 +159,22 @@ class SnapshotCatalogSpec extends SparkSpec
       .collect().head.getLong(0) == Tables.nation(spark, sf).count())
   }
 
+  test("case-variant writes append to the MANIFEST's entry, never fork a new one") {
+    // the loaded table's name keys the write's manifest update and data
+    // dir; serving the USER's casing for a case-insensitive match would
+    // make `writeTo(...NATION)` commit a brand-new "NATION" entry next
+    // to "nation" (reads keep working — the fork is silent)
+    val root = registerCatalog("snapc11")
+    val nation = Tables.nation(spark, sf)
+    Snapshot.export(spark, Map("nation" -> nation), root, "v1")
+    nation.limit(3).writeTo("snapc11.v1.NATION").append()
+    val manifest = Snapshot.readManifest(spark, root, "v1")
+    assert(manifest.tables.keySet == Set("nation"),
+      s"case-variant write forked the manifest: ${manifest.tables.keySet}")
+    assert(spark.sql("SELECT count(*) AS n FROM snapc11.v1.nation")
+      .collect().head.getLong(0) == nation.count() + 3)
+  }
+
   test("SQL time travel: FOR VERSION AS OF resolves the tag's parent chain read-only") {
     val root = registerCatalog("snapc10")
     val nation = Tables.nation(spark, sf)

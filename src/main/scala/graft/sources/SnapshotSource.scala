@@ -20,6 +20,7 @@ import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.util.SerializableConfiguration
 
 /** DataSource V2 face of the snapshot store — the "custom source" of
   * the project north-star: `spark.read.format("graft.sources.SnapshotSource")
@@ -305,9 +306,17 @@ class SnapshotScanBuilder(dataSchema: StructType, files: Seq[Snapshot.FileEntry]
     filters
   }
   override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] = pushed
-  override def build(): Scan =
-    if (pushedAggs.nonEmpty) SnapshotAggScan(files.map(_.path), pushedAggs)
-    else SnapshotScan(dataSchema, required, files, pushed, totalBytes, rows)
+  override def build(): Scan = {
+    // capture the SESSION's Hadoop conf DRIVER-side and ship it inside
+    // the scan: executor-side readers otherwise rebuild a bare
+    // `new Configuration()` and silently lose filesystem settings
+    // (S3 credentials/endpoints, HA nameservices, kerberos) — works on
+    // file:// test fixtures, breaks on any configured cluster fs
+    val hconf = new SerializableConfiguration(
+      SparkSession.active.sessionState.newHadoopConf())
+    if (pushedAggs.nonEmpty) SnapshotAggScan(files.map(_.path), pushedAggs, hconf)
+    else SnapshotScan(dataSchema, required, files, pushed, totalBytes, rows, hconf)
+  }
 }
 
 /** One pushed aggregate: `count` (no column) or `min`/`max` of an
@@ -318,7 +327,9 @@ case class SnapshotAgg(fn: String, column: Option[String], resultType: DataType)
 /** Footer-statistics scan: each input file yields ONE row of partial
   * aggregate values read from parquet block metadata — no data pages.
   */
-case class SnapshotAggScan(files: Seq[String], aggs: Seq[SnapshotAgg])
+case class SnapshotAggScan(files: Seq[String], aggs: Seq[SnapshotAgg],
+                           hconf: SerializableConfiguration =
+                             new SerializableConfiguration(new Configuration()))
     extends Scan with Batch {
   override def readSchema(): StructType = StructType(aggs.map {
     case SnapshotAgg("count", _, _) => StructField("count(*)", LongType, nullable = false)
@@ -329,16 +340,18 @@ case class SnapshotAggScan(files: Seq[String], aggs: Seq[SnapshotAgg])
   override def planInputPartitions(): Array[InputPartition] =
     files.map(f => SnapshotInputPartition(f): InputPartition).toArray
   override def createReaderFactory(): PartitionReaderFactory =
-    SnapshotAggReaderFactory(aggs)
+    SnapshotAggReaderFactory(aggs, hconf)
   override def description(): String =
     s"GraftSnapshotAggScan(files=${files.size}, " +
       s"pushedAggregates=[${aggs.map(a => s"${a.fn}(${a.column.getOrElse("*")})").mkString(", ")}])"
 }
 
-case class SnapshotAggReaderFactory(aggs: Seq[SnapshotAgg]) extends PartitionReaderFactory {
+case class SnapshotAggReaderFactory(aggs: Seq[SnapshotAgg],
+                                    hconf: SerializableConfiguration)
+    extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new SnapshotFooterAggReader(
-      partition.asInstanceOf[SnapshotInputPartition].file, aggs)
+      partition.asInstanceOf[SnapshotInputPartition].file, aggs, hconf.value)
 }
 
 /** Reads ONLY the parquet footer and emits one partial-aggregate row.
@@ -348,14 +361,14 @@ case class SnapshotAggReaderFactory(aggs: Seq[SnapshotAgg]) extends PartitionRea
   * pushdown stays a pure I/O optimization and never a correctness
   * dependency.
   */
-class SnapshotFooterAggReader(file: String, aggs: Seq[SnapshotAgg])
+class SnapshotFooterAggReader(file: String, aggs: Seq[SnapshotAgg],
+                              conf: Configuration = new Configuration())
     extends PartitionReader[InternalRow] {
   private var done = false
   private var row: InternalRow = _
 
   override def next(): Boolean = {
     if (done) return false
-    val conf = new Configuration()
     val inputFile = org.apache.parquet.hadoop.util.HadoopInputFile
       .fromPath(new org.apache.hadoop.fs.Path(file), conf)
     val reader = org.apache.parquet.hadoop.ParquetFileReader.open(inputFile)
@@ -423,7 +436,7 @@ class SnapshotFooterAggReader(file: String, aggs: Seq[SnapshotAgg])
     val schema = StructType(cols.map(c =>
       StructField(c, aggs.find(_.column.contains(c)).get.resultType)))
     val idx = cols.zipWithIndex.toMap
-    val r = new SnapshotPartitionReader(file, schema)
+    val r = new SnapshotPartitionReader(file, schema, conf = conf)
     var n = 0L
     val mins = scala.collection.mutable.Map.empty[String, Long]
     val maxs = scala.collection.mutable.Map.empty[String, Long]
@@ -554,7 +567,9 @@ object SnapshotFilters {
 case class SnapshotScan(dataSchema: StructType, required: StructType,
                         files: Seq[Snapshot.FileEntry],
                         filters: Seq[org.apache.spark.sql.sources.Filter] = Nil,
-                        totalBytes: Long = 0L, rows: Long = 0L)
+                        totalBytes: Long = 0L, rows: Long = 0L,
+                        hconf: SerializableConfiguration =
+                          new SerializableConfiguration(new Configuration()))
     extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = required
 
@@ -590,7 +605,7 @@ case class SnapshotScan(dataSchema: StructType, required: StructType,
   override def planInputPartitions(): Array[InputPartition] =
     selected.map(f => SnapshotInputPartition(f.path): InputPartition).toArray
   override def createReaderFactory(): PartitionReaderFactory =
-    SnapshotReaderFactory(required.json, dataSchema.json, filters)
+    SnapshotReaderFactory(required.json, dataSchema.json, filters, hconf)
   override def description(): String =
     s"GraftSnapshotScan(files=${files.size}, skippedByStats=${files.size - selected.size}, " +
       s"columns=${required.fieldNames.mkString(",")}, " +
@@ -637,13 +652,14 @@ object SnapshotFilePruning {
 case class SnapshotInputPartition(file: String) extends InputPartition
 
 case class SnapshotReaderFactory(requiredJson: String, dataJson: String,
-                                 filters: Seq[org.apache.spark.sql.sources.Filter])
+                                 filters: Seq[org.apache.spark.sql.sources.Filter],
+                                 hconf: SerializableConfiguration)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val file = partition.asInstanceOf[SnapshotInputPartition].file
     val required = DataType.fromJson(requiredJson).asInstanceOf[StructType]
     val dataSchema = DataType.fromJson(dataJson).asInstanceOf[StructType]
-    new SnapshotPartitionReader(file, required, dataSchema, filters)
+    new SnapshotPartitionReader(file, required, dataSchema, filters, hconf.value)
   }
 }
 
@@ -655,10 +671,10 @@ case class SnapshotReaderFactory(requiredJson: String, dataJson: String,
   */
 class SnapshotPartitionReader(file: String, required: StructType,
                               dataSchema: StructType = new StructType(),
-                              filters: Seq[org.apache.spark.sql.sources.Filter] = Nil)
+                              filters: Seq[org.apache.spark.sql.sources.Filter] = Nil,
+                              conf: Configuration = new Configuration())
     extends PartitionReader[InternalRow] {
 
-  private val conf = new Configuration()
   private val reader: ParquetReader[Group] = {
     val path = new org.apache.hadoop.fs.Path(file)
     val inputFile = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(path, conf)
@@ -805,17 +821,23 @@ class SnapshotWriteBuilder(root: String, tag: String, table: String,
   override def build(): org.apache.spark.sql.connector.write.Write =
     new org.apache.spark.sql.connector.write.Write {
       override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
-        SnapshotBatchWrite(root, tag, table, info.schema().json, truncateFirst)
+        // session Hadoop conf captured driver-side for the executors'
+        // parquet writers (same reason as the scan side)
+        SnapshotBatchWrite(root, tag, table, info.schema().json, truncateFirst,
+          new SerializableConfiguration(
+            SparkSession.active.sessionState.newHadoopConf()))
     }
 }
 
 case class SnapshotBatchWrite(root: String, tag: String, table: String,
-                              schemaJson: String, truncateFirst: Boolean)
+                              schemaJson: String, truncateFirst: Boolean,
+                              hconf: SerializableConfiguration =
+                                new SerializableConfiguration(new Configuration()))
     extends org.apache.spark.sql.connector.write.BatchWrite {
   import org.apache.spark.sql.connector.write._
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    SnapshotWriterFactory(s"$root/$tag/$table", schemaJson)
+    SnapshotWriterFactory(s"$root/$tag/$table", schemaJson, hconf)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = SnapshotBatchWrite.commitLock.synchronized {
     val s = SparkSession.active
@@ -863,12 +885,13 @@ case class SnapshotCommitMessage(path: String, size: Long, rows: Long,
                                  stats: Map[String, Snapshot.ColumnStats] = Map.empty)
     extends org.apache.spark.sql.connector.write.WriterCommitMessage
 
-case class SnapshotWriterFactory(dir: String, schemaJson: String)
+case class SnapshotWriterFactory(dir: String, schemaJson: String,
+                                 hconf: SerializableConfiguration)
     extends org.apache.spark.sql.connector.write.DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
       : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
     new SnapshotDataWriter(dir, partitionId, taskId,
-      DataType.fromJson(schemaJson).asInstanceOf[StructType])
+      DataType.fromJson(schemaJson).asInstanceOf[StructType], hconf.value)
 }
 
 /** One-task parquet writer over the Group API — the mirror of
@@ -879,7 +902,8 @@ case class SnapshotWriterFactory(dir: String, schemaJson: String)
   * read (the embeddings table included) round-trips value-exact
   * through the sink.
   */
-class SnapshotDataWriter(dir: String, partitionId: Int, taskId: Long, schema: StructType)
+class SnapshotDataWriter(dir: String, partitionId: Int, taskId: Long, schema: StructType,
+                         conf: Configuration = new Configuration())
     extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
   import org.apache.parquet.schema.{LogicalTypeAnnotation, PrimitiveType, Type => PType, Types}
   import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
@@ -891,7 +915,6 @@ class SnapshotDataWriter(dir: String, partitionId: Int, taskId: Long, schema: St
   // same table from fresh JVMs (where taskIds restart at 0)
   private val path = new org.apache.hadoop.fs.Path(
     f"$dir/part-$partitionId%05d-$taskId-${java.util.UUID.randomUUID()}.parquet")
-  private val conf = new Configuration()
 
   private val parquetSchema: MessageType = {
     // Complex shapes mirror what the reader decodes (and what Spark

@@ -62,6 +62,19 @@ object Bench {
       val r = spark.range(200000L).selectExpr("id AS k", "id % 17 AS w")
       l.hint("merge").join(r, "k").selectExpr("k", "v + w AS z")
         .write.mode("overwrite").format("noop").save()
+      // json parse + generator + time-window agg (q_source_json /
+      // q_fn_map_json / ts_interpolate shapes — further historic
+      // one-shot victims share these runtime classes)
+      base.select(
+          from_json(concat(lit("{\"k\": "), col("g"), lit("}")),
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("k",
+                org.apache.spark.sql.types.LongType)))).as("j"),
+          explode(split(col("s"), "@")).as("tok"),
+          timestamp_micros(col("x").cast("long") * 1000000L).as("ts"))
+        .groupBy(window(col("ts"), "1 hour"), col("tok"))
+        .agg(sum(col("j.k")))
+        .write.mode("overwrite").format("noop").save()
     }
     // Spike forensics (r8): every query gets ONE stderr line naming the
     // JVM GC time/count that landed inside its timed region plus heap

@@ -246,6 +246,14 @@ object Joins {
     * fact-fact join wants (pay the shuffle once at write time, never
     * per query). BucketingSpec asserts the exchange-free plan; the
     * oracle checks the result equals the plain join.
+    *
+    * Bench note: in a one-shot session (the driver's bench) the FIRST
+    * invocation prices the bucketed-layout write itself — that is the
+    * "pay the shuffle once" cost landing inside the first timed window
+    * (observed ~4-5.7s vs ~1.3s steady; the memo makes every later
+    * call exchange-free). Deliberate: amortizing the layout write is
+    * the operator's whole point, and hiding it in warmup would
+    * under-price the first real use.
     */
   // bucketed layout is written once per (session, sfDir) — repeated
   // query construction (PlanAudit, specs) must not rewrite the tables

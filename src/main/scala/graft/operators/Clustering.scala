@@ -118,6 +118,10 @@ object Clustering {
     assign(pts, cent)
       .groupBy(col("cid"))
       .agg(count(lit(1)).as("n_vecs"), sum(col("dist")).as("inertia_q"))
+      // BIGINT cid to exactly match the oracle's row_number()-derived
+      // int64 — the one dtype drift the driver's comparator had been
+      // tolerating since r4 (flagged every round by oracle_check)
+      .select(col("cid").cast("long").as("cid"), col("n_vecs"), col("inertia_q"))
       .orderBy("cid")
   }
 

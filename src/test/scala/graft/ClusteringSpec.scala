@@ -50,7 +50,7 @@ class ClusteringSpec extends SparkSpec {
     val k = 3
     val emb = Tables.embeddings(spark, sf)
     def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
-      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
     val base = rows(Clustering.kmeansImpl(emb))
     val stride = emb.agg(max("vec_id")).head.getLong(0) + 1L
     val embK = emb.withColumn("rep", explode(expr(s"sequence(1, $k)")))

@@ -69,8 +69,17 @@ object Fixtures {
       "label" -> Seq(IntegerType))
   )
 
+  /** The embedding dimensionality the similarity family's deterministic
+    * constants assume (LSH hyperplane grid, PQ's 4×16 subspace split,
+    * and their SQL oracle mirrors). A dim drift would NOT fail any
+    * query — zip_with pads and both engines degrade consistently — so
+    * without this probe it would silently hollow out the ANN quality. */
+  val EmbeddingDim = 64
+
   /** One message per drift found under `sfDir`; empty = all fixtures
-    * match a handled encoding. Footer-only reads — no data scan. */
+    * match a handled encoding. Footer-only reads, plus ONE single-row
+    * column probe (embeddings dim — list length is invisible to
+    * schemas). */
   def drift(spark: SparkSession, sfDir: String): Seq[String] = {
     import scala.util.control.NonFatal
     // events may be TIMESTAMP(NANOS); without this the footer read
@@ -104,10 +113,25 @@ object Fixtures {
             .map(n => s"table=$table column=$n UNEXPECTED (new column in fixture)")
           missingOrWrong ++ extra
       }
-    } finally prevNanos match {
+    } ++ embeddingDimDrift(spark, sfDir) finally prevNanos match {
       case Some(v) => spark.conf.set(nanosKey, v)
       case None    => spark.conf.unset(nanosKey)
     }
+  }
+
+  private def embeddingDimDrift(spark: SparkSession, sfDir: String): Seq[String] = {
+    import scala.util.control.NonFatal
+    import org.apache.spark.sql.functions.{col, size}
+    try {
+      val row = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .limit(1).select(size(col("embedding"))).head()
+      val d = if (row.isNullAt(0)) -1 else row.getInt(0)
+      if (d != EmbeddingDim)
+        Seq(s"table=embeddings column=embedding DIM DRIFT: found $d, " +
+          s"similarity-family constants (LSH planes, PQ subspaces) and their " +
+          s"oracle mirrors assume $EmbeddingDim")
+      else Nil
+    } catch { case NonFatal(_) => Nil } // unreadable already reported by the schema pass
   }
 
   /** Print every drift loudly to stderr; returns the count so callers

@@ -59,6 +59,23 @@ class FixtureDriftSpec extends SparkSpec {
     } finally SessionToken.deleteDir(dir)
   }
 
+  test("fires on an embedding-dimension drift (invisible to schemas)") {
+    val dir = java.nio.file.Files.createTempDirectory("dim_drifted").toString
+    try {
+      for (t <- graft.sources.Fixtures.expected.keys if t != "embeddings" && t != "events")
+        spark.read.parquet(s"$sf/$t.parquet")
+          .coalesce(1).write.parquet(s"$dir/$t.parquet")
+      graft.sources.Tables.events(spark, sf).coalesce(1).write.parquet(s"$dir/events.parquet")
+      // same schema (list<float>), half the dimensionality
+      spark.read.parquet(s"$sf/embeddings.parquet")
+        .withColumn("embedding", slice(col("embedding"), 1, 32))
+        .coalesce(1).write.parquet(s"$dir/embeddings.parquet")
+      val d = graft.sources.Fixtures.drift(spark, dir)
+      assert(d.exists(m => m.contains("DIM DRIFT") && m.contains("found 32")),
+        d.mkString("\n"))
+    } finally SessionToken.deleteDir(dir)
+  }
+
   test("fires UNREADABLE on an absent table") {
     val dir = java.nio.file.Files.createTempDirectory("empty_fixtures").toString
     try {

@@ -1,0 +1,28 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Scale guarantee of the adaptive events seam: the NTZ→Timestamp cast
+  * it inserts must NOT block parquet predicate pushdown on `ts` — at
+  * 100 TB a time-range scan over events lives or dies on row-group
+  * skipping. Under the UTC-pinned session Catalyst unwraps the cast
+  * and the range predicate reaches the scan against the stored NTZ
+  * column (verified empirically r9; this spec pins it against
+  * optimizer or seam regressions).
+  */
+class TsPushdownProbeSpec extends SparkSpec {
+
+  test("ts range filter through the adaptive seam reaches the parquet scan") {
+    val plan = graft.sources.Tables.events(spark, sf)
+      .where(col("ts") >= lit("2024-01-15").cast("timestamp"))
+      .select(col("event_id"))
+      .queryExecution.executedPlan.toString
+    val scanLine = plan.linesIterator.find(_.contains("PushedFilters"))
+      .getOrElse(fail(s"no FileScan with PushedFilters in plan:\n$plan"))
+    assert(scanLine.contains("GreaterThanOrEqual(ts"),
+      s"ts range predicate did not push to the scan: $scanLine")
+    // and the scan must only read the two referenced columns
+    assert(scanLine.contains("ReadSchema: struct<event_id:bigint,ts:"),
+      s"column pruning regressed: $scanLine")
+  }
+}

@@ -122,16 +122,24 @@ object Fixtures {
   private def embeddingDimDrift(spark: SparkSession, sfDir: String): Seq[String] = {
     import scala.util.control.NonFatal
     import org.apache.spark.sql.functions.{col, size}
-    try {
-      val row = spark.read.parquet(s"$sfDir/embeddings.parquet")
-        .limit(1).select(size(col("embedding"))).head()
-      val d = if (row.isNullAt(0)) -1 else row.getInt(0)
-      if (d != EmbeddingDim)
-        Seq(s"table=embeddings column=embedding DIM DRIFT: found $d, " +
-          s"similarity-family constants (LSH planes, PQ subspaces) and their " +
-          s"oracle mirrors assume $EmbeddingDim")
-      else Nil
-    } catch { case NonFatal(_) => Nil } // unreadable already reported by the schema pass
+    val readable =
+      try Some(spark.read.parquet(s"$sfDir/embeddings.parquet"))
+      catch { case NonFatal(_) => None } // already reported by the schema pass
+    readable.toSeq.flatMap { df =>
+      df.limit(1).select(size(col("embedding"))).collect().headOption match {
+        // an empty-but-readable fixture can't prove the dim — that is
+        // itself a drift (every similarity query would go vacuous)
+        case None => Seq("table=embeddings DIM PROBE: fixture has ZERO rows — " +
+          s"cannot confirm the assumed dim $EmbeddingDim")
+        case Some(row) =>
+          val d = if (row.isNullAt(0)) -1 else row.getInt(0)
+          if (d != EmbeddingDim)
+            Seq(s"table=embeddings column=embedding DIM DRIFT: found $d, " +
+              s"similarity-family constants (LSH planes, PQ subspaces) and their " +
+              s"oracle mirrors assume $EmbeddingDim")
+          else Nil
+      }
+    }
   }
 
   /** Print every drift loudly to stderr; returns the count so callers

@@ -45,8 +45,18 @@ object Snapshot {
                         schemaJson: Option[String] = None)
   case class Manifest(tag: String, parent: Option[String], tables: Map[String, TableEntry])
 
+  /** SESSION-level Hadoop conf (`sessionState.newHadoopConf()`), not
+    * `sparkContext.hadoopConfiguration`: per-session settings made via
+    * `spark.conf.set("spark.hadoop.fs.s3a...", ...)` — the standard
+    * per-session credential pattern — exist only in the former. The
+    * scan/write executors already receive this conf (SnapshotSource);
+    * manifest IO must resolve filesystems from the same source or a
+    * write succeeds on the executors and then dies at commit.
+    */
+  private def hadoopConf(s: SparkSession) = s.sessionState.newHadoopConf()
+
   private def fs(s: SparkSession, root: String): FileSystem =
-    new Path(root).getFileSystem(s.sparkContext.hadoopConfiguration)
+    new Path(root).getFileSystem(hadoopConf(s))
 
   private def manifestPath(root: String, tag: String) = new Path(s"$root/$tag/manifest.json")
 
@@ -107,7 +117,7 @@ object Snapshot {
       } else {
         try {
           val fc = org.apache.hadoop.fs.FileContext.getFileContext(
-            p.toUri, s.sparkContext.hadoopConfiguration)
+            p.toUri, hadoopConf(s))
           fc.rename(f.makeQualified(tmp), p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
         } catch {
           case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
@@ -239,7 +249,7 @@ object Snapshot {
       val st = it.next()
       if (st.getPath.getName.endsWith(".parquet"))
         out += FileEntry(st.getPath.toString, st.getLen,
-          footerStats(st.getPath, s.sparkContext.hadoopConfiguration))
+          footerStats(st.getPath, hadoopConf(s)))
     }
     out.sortBy(_.path).toSeq
   }

@@ -314,8 +314,8 @@ class SnapshotScanBuilder(dataSchema: StructType, files: Seq[Snapshot.FileEntry]
     // file:// test fixtures, breaks on any configured cluster fs
     val hconf = new SerializableConfiguration(
       SparkSession.active.sessionState.newHadoopConf())
-    if (pushedAggs.nonEmpty) SnapshotAggScan(files.map(_.path), pushedAggs, hconf)
-    else SnapshotScan(dataSchema, required, files, pushed, totalBytes, rows, hconf)
+    if (pushedAggs.nonEmpty) SnapshotAggScan(files.map(_.path), pushedAggs)(hconf)
+    else SnapshotScan(dataSchema, required, files, pushed, totalBytes, rows)(hconf)
   }
 }
 
@@ -327,9 +327,15 @@ case class SnapshotAgg(fn: String, column: Option[String], resultType: DataType)
 /** Footer-statistics scan: each input file yields ONE row of partial
   * aggregate values read from parquet block metadata — no data pages.
   */
-case class SnapshotAggScan(files: Seq[String], aggs: Seq[SnapshotAgg],
-                           hconf: SerializableConfiguration =
-                             new SerializableConfiguration(new Configuration()))
+/** `hconf` sits in a SECOND parameter list: case-class equality then
+  * covers only the value fields, so two scans of the same snapshot
+  * still compare equal and Spark's scan/exchange reuse keeps working
+  * (SerializableConfiguration has reference equality only). Required,
+  * not defaulted — a caller forgetting it must not compile into a
+  * silent bare-Configuration fallback.
+  */
+case class SnapshotAggScan(files: Seq[String], aggs: Seq[SnapshotAgg])(
+    val hconf: SerializableConfiguration)
     extends Scan with Batch {
   override def readSchema(): StructType = StructType(aggs.map {
     case SnapshotAgg("count", _, _) => StructField("count(*)", LongType, nullable = false)
@@ -564,12 +570,13 @@ object SnapshotFilters {
     }
 }
 
+/** `hconf` in a second parameter list for the same reuse-preserving
+  * reason as [[SnapshotAggScan]]. */
 case class SnapshotScan(dataSchema: StructType, required: StructType,
                         files: Seq[Snapshot.FileEntry],
                         filters: Seq[org.apache.spark.sql.sources.Filter] = Nil,
-                        totalBytes: Long = 0L, rows: Long = 0L,
-                        hconf: SerializableConfiguration =
-                          new SerializableConfiguration(new Configuration()))
+                        totalBytes: Long = 0L, rows: Long = 0L)(
+                        val hconf: SerializableConfiguration)
     extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = required
 
@@ -823,16 +830,15 @@ class SnapshotWriteBuilder(root: String, tag: String, table: String,
       override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
         // session Hadoop conf captured driver-side for the executors'
         // parquet writers (same reason as the scan side)
-        SnapshotBatchWrite(root, tag, table, info.schema().json, truncateFirst,
+        SnapshotBatchWrite(root, tag, table, info.schema().json, truncateFirst)(
           new SerializableConfiguration(
             SparkSession.active.sessionState.newHadoopConf()))
     }
 }
 
 case class SnapshotBatchWrite(root: String, tag: String, table: String,
-                              schemaJson: String, truncateFirst: Boolean,
-                              hconf: SerializableConfiguration =
-                                new SerializableConfiguration(new Configuration()))
+                              schemaJson: String, truncateFirst: Boolean)(
+                              val hconf: SerializableConfiguration)
     extends org.apache.spark.sql.connector.write.BatchWrite {
   import org.apache.spark.sql.connector.write._
 
@@ -860,9 +866,11 @@ case class SnapshotBatchWrite(root: String, tag: String, table: String,
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
-    // session conf, not a bare Configuration — a configured filesystem
-    // (S3 credentials, HA nameservice) would fail to resolve otherwise
-    val conf = SparkSession.active.sparkContext.hadoopConfiguration
+    // SESSION conf (newHadoopConf — includes spark.conf.set
+    // "spark.hadoop.*" entries), not a bare Configuration or the
+    // context conf: the cleanup must resolve the same filesystem the
+    // executors wrote through
+    val conf = SparkSession.active.sessionState.newHadoopConf()
     messages.collect { case m: SnapshotCommitMessage => m }.foreach { m =>
       val p = new org.apache.hadoop.fs.Path(m.path)
       p.getFileSystem(conf).delete(p, false)

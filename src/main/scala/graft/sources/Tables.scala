@@ -39,10 +39,28 @@ object Tables {
     * seam) rather than as scattered per-query analysis errors — the
     * r8 fixture drift failure mode.
     */
-  def events(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    normalizeEventsTs(read(s, dir, "events"))
-  }
+  /** Read a parquet path that MAY carry TIMESTAMP(NANOS) columns.
+    * The legacy `nanosAsLong` mapping is enabled ONLY when the footer
+    * actually proves to need it (first read throws
+    * [PARQUET_TYPE_ILLEGAL]); on the current µs fixtures no conf is
+    * touched, so a NANOS regeneration of some OTHER table still fails
+    * loudly at its own scan instead of landing as a surprise long.
+    * Once needed, the conf must STAY set for the session — executors
+    * re-resolve footers under the session conf when the (lazy) events
+    * plans execute, so a set-and-restore here would pass analysis and
+    * then break every events query at runtime.
+    */
+  private def readMaybeNanos(s: SparkSession, path: String): DataFrame =
+    try s.read.parquet(path)
+    catch {
+      case e: Throwable if e.getMessage != null
+          && e.getMessage.contains("PARQUET_TYPE_ILLEGAL") =>
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        s.read.parquet(path)
+    }
+
+  def events(s: SparkSession, dir: String): DataFrame =
+    normalizeEventsTs(readMaybeNanos(s, s"$dir/events.parquet"))
 
   /** Streaming twin of [[events]] for specs: file-stream sources need
     * an explicit schema, so declare the LANDED footer types read from
@@ -52,8 +70,7 @@ object Tables {
     */
   private[graft] def eventsStream(s: SparkSession, fixtureFile: String,
                                   streamDir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val landed = s.read.parquet(fixtureFile).schema
+    val landed = readMaybeNanos(s, fixtureFile).schema
     normalizeEventsTs(s.readStream.schema(landed).parquet(streamDir))
   }
 

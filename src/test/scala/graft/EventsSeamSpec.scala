@@ -68,6 +68,54 @@ class EventsSeamSpec extends SparkSpec {
     assert(e.getMessage.toLowerCase.contains("string"), e.getMessage)
   }
 
+  test("µs fixtures never enable the legacy nanosAsLong mapping") {
+    // the conditional seam must not leak the legacy conf when the
+    // fixture doesn't need it — a NANOS regeneration of some OTHER
+    // table should still fail loudly at its own scan
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    spark.conf.unset(key)
+    graft.sources.Tables.events(spark, sf).count()
+    assert(spark.conf.get(key) == "false",
+      "events() enabled nanosAsLong on a fixture that doesn't need it")
+  }
+
+  test("a REAL TIMESTAMP(NANOS) fixture reads end-to-end through the retry seam") {
+    import org.apache.parquet.schema.{LogicalTypeAnnotation, Types}
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    import org.apache.parquet.schema.Type.Repetition.OPTIONAL
+    val dir = java.nio.file.Files.createTempDirectory("ns_events").toString
+    try {
+      val schema = Types.buildMessage()
+        .addField(Types.primitive(INT64, OPTIONAL).named("event_id"))
+        .addField(Types.primitive(INT64, OPTIONAL)
+          .as(LogicalTypeAnnotation.timestampType(false,
+            LogicalTypeAnnotation.TimeUnit.NANOS)).named("ts"))
+        .addField(Types.primitive(INT64, OPTIONAL).named("user_id"))
+        .named("events")
+      val conf = new org.apache.hadoop.conf.Configuration()
+      org.apache.parquet.hadoop.example.GroupWriteSupport.setSchema(schema, conf)
+      val w = org.apache.parquet.hadoop.example.ExampleParquetWriter
+        .builder(new org.apache.hadoop.fs.Path(s"$dir/events.parquet"))
+        .withConf(conf).withType(schema).build()
+      val f = new org.apache.parquet.example.data.simple.SimpleGroupFactory(schema)
+      val ns = us * 1000L + 999L // sub-µs residue must truncate
+      w.write(f.newGroup().append("event_id", 1L).append("ts", ns).append("user_id", 7L))
+      w.close()
+      // start from a clean conf: the FIRST read must hit
+      // PARQUET_TYPE_ILLEGAL and the seam's retry must recover
+      spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+      val got = graft.sources.Tables.events(spark, dir)
+        .select(col("event_id"), unix_micros(col("ts")).as("us"), col("user_id"))
+        .head()
+      assert(got.getLong(0) == 1L && got.getLong(1) == us && got.getLong(2) == 7L,
+        s"ns fixture round-trip diverged: $got")
+      // and the mapping stays on for the session — executors re-read
+      // footers under the session conf when lazy events plans execute
+      assert(spark.conf.get("spark.sql.legacy.parquet.nanosAsLong") == "true")
+      spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+    } finally SessionToken.deleteDir(dir)
+  }
+
   test("all three accepted encodings agree on the fixture's real first instant") {
     // read the real fixture, then re-encode its ts column as ns-long and
     // as NTZ, and check the three normalized frames carry identical

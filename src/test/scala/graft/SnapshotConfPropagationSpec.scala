@@ -25,14 +25,14 @@ class GraftTestFs extends org.apache.hadoop.fs.FileSystem {
   private def fromLocal(st: FileStatus): FileStatus =
     new FileStatus(st.getLen, st.isDirectory, st.getReplication, st.getBlockSize,
       st.getModificationTime, st.getAccessTime, st.getPermission, st.getOwner,
-      st.getGroup, new Path("graftfs", null, st.getPath.toUri.getPath))
+      st.getGroup, new Path(getScheme, null, st.getPath.toUri.getPath))
 
   override def initialize(uri: URI, conf: org.apache.hadoop.conf.Configuration): Unit = {
     super.initialize(uri, conf)
     setConf(conf)
     local.initialize(URI.create("file:///"), conf)
   }
-  override def getUri: URI = URI.create("graftfs:///")
+  override def getUri: URI = URI.create(s"$getScheme:///")
   override def getScheme: String = "graftfs"
   override def open(f: Path, bufferSize: Int): FSDataInputStream =
     local.open(toLocal(f), bufferSize)
@@ -51,11 +51,17 @@ class GraftTestFs extends org.apache.hadoop.fs.FileSystem {
     local.listStatus(toLocal(f)).map(fromLocal)
   override def setWorkingDirectory(dir: Path): Unit =
     local.setWorkingDirectory(toLocal(dir))
-  override def getWorkingDirectory: Path = new Path("graftfs:/")
+  override def getWorkingDirectory: Path = new Path(s"$getScheme:/")
   override def mkdirs(f: Path, permission: FsPermission): Boolean =
     local.mkdirs(toLocal(f), permission)
   override def getFileStatus(f: Path): FileStatus =
     fromLocal(local.getFileStatus(toLocal(f)))
+}
+
+/** Same wrapper under a second scheme, for the session-level
+  * (spark.conf.set) registration test. */
+class GraftTestFs2 extends GraftTestFs {
+  override def getScheme: String = "graftfs2"
 }
 
 /** On a real cluster the filesystem needs session-configured settings
@@ -112,6 +118,30 @@ class SnapshotConfPropagationSpec extends SparkSpec
     val want = orders.agg(count(lit(1)), min(col("o_orderkey")),
       max(col("o_orderkey"))).collect().head
     assert(r == want, s"footer agg over graftfs diverged: $r vs $want")
+  }
+
+  test("manifest IO honors SESSION-level conf (spark.conf.set), not just the context conf") {
+    // the per-session settings pattern: spark.conf.set entries exist in
+    // sessionState.newHadoopConf() but NOT in
+    // sparkContext.hadoopConfiguration — manifest IO and the DSv2
+    // commit path must read the former, or an executor-side write
+    // succeeds and then dies at commit (orphaned data files)
+    spark.conf.set("fs.graftfs2.impl", classOf[GraftTestFs2].getName)
+    spark.conf.set("fs.graftfs2.impl.disable.cache", "true")
+    val dir = java.nio.file.Files.createTempDirectory("snap_graftfs2")
+    try {
+      val root2 = s"graftfs2:$dir"
+      val nation = Tables.nation(spark, sf)
+      Snapshot.export(spark, Map("nation" -> nation), root2, "v1")
+      // DSv2 append: executors write via the captured conf, commit()
+      // re-reads and re-writes the manifest via Snapshot's conf
+      nation.limit(2).write.format("graft.sources.SnapshotSource")
+        .option("root", root2).option("tag", "v1").option("table", "nation")
+        .mode("append").save()
+      val back = spark.read.format("graft.sources.SnapshotSource")
+        .option("root", root2).option("tag", "v1").option("table", "nation").load()
+      assert(back.count() == nation.count() + 2)
+    } finally SessionToken.deleteDir(dir.toString)
   }
 
   test("DSv2 write (executor parquet writers) carries the session conf") {

@@ -57,6 +57,32 @@ object Bench {
       base.select(regexp_extract(col("s"), "([a-z0-9]+)@([a-z0-9.]+)", 2).as("d"),
           regexp_replace(col("s"), "[0-9]+", "#").as("m"))
         .write.mode("overwrite").format("noop").save()
+      // registered-Scala-UDF invocation path (r9 verdict #1): the regex
+      // warmup above compiles java.util.regex but NOT the ScalaUDF
+      // runtime family (ScalaUDF eval, catalyst<->Scala converters,
+      // closure-call codegen) that q_udf_scalar's registered UDF walks —
+      // it stayed the last one-shot spike (7.16s vs 0.70-0.83 steady)
+      // precisely because no registered UDF ran before its timed window.
+      // Same signature shape as the real one: String => String.
+      val warmupPat = java.util.regex.Pattern.compile("\\s+")
+      spark.udf.register("graft_warmup_norm",
+        (t: String) => if (t == null) null
+        else warmupPat.matcher(t.trim).replaceAll(" ").toLowerCase)
+      base.select(expr("graft_warmup_norm(concat(' ', s, '  '))").as("w"),
+          length(expr("graft_warmup_norm(s)")).cast("int").as("wl"))
+        .write.mode("overwrite").format("noop").save()
+      // decimal-product moment path (q_agg_stats shape): sum over a
+      // decimal*decimal product plus decimal→double cast and sqrt —
+      // wider-precision multiply result classes than the plain decimal
+      // sum/avg warmed above (q_agg_stats showed a mild 2.64s vs ~0.6
+      // steady residual in r9).
+      base.groupBy("g").agg(
+          sum(col("x").cast("decimal(12,2)") * col("y").cast("decimal(12,2)")).as("s2"),
+          sum(col("x").cast("decimal(12,2)")).as("s1"), count(lit(1)).as("n"))
+        .select(col("g"),
+          sqrt((col("s2").cast("double") - col("s1").cast("double") * col("s1").cast("double") / col("n")) / col("n"))
+            .cast("decimal(18,6)").cast("double").as("sd"))
+        .write.mode("overwrite").format("noop").save()
       // small sort-merge join (q_tpch_q18 / SMJ shape)
       val l = spark.range(200000L).selectExpr("id AS k", "id % 13 AS v")
       val r = spark.range(200000L).selectExpr("id AS k", "id % 17 AS w")

@@ -244,12 +244,16 @@ object Snapshot {
 
   private def listParquetRecursive(s: SparkSession, f: FileSystem, dir: Path): Seq[FileEntry] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[FileEntry]
+    // one conf clone for the whole listing — newHadoopConf() copies the
+    // entire Hadoop conf, so cloning per file is O(files) wasted work
+    // at manifest-build time on many-file snapshots
+    val conf = hadoopConf(s)
     val it = f.listFiles(dir, true)
     while (it.hasNext) {
       val st = it.next()
       if (st.getPath.getName.endsWith(".parquet"))
         out += FileEntry(st.getPath.toString, st.getLen,
-          footerStats(st.getPath, hadoopConf(s)))
+          footerStats(st.getPath, conf))
     }
     out.sortBy(_.path).toSeq
   }

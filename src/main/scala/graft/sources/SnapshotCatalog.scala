@@ -117,8 +117,12 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces {
       // a legacy pre-schemaJson entry exists but cannot be served; the
       // catalog contract's catchable signal is NoSuchTableException
       .getOrElse(noSuchTable(ident))
+    // owner = the session loading the table (loadTable runs on the
+    // querying session's analysis thread) — captured ONCE here so
+    // later builder/commit callbacks on Spark-internal threads never
+    // consult SparkSession.active themselves (advice r9)
     SnapshotTable(actualName, schema, entry.files,
-      entry.files.map(_.size).sum, entry.rows, root, tag, writable = writable)
+      entry.files.map(_.size).sum, entry.rows, root, tag, writable = writable)(spark)
   }
 
   /** ONE fresh manifest resolution per call (freshness invariant). */

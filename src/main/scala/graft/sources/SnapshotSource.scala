@@ -202,24 +202,38 @@ class SnapshotSource extends TableProvider {
       case None => resolveManifest(options)
     }
     val tag = asOf.map(_ => manifest.get.tag).getOrElse(tagOpt)
+    // capture the OWNING session HERE, at load time on the loading
+    // session's thread — scan/write builders and commit/abort run on
+    // Spark-internal threads later, where SparkSession.active can be a
+    // DIFFERENT session in a multi-session app (wrong per-session fs
+    // settings, silently)
+    val owner = SparkSession.active
     manifest.flatMap(_.tables.get(table)) match {
       case Some(entry) =>
         SnapshotTable(table, schema, entry.files,
           entry.files.map(_.size).sum, entry.rows, root, tag,
-          writable = asOf.isEmpty)
+          writable = asOf.isEmpty)(owner)
       // write target only: reading it must still fail loudly (see
       // newScanBuilder) — a typo'd tag/table on a READ that happens to
       // carry the schema option must not become a silent empty result
       case None => SnapshotTable(table, schema, Nil, 0L, 0L, root, tag,
-        existed = false, writable = asOf.isEmpty)
+        existed = false, writable = asOf.isEmpty)(owner)
     }
   }
 }
 
+/** `owner` sits in a SECOND parameter list (same convention as the
+  * scans' `hconf`): case-class equality stays on the value fields, and
+  * the session is threaded — not re-resolved — because builder/commit/
+  * abort callbacks run on Spark-internal threads where
+  * `SparkSession.active` may name a different session than the one
+  * that loaded this table (advice r9).
+  */
 case class SnapshotTable(tableName: String, tableSchema: StructType,
                          files: Seq[Snapshot.FileEntry],
                          totalBytes: Long, rows: Long, root: String = "", tag: String = "",
-                         existed: Boolean = true, writable: Boolean = true)
+                         existed: Boolean = true, writable: Boolean = true)(
+                         val owner: SparkSession)
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite {
   import org.apache.spark.sql.connector.write._
@@ -231,18 +245,18 @@ case class SnapshotTable(tableName: String, tableSchema: StructType,
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     if (!existed) throw new IllegalArgumentException(
       s"table $tableName not in snapshot $tag — it exists only as a write target")
-    new SnapshotScanBuilder(tableSchema, files, totalBytes, rows)
+    new SnapshotScanBuilder(tableSchema, files, totalBytes, rows, owner)
   }
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     if (!writable) throw new UnsupportedOperationException(
       s"snapshot table $tableName was opened with asOf (time travel) — " +
         "history is immutable; write to a named tag instead")
-    new SnapshotWriteBuilder(root, tag, tableName, info)
+    new SnapshotWriteBuilder(root, tag, tableName, info, owner)
   }
 }
 
 class SnapshotScanBuilder(dataSchema: StructType, files: Seq[Snapshot.FileEntry],
-                          totalBytes: Long = 0L, rows: Long = 0L)
+                          totalBytes: Long, rows: Long, owner: SparkSession)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters with SupportsPushDownAggregates {
   private var required: StructType = dataSchema
@@ -307,13 +321,16 @@ class SnapshotScanBuilder(dataSchema: StructType, files: Seq[Snapshot.FileEntry]
   }
   override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] = pushed
   override def build(): Scan = {
-    // capture the SESSION's Hadoop conf DRIVER-side and ship it inside
-    // the scan: executor-side readers otherwise rebuild a bare
+    // capture the OWNING session's Hadoop conf DRIVER-side and ship it
+    // inside the scan: executor-side readers otherwise rebuild a bare
     // `new Configuration()` and silently lose filesystem settings
     // (S3 credentials/endpoints, HA nameservices, kerberos) — works on
-    // file:// test fixtures, breaks on any configured cluster fs
+    // file:// test fixtures, breaks on any configured cluster fs. The
+    // threaded `owner`, not SparkSession.active: build() runs on a
+    // planning thread where a multi-session app's active session can
+    // differ from the one that loaded the table (advice r9).
     val hconf = new SerializableConfiguration(
-      SparkSession.active.sessionState.newHadoopConf())
+      owner.sessionState.newHadoopConf())
     if (pushedAggs.nonEmpty) SnapshotAggScan(files.map(_.path), pushedAggs)(hconf)
     else SnapshotScan(dataSchema, required, files, pushed, totalBytes, rows)(hconf)
   }
@@ -368,7 +385,7 @@ case class SnapshotAggReaderFactory(aggs: Seq[SnapshotAgg],
   * dependency.
   */
 class SnapshotFooterAggReader(file: String, aggs: Seq[SnapshotAgg],
-                              conf: Configuration = new Configuration())
+                              conf: Configuration)
     extends PartitionReader[InternalRow] {
   private var done = false
   private var row: InternalRow = _
@@ -679,7 +696,7 @@ case class SnapshotReaderFactory(requiredJson: String, dataJson: String,
 class SnapshotPartitionReader(file: String, required: StructType,
                               dataSchema: StructType = new StructType(),
                               filters: Seq[org.apache.spark.sql.sources.Filter] = Nil,
-                              conf: Configuration = new Configuration())
+                              conf: Configuration)
     extends PartitionReader[InternalRow] {
 
   private val reader: ParquetReader[Group] = {
@@ -818,7 +835,8 @@ class SnapshotPartitionReader(file: String, required: StructType,
   * incremental links.
   */
 class SnapshotWriteBuilder(root: String, tag: String, table: String,
-                           info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+                           info: org.apache.spark.sql.connector.write.LogicalWriteInfo,
+                           owner: SparkSession)
     extends org.apache.spark.sql.connector.write.WriteBuilder
     with org.apache.spark.sql.connector.write.SupportsTruncate {
   private var truncateFirst = false
@@ -828,16 +846,20 @@ class SnapshotWriteBuilder(root: String, tag: String, table: String,
   override def build(): org.apache.spark.sql.connector.write.Write =
     new org.apache.spark.sql.connector.write.Write {
       override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
-        // session Hadoop conf captured driver-side for the executors'
-        // parquet writers (same reason as the scan side)
+        // owning session's Hadoop conf captured driver-side for the
+        // executors' parquet writers (same reason as the scan side);
+        // the session itself rides along for commit()'s manifest
+        // read-modify-write, which runs on a Spark-internal thread
+        // where SparkSession.active is not trustworthy (advice r9)
         SnapshotBatchWrite(root, tag, table, info.schema().json, truncateFirst)(
-          new SerializableConfiguration(
-            SparkSession.active.sessionState.newHadoopConf()))
+          owner, new SerializableConfiguration(
+            owner.sessionState.newHadoopConf()))
     }
 }
 
 case class SnapshotBatchWrite(root: String, tag: String, table: String,
                               schemaJson: String, truncateFirst: Boolean)(
+                              val owner: SparkSession,
                               val hconf: SerializableConfiguration)
     extends org.apache.spark.sql.connector.write.BatchWrite {
   import org.apache.spark.sql.connector.write._
@@ -846,7 +868,7 @@ case class SnapshotBatchWrite(root: String, tag: String, table: String,
     SnapshotWriterFactory(s"$root/$tag/$table", schemaJson, hconf)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = SnapshotBatchWrite.commitLock.synchronized {
-    val s = SparkSession.active
+    val s = owner
     val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
     // rows == 0 partials never opened a file (lazy writer) — drop them
     // so empty partitions / empty micro-batches don't accrete 0-row
@@ -866,11 +888,11 @@ case class SnapshotBatchWrite(root: String, tag: String, table: String,
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
-    // SESSION conf (newHadoopConf — includes spark.conf.set
-    // "spark.hadoop.*" entries), not a bare Configuration or the
-    // context conf: the cleanup must resolve the same filesystem the
-    // executors wrote through
-    val conf = SparkSession.active.sessionState.newHadoopConf()
+    // the executors wrote through hconf (the owning session's conf as
+    // captured at build time) — clean up through the SAME conf, so the
+    // delete resolves the same filesystem regardless of which session
+    // is "active" on the abort thread
+    val conf = hconf.value
     messages.collect { case m: SnapshotCommitMessage => m }.foreach { m =>
       val p = new org.apache.hadoop.fs.Path(m.path)
       p.getFileSystem(conf).delete(p, false)
@@ -911,7 +933,7 @@ case class SnapshotWriterFactory(dir: String, schemaJson: String,
   * through the sink.
   */
 class SnapshotDataWriter(dir: String, partitionId: Int, taskId: Long, schema: StructType,
-                         conf: Configuration = new Configuration())
+                         conf: Configuration)
     extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
   import org.apache.parquet.schema.{LogicalTypeAnnotation, PrimitiveType, Type => PType, Types}
   import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._

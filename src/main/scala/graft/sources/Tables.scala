@@ -50,11 +50,30 @@ object Tables {
     * plans execute, so a set-and-restore here would pass analysis and
     * then break every events query at runtime.
     */
+  /** True iff `e` (or anything on its cause chain — schema inference
+    * may surface the typed error wrapped in a job failure) is Spark's
+    * [PARQUET_TYPE_ILLEGAL] condition. Typed on SparkThrowable's error
+    * condition, not message text: substring-on-Throwable matched
+    * locale/version-dependent English and would also have caught fatal
+    * VirtualMachineErrors whose message happened to quote the class.
+    */
+  private[graft] def isParquetTypeIllegal(e: Throwable): Boolean = {
+    var t: Throwable = e
+    while (t != null) {
+      t match {
+        case st: org.apache.spark.SparkThrowable
+            if st.getCondition == "PARQUET_TYPE_ILLEGAL" => return true
+        case _ =>
+      }
+      t = if (t.getCause ne t) t.getCause else null
+    }
+    false
+  }
+
   private def readMaybeNanos(s: SparkSession, path: String): DataFrame =
     try s.read.parquet(path)
     catch {
-      case e: Throwable if e.getMessage != null
-          && e.getMessage.contains("PARQUET_TYPE_ILLEGAL") =>
+      case e: Exception if isParquetTypeIllegal(e) =>
         s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         s.read.parquet(path)
     }

@@ -144,7 +144,8 @@ class SnapshotSourceSpec extends SparkSpec {
     val schema = org.apache.spark.sql.types.DataType
       .fromJson(entry.schemaJson.get).asInstanceOf[org.apache.spark.sql.types.StructType]
     def countWith(filters: Seq[org.apache.spark.sql.sources.Filter]): Int = {
-      val r = new graft.sources.SnapshotPartitionReader(file, schema, schema, filters)
+      val r = new graft.sources.SnapshotPartitionReader(file, schema, schema, filters,
+        spark.sessionState.newHadoopConf())
       try { var n = 0; while (r.next()) n += 1; n } finally r.close()
     }
     val total = countWith(Nil)
@@ -360,7 +361,7 @@ class SnapshotSourceSpec extends SparkSpec {
     def partitionsFor(filters: org.apache.spark.sql.sources.Filter*): Int = {
       val schema = org.apache.spark.sql.types.DataType
         .fromJson(entry.schemaJson.get).asInstanceOf[org.apache.spark.sql.types.StructType]
-      val b = new graft.sources.SnapshotScanBuilder(schema, entry.files)
+      val b = new graft.sources.SnapshotScanBuilder(schema, entry.files, 0L, 0L, spark)
       b.pushFilters(filters.toArray)
       b.build().toBatch.planInputPartitions().length
     }
@@ -408,7 +409,7 @@ class SnapshotSourceSpec extends SparkSpec {
       val entry = Snapshot.readManifest(spark, root, tag).tables("orders_opt")
       val schema = org.apache.spark.sql.types.DataType
         .fromJson(entry.schemaJson.get).asInstanceOf[org.apache.spark.sql.types.StructType]
-      val b = new graft.sources.SnapshotScanBuilder(schema, entry.files)
+      val b = new graft.sources.SnapshotScanBuilder(schema, entry.files, 0L, 0L, spark)
       b.pushFilters(Array(org.apache.spark.sql.sources.EqualTo("o_orderkey", 42L)))
       b.build().toBatch.planInputPartitions().length
     }

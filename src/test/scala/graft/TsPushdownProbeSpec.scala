@@ -23,8 +23,7 @@ class TsPushdownProbeSpec extends SparkSpec {
       try spark.read.parquet(s"$sf/events.parquet").schema("ts").dataType ==
         org.apache.spark.sql.types.LongType
       catch {
-        case e: Throwable if e.getMessage != null
-            && e.getMessage.contains("PARQUET_TYPE_ILLEGAL") => true
+        case e: Exception if graft.sources.Tables.isParquetTypeIllegal(e) => true
       }
     assume(!nsGeneration,
       "ns-long fixture generation: pushdown through the rebuild is impossible by design")

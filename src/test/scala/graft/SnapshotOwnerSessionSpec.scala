@@ -56,6 +56,23 @@ class SnapshotOwnerSessionSpec extends SparkSpec
     assert(probe == "A", s"scan captured the wrong session's conf: $probe")
   }
 
+  test("catalog loadTable captures the loading session as owner") {
+    spark.conf.set("graft.owner.probe", "A")
+    val cat = new graft.sources.SnapshotCatalog
+    val opts = new CaseInsensitiveStringMap(
+      java.util.Collections.singletonMap("root", root))
+    cat.initialize("snapcat_owner", opts) // active session here: A
+    val table = cat.loadTable(
+      org.apache.spark.sql.connector.catalog.Identifier.of(Array("v1"), "nation"))
+      .asInstanceOf[graft.sources.SnapshotTable]
+    val probe = withActiveB {
+      val scan = table.newScanBuilder(CaseInsensitiveStringMap.empty()).build()
+      scan.asInstanceOf[graft.sources.SnapshotScan].hconf.value.get("graft.owner.probe")
+    }
+    assert(table.owner eq spark)
+    assert(probe == "A", s"catalog-loaded table captured the wrong session's conf: $probe")
+  }
+
   test("batch write built under a different active session carries the OWNER's conf and session") {
     spark.conf.set("graft.owner.probe", "A")
     val table = loadTable()

@@ -116,6 +116,25 @@ class EventsSeamSpec extends SparkSpec {
     } finally SessionToken.deleteDir(dir)
   }
 
+  test("isParquetTypeIllegal matches the typed condition, wrapped or not — never message text") {
+    val typed = new org.apache.spark.SparkException(
+      errorClass = "PARQUET_TYPE_ILLEGAL",
+      messageParameters = Map("parquetType" -> "INT64 (TIMESTAMP(NANOS,false))"),
+      cause = null)
+    assert(graft.sources.Tables.isParquetTypeIllegal(typed))
+    // schema inference may surface the condition wrapped in a job failure
+    assert(graft.sources.Tables.isParquetTypeIllegal(
+      new RuntimeException("Job aborted", typed)))
+    // message text quoting the class name must NOT match (the pre-fix
+    // substring check did, and also caught unrelated errors)
+    assert(!graft.sources.Tables.isParquetTypeIllegal(
+      new RuntimeException("something mentioning PARQUET_TYPE_ILLEGAL in text")))
+    assert(!graft.sources.Tables.isParquetTypeIllegal(
+      new org.apache.spark.SparkException(
+        errorClass = "INTERNAL_ERROR", messageParameters = Map("message" -> "x"),
+        cause = null)))
+  }
+
   test("all three accepted encodings agree on the fixture's real first instant") {
     // read the real fixture, then re-encode its ts column as ns-long and
     // as NTZ, and check the three normalized frames carry identical

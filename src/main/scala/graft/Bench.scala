@@ -83,6 +83,48 @@ object Bench {
           sqrt((col("s2").cast("double") - col("s1").cast("double") * col("s1").cast("double") / col("n")) / col("n"))
             .cast("decimal(18,6)").cast("double").as("sd"))
         .write.mode("overwrite").format("noop").save()
+      // r10 spike adjudication (VERDICT r10 #1): Scratch ×3 at driver
+      // conditions puts q_text_stats at 0.38-0.46s steady vs 2.36s in
+      // the driver window (5.6×) and q_agg_hll_custom at 0.36-0.47s
+      // steady vs 1.51s (>3×) — both breach the 3×-steady criterion.
+      // Their un-warmed runtime families: (a) the typed-Aggregator-as-
+      // UDAF invocation path (ScalaAggregator eval, buffer encoder
+      // serialization, aggregator codegen bridge) — the r9 warmup
+      // covered ScalaUDF but NOT ScalaAggregator; (b) the distinct-
+      // rewrite aggregate machinery (partial-distinct HashAggregate,
+      // Expand for multi-distinct) plus the join-of-two-aggregates
+      // shape. Throwaway same-shape representatives, per protocol.
+      locally {
+        import org.apache.spark.sql.{Encoder, Encoders}
+        import org.apache.spark.sql.expressions.Aggregator
+        // same invocation shape as q_agg_hll_custom's HllSketch: Long
+        // input, fixed array buffer updated bitwise, double finish
+        val warmAgg = new Aggregator[Long, Array[Long], Double] {
+          def zero: Array[Long] = new Array[Long](16)
+          def reduce(b: Array[Long], a: Long): Array[Long] = {
+            b((a & 15).toInt) |= 1L << ((a >>> 4) & 63); b
+          }
+          def merge(x: Array[Long], y: Array[Long]): Array[Long] = {
+            var i = 0; while (i < 16) { x(i) |= y(i); i += 1 }; x
+          }
+          def finish(b: Array[Long]): Double =
+            b.map(java.lang.Long.bitCount(_).toDouble).sum
+          def bufferEncoder: Encoder[Array[Long]] =
+            org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+          def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+        }
+        val wu = org.apache.spark.sql.functions.udaf(warmAgg)
+        base.groupBy("g")
+          .agg(wu(col("x").cast("long")).as("sk"),
+            countDistinct(col("x")).as("d1"), countDistinct(col("s")).as("d2"))
+          .write.mode("overwrite").format("noop").save()
+        // explode → distinct → agg joined back to a plain agg
+        // (q_text_stats dataflow)
+        val toks = base.select(col("g"), explode(split(col("s"), "@")).as("tok"))
+          .distinct().groupBy("g").agg(count(lit(1)).as("nd"))
+        base.groupBy("g").agg(sum(col("x")).as("sx")).join(toks, "g")
+          .write.mode("overwrite").format("noop").save()
+      }
       // small sort-merge join (q_tpch_q18 / SMJ shape)
       val l = spark.range(200000L).selectExpr("id AS k", "id % 13 AS v")
       val r = spark.range(200000L).selectExpr("id AS k", "id % 17 AS w")

@@ -4,8 +4,9 @@ import org.apache.spark.sql.SparkSession
 
 object Scratch {
   def main(a: Array[String]): Unit = {
-    val s = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val s = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC") // match Bench/Verify: events NTZ cast is TZ-sensitive
       .config("spark.ui.enabled", "false")

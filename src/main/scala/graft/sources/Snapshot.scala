@@ -43,7 +43,25 @@ object Snapshot {
   case class TableEntry(files: Seq[FileEntry], rows: Long, signature: String,
                         dir: Option[String] = None, partitionBy: Seq[String] = Nil,
                         schemaJson: Option[String] = None)
-  case class Manifest(tag: String, parent: Option[String], tables: Map[String, TableEntry])
+  /** `generation` is the tag's optimistic-concurrency version: every
+    * committed manifest carries the predecessor's generation + 1, and a
+    * committer states the generation it READ as a swap precondition
+    * (see [[writeManifest]]). Manifests written before this field parse
+    * as generation 0 (json4s fills the default), so legacy tags join
+    * the protocol on their next commit. -1 is the reserved "no manifest
+    * exists yet" reading (see [[currentGeneration]]).
+    */
+  case class Manifest(tag: String, parent: Option[String], tables: Map[String, TableEntry],
+                      generation: Long = 0L)
+
+  /** A manifest swap found a different generation than the committer
+    * read: a concurrent writer (another JVM — in-process writers are
+    * serialized by the commit lock) committed in the window. The losing
+    * committer must fail LOUDLY — retrying means re-reading the new
+    * manifest and re-applying the change; silently swapping would drop
+    * the winner's files from the tag (lost update).
+    */
+  class ConcurrentSnapshotCommitException(msg: String) extends java.io.IOException(msg)
 
   /** SESSION-level Hadoop conf (`sessionState.newHadoopConf()`), not
     * `sparkContext.hadoopConfiguration`: per-session settings made via
@@ -93,8 +111,31 @@ object Snapshot {
     * error — in the non-atomic fallback it may be the only complete
     * copy of the manifest, and deleting it would turn a recoverable
     * crash into permanent tag loss.
+    *
+    * Cross-JVM lost-update DETECTION (`expectedGeneration`): the
+    * in-process commit lock cannot see a second JVM, so two
+    * applications committing one tag could each read generation g and
+    * both swap — the first swap silently vanishes. With
+    * `expectedGeneration = Some(g)` the swap re-reads the destination's
+    * current generation UNDER a commit marker and throws
+    * [[ConcurrentSnapshotCommitException]] on mismatch, so the loser
+    * fails loudly with the winner's manifest intact. The marker is
+    * scheme-aware, mirroring the swap itself:
+    *  - `file:` → NIO `Files.createFile` of `.manifest.commit-marker` —
+    *    create-exclusive is a single atomic open(O_CREAT|O_EXCL);
+    *  - other schemes → `FileSystem.create(marker, overwrite=false)` —
+    *    atomic on HDFS, documented best-effort on object stores (a real
+    *    S3 deployment would use a conditional PUT for the manifest
+    *    itself and need no marker);
+    *  - a filesystem that cannot create-exclusive at all degrades to a
+    *    marker-less check-then-swap (narrow TOCTOU window, still
+    *    catches every non-adjacent race).
+    * A crashed committer can leave a stale marker; acquisition retries
+    * for ~10 s and then fails naming the marker path so an operator can
+    * remove it — blocking loudly beats corrupting silently.
     */
-  def writeManifest(s: SparkSession, root: String, m: Manifest): Unit = {
+  def writeManifest(s: SparkSession, root: String, m: Manifest,
+                    expectedGeneration: Option[Long] = None): Unit = {
     val f = fs(s, root)
     val p = f.makeQualified(manifestPath(root, m.tag))
     val tmp = new Path(p.getParent, s".${p.getName}.tmp-${java.util.UUID.randomUUID()}")
@@ -107,6 +148,21 @@ object Snapshot {
         throw e
     }
     val scheme = Option(p.toUri.getScheme).getOrElse("file")
+    val marker = expectedGeneration.map { g =>
+      val mk = acquireCommitMarker(f, p, scheme)
+      val found = currentGeneration(s, root, m.tag)
+      if (found != g) {
+        mk.foreach(release => release())
+        try f.delete(tmp, false) catch { case _: Exception => () }
+        throw new ConcurrentSnapshotCommitException(
+          s"concurrent commit on tag '${m.tag}': read generation $g but the " +
+            s"manifest is now at generation $found — a concurrent writer " +
+            "committed in the window; re-read the manifest and re-apply " +
+            "(this committer's data files are unreferenced and will be " +
+            "swept by vacuum)")
+      }
+      mk
+    }
     try {
       if (scheme == "file") {
         java.nio.file.Files.move(
@@ -136,8 +192,57 @@ object Snapshot {
         // may already be gone, making tmp the only surviving copy
         throw new java.io.IOException(
           s"manifest swap failed for ${m.tag}; recover from $tmp", e)
-    }
+    } finally marker.foreach(_.foreach(release => release()))
   }
+
+  /** Create-exclusive commit marker beside the manifest; returns a
+    * release thunk, or None when the filesystem cannot create-exclusive
+    * (degrade to marker-less check, documented in [[writeManifest]]).
+    * Retries ~10 s against a held marker, then fails naming it.
+    */
+  /** Marker acquisition patience before failing loudly — a var only so
+    * the stale-marker spec doesn't wait the full production 10 s.
+    */
+  @volatile private[graft] var commitMarkerTimeoutNanos: Long = 10L * 1000 * 1000 * 1000
+
+  private def acquireCommitMarker(f: FileSystem, manifest: Path,
+                                  scheme: String): Option[() => Unit] = {
+    val mk = new Path(manifest.getParent, s".${manifest.getName}.commit-marker")
+    val deadline = System.nanoTime() + commitMarkerTimeoutNanos
+    while (true) {
+      try {
+        if (scheme == "file") {
+          val nio = java.nio.file.Paths.get(f.makeQualified(mk).toUri)
+          java.nio.file.Files.createFile(nio)
+          return Some(() =>
+            try java.nio.file.Files.deleteIfExists(nio) catch { case _: Exception => () })
+        } else {
+          f.create(mk, false).close()
+          return Some(() =>
+            try f.delete(mk, false) catch { case _: Exception => () })
+        }
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException
+             | _: org.apache.hadoop.fs.FileAlreadyExistsException =>
+          if (System.nanoTime() > deadline)
+            throw new ConcurrentSnapshotCommitException(
+              s"commit marker $mk held for >10s — a concurrent committer is " +
+                "stuck or crashed mid-swap; verify no writer is live, then " +
+                "remove the marker to recover")
+          Thread.sleep(20)
+        case _: UnsupportedOperationException => return None
+      }
+    }
+    None // unreachable
+  }
+
+  /** The tag's current committed generation, or -1 when no manifest
+    * exists — the value a committer passes back as its swap
+    * precondition.
+    */
+  def currentGeneration(s: SparkSession, root: String, tag: String): Long =
+    try readManifest(s, root, tag).generation
+    catch { case _: java.io.FileNotFoundException => -1L }
 
   /** One existence probe (single filesystem call — listTags pays one
     * RPC per tag directory, which catalog hot paths must not).
@@ -237,9 +342,16 @@ object Snapshot {
       }
       name -> entry
     }
-    val m = Manifest(tag, parent, entries)
-    SnapshotBatchWrite.commitLock.synchronized { writeManifest(s, root, m) }
-    m
+    // OCC commit: the generation read and the preconditioned swap sit in
+    // one locked region (in-process writers serialize on the lock; a
+    // second JVM is caught by the generation precondition and fails
+    // loudly instead of silently dropping this or the other export)
+    SnapshotBatchWrite.commitLock.synchronized {
+      val g = currentGeneration(s, root, tag)
+      val m = Manifest(tag, parent, entries, generation = g + 1)
+      writeManifest(s, root, m, expectedGeneration = Some(g))
+      m
+    }
   }
 
   private def listParquetRecursive(s: SparkSession, f: FileSystem, dir: Path): Seq[FileEntry] = {

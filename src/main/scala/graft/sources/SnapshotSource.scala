@@ -877,6 +877,7 @@ case class SnapshotBatchWrite(root: String, tag: String, table: String,
     val prior =
       try Some(Snapshot.readManifest(s, root, tag))
       catch { case _: java.io.FileNotFoundException => None }
+    SnapshotBatchWrite.commitRaceHook()
     val priorEntry = if (truncateFirst) None else prior.flatMap(_.tables.get(table))
     val files = (priorEntry.map(_.files).getOrElse(Nil) ++
       committed.map(m => Snapshot.FileEntry(m.path, m.size, m.stats))).sortBy(_.path)
@@ -884,7 +885,15 @@ case class SnapshotBatchWrite(root: String, tag: String, table: String,
     val entry = Snapshot.TableEntry(files, rows, Snapshot.signatureOf(schema, rows),
       schemaJson = Some(schema.json))
     val m = prior.getOrElse(Snapshot.Manifest(tag, None, Map.empty))
-    Snapshot.writeManifest(s, root, m.copy(tables = m.tables + (table -> entry)))
+    // OCC: state the generation this read-modify-write was based on as
+    // the swap precondition — a second JVM that committed in the window
+    // turns this into a loud ConcurrentSnapshotCommitException instead
+    // of a silent lost update (in-process writers never conflict: the
+    // enclosing commitLock serializes them)
+    val readGen = prior.map(_.generation).getOrElse(-1L)
+    Snapshot.writeManifest(s, root,
+      m.copy(tables = m.tables + (table -> entry), generation = readGen + 1),
+      expectedGeneration = Some(readGen))
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
@@ -903,12 +912,25 @@ case class SnapshotBatchWrite(root: String, tag: String, table: String,
 object SnapshotBatchWrite {
   /** Serializes the manifest read-modify-write of commit() within this
     * JVM, so parallel writers in one application (e.g. two streaming
-    * queries appending to the same table) cannot lose each other's
-    * files. Cross-application coordination needs a conditional-PUT /
-    * lock service and is documented out of scope (single-writer-per-
-    * table deployment assumption, like early Delta on S3).
+    * queries appending to the same table) never even conflict. ACROSS
+    * JVMs the lock is invisible; there the manifest generation counter
+    * stated as a swap precondition (Snapshot.writeManifest) detects a
+    * lost update and fails the loser loudly — full cross-application
+    * MUTUAL EXCLUSION (blind retry loops) would still need a
+    * conditional-PUT / lock service on object stores, but an undetected
+    * silent loss is no longer possible on filesystems with atomic
+    * create-exclusive (local, HDFS).
     */
   private[sources] val commitLock = new Object
+
+  /** Test seam for the cross-JVM race: invoked after commit() reads the
+    * prior manifest and before it swaps the new one. A spec injects a
+    * SECOND session's full append here — run on the same thread, the
+    * reentrant commitLock does not stop it, which is exactly the
+    * position a second JVM is in (the in-process lock is invisible to
+    * it). Production never sets this; the default is a no-op.
+    */
+  @volatile private[graft] var commitRaceHook: () => Unit = () => ()
 }
 
 case class SnapshotCommitMessage(path: String, size: Long, rows: Long,

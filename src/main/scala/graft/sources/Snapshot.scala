@@ -195,16 +195,16 @@ object Snapshot {
     } finally marker.foreach(_.foreach(release => release()))
   }
 
-  /** Create-exclusive commit marker beside the manifest; returns a
-    * release thunk, or None when the filesystem cannot create-exclusive
-    * (degrade to marker-less check, documented in [[writeManifest]]).
-    * Retries ~10 s against a held marker, then fails naming it.
-    */
   /** Marker acquisition patience before failing loudly — a var only so
     * the stale-marker spec doesn't wait the full production 10 s.
     */
   @volatile private[graft] var commitMarkerTimeoutNanos: Long = 10L * 1000 * 1000 * 1000
 
+  /** Create-exclusive commit marker beside the manifest; returns a
+    * release thunk, or None when the filesystem cannot create-exclusive
+    * (degrade to marker-less check, documented in [[writeManifest]]).
+    * Retries ~10 s against a held marker, then fails naming it.
+    */
   private def acquireCommitMarker(f: FileSystem, manifest: Path,
                                   scheme: String): Option[() => Unit] = {
     val mk = new Path(manifest.getParent, s".${manifest.getName}.commit-marker")

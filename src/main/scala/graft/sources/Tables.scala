@@ -59,13 +59,18 @@ object Tables {
     */
   private[graft] def isParquetTypeIllegal(e: Throwable): Boolean = {
     var t: Throwable = e
-    while (t != null) {
+    // depth-capped like JDK printStackTrace: direct self-reference is
+    // guarded below, but a MULTI-node cause cycle (a→b→a) would loop
+    // forever without the cap (advice r10)
+    var depth = 0
+    while (t != null && depth < 100) {
       t match {
         case st: org.apache.spark.SparkThrowable
             if st.getCondition == "PARQUET_TYPE_ILLEGAL" => return true
         case _ =>
       }
       t = if (t.getCause ne t) t.getCause else null
+      depth += 1
     }
     false
   }

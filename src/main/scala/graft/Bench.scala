@@ -83,48 +83,19 @@ object Bench {
           sqrt((col("s2").cast("double") - col("s1").cast("double") * col("s1").cast("double") / col("n")) / col("n"))
             .cast("decimal(18,6)").cast("double").as("sd"))
         .write.mode("overwrite").format("noop").save()
-      // r10 spike adjudication (VERDICT r10 #1): Scratch ×3 at driver
-      // conditions puts q_text_stats at 0.38-0.46s steady vs 2.36s in
-      // the driver window (5.6×) and q_agg_hll_custom at 0.36-0.47s
-      // steady vs 1.51s (>3×) — both breach the 3×-steady criterion.
-      // Their un-warmed runtime families: (a) the typed-Aggregator-as-
-      // UDAF invocation path (ScalaAggregator eval, buffer encoder
-      // serialization, aggregator codegen bridge) — the r9 warmup
-      // covered ScalaUDF but NOT ScalaAggregator; (b) the distinct-
-      // rewrite aggregate machinery (partial-distinct HashAggregate,
-      // Expand for multi-distinct) plus the join-of-two-aggregates
-      // shape. Throwaway same-shape representatives, per protocol.
-      locally {
-        import org.apache.spark.sql.{Encoder, Encoders}
-        import org.apache.spark.sql.expressions.Aggregator
-        // same invocation shape as q_agg_hll_custom's HllSketch: Long
-        // input, fixed array buffer updated bitwise, double finish
-        val warmAgg = new Aggregator[Long, Array[Long], Double] {
-          def zero: Array[Long] = new Array[Long](16)
-          def reduce(b: Array[Long], a: Long): Array[Long] = {
-            b((a & 15).toInt) |= 1L << ((a >>> 4) & 63); b
-          }
-          def merge(x: Array[Long], y: Array[Long]): Array[Long] = {
-            var i = 0; while (i < 16) { x(i) |= y(i); i += 1 }; x
-          }
-          def finish(b: Array[Long]): Double =
-            b.map(java.lang.Long.bitCount(_).toDouble).sum
-          def bufferEncoder: Encoder[Array[Long]] =
-            org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
-          def outputEncoder: Encoder[Double] = Encoders.scalaDouble
-        }
-        val wu = org.apache.spark.sql.functions.udaf(warmAgg)
-        base.groupBy("g")
-          .agg(wu(col("x").cast("long")).as("sk"),
-            countDistinct(col("x")).as("d1"), countDistinct(col("s")).as("d2"))
-          .write.mode("overwrite").format("noop").save()
-        // explode → distinct → agg joined back to a plain agg
-        // (q_text_stats dataflow)
-        val toks = base.select(col("g"), explode(split(col("s"), "@")).as("tok"))
-          .distinct().groupBy("g").agg(count(lit(1)).as("nd"))
-        base.groupBy("g").agg(sum(col("x")).as("sx")).join(toks, "g")
-          .write.mode("overwrite").format("noop").save()
-      }
+      // MEASURED NEGATIVE (r11): a ScalaAggregator-as-UDAF +
+      // multi-distinct warmup block briefly lived here (r10 spike
+      // adjudication for q_text_stats 2.36s / q_agg_hll_custom 1.51s
+      // driver one-shots, ~2.5s combined above steady). Same-window
+      // A/B on the full 168-query bench: WITH the block 167.9-188.5s
+      // total, WITHOUT it 114.6-136.2s — a broad ~1.2×-median slowdown
+      // across unrelated queries (aggregates worst at ~2-2.5×),
+      // consistent with the udaf/encoder warmup leaving a C2 backlog
+      // and polluted type profiles on shared aggregate call sites that
+      // drain into the timed region. 30-50s paid to save 2.5s: block
+      // removed. Protocol amendment: any future warmup extension must
+      // be A/B-measured on the FULL bench total in one host window,
+      // not just shown to flatten its victim query.
       // small sort-merge join (q_tpch_q18 / SMJ shape)
       val l = spark.range(200000L).selectExpr("id AS k", "id % 13 AS v")
       val r = spark.range(200000L).selectExpr("id AS k", "id % 17 AS w")

@@ -100,6 +100,54 @@ object Clustering {
       .groupBy(col("cid"), col("d"))
       .agg(expr("sum(q) div count(1)").as("c"))
 
+  /** Centroids as driver-side exact integers: cid → per-dim values.
+    * Bounded by K×dim (256 longs here — same bounded-collect class as
+    * the 16-row IVF centroid read, SimilarityOps), never by data size,
+    * and exact BIGINTs, so the collected values are identical on any
+    * executor count — the engine-portable determinism is untouched.
+    */
+  private def collectCentroids(cent: DataFrame): Map[Int, Array[Long]] =
+    cent.select(col("cid").cast("int"), col("d").cast("int"), col("c"))
+      .collect()
+      .groupBy(_.getInt(0))
+      .map { case (cid, rows) =>
+        val dim = rows.iterator.map(_.getInt(1)).max + 1
+        val arr = new Array[Long](dim)
+        rows.foreach(r => arr(r.getInt(1)) = r.getLong(2))
+        cid -> arr
+      }
+
+  /** Assignment against LITERAL centroid arrays: the k distances are
+    * k parallel sum-aggregates over `get(<const array>, d)` lookups —
+    * constant-folded to one literal ArrayData each — in ONE
+    * map-side-combinable exchange on vec_id. Versus the pivoted-frame
+    * assign this removes the per-round pivot aggregate and broadcast
+    * join (two plans and a shuffle each Lloyd round), which dominated
+    * the per-round cost: the k×dim centroid table is driver-resident
+    * between rounds anyway. `get()` is null on out-of-range d and
+    * sum() skips nulls, so ragged dims degrade exactly like the old
+    * inner join on d (excess dims drop out of the distance). A
+    * centroid that lost all members is absent from the map and enters
+    * the argmin as a MaxValue candidate — identical to the oracle,
+    * where an emptied cluster disappears from the candidate set.
+    */
+  private def assignLit(pts: DataFrame, cent: Map[Int, Array[Long]]): DataFrame = {
+    val sums = (0 until K).flatMap { j =>
+      cent.get(j).map { arr =>
+        val diff = col("q") - get(array(arr.map(lit(_)): _*), col("d"))
+        sum(diff * diff).as(s"d$j")
+      }
+    }
+    val cands = (0 until K).map { j =>
+      if (cent.contains(j)) struct(col(s"d$j").as("dist"), lit(j).as("cid"))
+      else struct(lit(Long.MaxValue).as("dist"), lit(j).as("cid"))
+    }
+    pts.groupBy(col("vec_id"))
+      .agg(sums.head, sums.tail: _*)
+      .select(col("vec_id"), least(cands: _*).as("m"))
+      .select(col("vec_id"), col("m.cid").as("cid"), col("m.dist").as("dist"))
+  }
+
   /** Parameterized core shared with ScaleRehearsal (kmeans_inflated)
     * so the rehearsal measures THIS dataflow, not a copy.
     */
@@ -109,13 +157,16 @@ object Clustering {
     // re-running the scan+explode lineage (same discipline as the
     // iterative graph operators)
     val pts = pointsOf(emb).localCheckpoint()
-    // centroids are k×dim rows — checkpoint each round so iteration
-    // N's plan doesn't re-optimize (and re-codegen) rounds 1..N-1
-    // nested inside it; the composed one-shot DAG was plan-compile
-    // bound, not I/O bound
-    var cent = initFrom(emb, pts)
-    for (_ <- 1 to Iters) cent = update(pts, assign(pts, cent)).localCheckpoint()
-    assign(pts, cent)
+    // r11: centroids round-trip through the driver as literals (see
+    // assignLit) instead of localCheckpointed frames — measured 2.0s
+    // steady / 6.9s one-shot with the pivoted-frame formulation at
+    // sf0.1 CPUS=32, plan-compile bound (jit+22s forensics in the r11
+    // s1 bench window), since each round compiled a pivot + broadcast
+    // join + two aggregates; the literal form compiles one aggregate
+    // per round
+    var cent = collectCentroids(initFrom(emb, pts))
+    for (_ <- 1 to Iters) cent = collectCentroids(update(pts, assignLit(pts, cent)))
+    assignLit(pts, cent)
       .groupBy(col("cid"))
       .agg(count(lit(1)).as("n_vecs"), sum(col("dist")).as("inertia_q"))
       // BIGINT cid to exactly match the oracle's row_number()-derived

@@ -62,6 +62,23 @@ class ClusteringSpec extends SparkSpec {
       "clone inflation must scale every cluster's size and inertia by exactly K")
   }
 
+  test("kmeans: emptied centroids leave the candidate set (literal-assign MaxValue path)") {
+    // four identical vectors + two distant ones: init takes the four
+    // identical vectors (ids 0-3), so round 1 has four coincident
+    // centroids, every point ties to cid 0 (argmin breaks ties low),
+    // cids 1-3 empty, and the next round's centroid map carries cid 0
+    // alone — the absent-centroid MaxValue candidates must never win
+    // and the loop must not throw on a shrunken map
+    import spark.implicits._
+    val emb = Seq(
+      (0L, Array(0f, 0f)), (1L, Array(0f, 0f)), (2L, Array(0f, 0f)),
+      (3L, Array(0f, 0f)), (4L, Array(10f, 10f)), (5L, Array(10f, 10f))
+    ).toDF("vec_id", "embedding")
+    val out = Clustering.kmeansImpl(emb).collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(0L), "only cid 0 should survive")
+    assert(out.head.getLong(1) == 6L, "all six vectors must land in cid 0")
+  }
+
   test("kmeans: every vector is assigned to its genuinely nearest final centroid") {
     // recompute distances naively on the driver from the quantized points
     val pts = Clustering.points(spark, sf).collect()

@@ -508,24 +508,35 @@ object Snapshot {
     * (which swaps the manifest and leaves the previous generation's
     * files on disk) and to crashed writes (files landed, commit never
     * did). Walks every manifest first, so a file referenced by ANY tag
-    * (including parents linked incrementally) survives. Like every
-    * metadata-pointer table format, this assumes a quiesced root — a
-    * production deployment adds a modification-time grace window so an
-    * in-flight uncommitted write is never swept; fixtures are
-    * single-writer so the window is zero here.
+    * (including parents linked incrementally) survives.
+    *
+    * `graceMillis` closes the in-flight-writer race a quiesced-root
+    * assumption leaves open: an export or DSv2 append lands its data
+    * files BEFORE its manifest commit, so a concurrent vacuum sees
+    * them as unreferenced and would sweep them — the writer then
+    * commits a manifest pointing at deleted files (lost data, found
+    * loudly only at read time). A file younger than the window is
+    * never swept regardless of reference state — the same
+    * modification-time discipline Delta's VACUUM retention and
+    * Iceberg's remove_orphan_files `older_than` use. Default 0 keeps
+    * the single-writer fixture behavior (sweep everything
+    * unreferenced); a concurrent deployment passes a window
+    * comfortably above its longest write+commit latency.
     */
-  def vacuum(s: SparkSession, root: String): Seq[String] = {
+  def vacuum(s: SparkSession, root: String, graceMillis: Long = 0L): Seq[String] = {
     val f = fs(s, root)
     val referenced = listTags(s, root).flatMap { t =>
       readManifest(s, root, t).tables.values.flatMap(_.files)
         .map(fe => f.makeQualified(new Path(fe.path)).toString)
     }.toSet
+    val cutoff = System.currentTimeMillis() - graceMillis
     val doomed = scala.collection.mutable.ArrayBuffer.empty[String]
     val it = f.listFiles(new Path(root), true)
     while (it.hasNext) {
       val st = it.next()
       val q = f.makeQualified(st.getPath).toString
-      if (st.getPath.getName.endsWith(".parquet") && !referenced.contains(q))
+      if (st.getPath.getName.endsWith(".parquet") && !referenced.contains(q)
+          && st.getModificationTime <= cutoff)
         doomed += q
     }
     doomed.foreach(p => f.delete(new Path(p), false))

@@ -111,6 +111,40 @@ class SnapshotSpec extends SparkSpec {
     assert(Snapshot.read(spark, root, "live", "nation").count() == 5)
   }
 
+  test("vacuum grace window protects in-flight writes; aged orphans still sweep") {
+    // the in-flight-writer race: data files land BEFORE the manifest
+    // commit, so a concurrent vacuum sees them as unreferenced; with a
+    // grace window a YOUNG orphan (in-flight write) survives, an AGED
+    // one (genuinely abandoned) sweeps, and referenced files survive
+    // at any age
+    val root = Files.createTempDirectory("snap_grace").toString
+    Snapshot.export(spark, Map("nation" -> Tables.nation(spark, sf)), root, "live")
+    val inflight = s"$root/live/nation_new/g-pending"
+    Tables.region(spark, sf).write.parquet(inflight)
+    val f = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def orphans() = {
+      val it = f.listFiles(new org.apache.hadoop.fs.Path(inflight), true)
+      val b = Seq.newBuilder[org.apache.hadoop.fs.Path]
+      while (it.hasNext) { val st = it.next()
+        if (st.getPath.getName.endsWith(".parquet")) b += st.getPath }
+      b.result()
+    }
+    val pending = orphans()
+    assert(pending.nonEmpty)
+    // young orphan + 1h grace → survives (the in-flight write)
+    assert(Snapshot.vacuum(spark, root, graceMillis = 3600L * 1000).isEmpty)
+    assert(pending.forall(f.exists), "in-flight files swept inside the grace window")
+    // age the orphan past the window → swept; the committed export survives
+    pending.foreach(p => f.setTimes(p, System.currentTimeMillis() - 7200L * 1000, -1))
+    val swept = Snapshot.vacuum(spark, root, graceMillis = 3600L * 1000)
+    assert(swept.nonEmpty && pending.forall(p => !f.exists(p)),
+      s"aged orphans must sweep: $swept")
+    assert(Snapshot.read(spark, root, "live", "nation").count() ==
+      Tables.nation(spark, sf).count(),
+      "referenced files must survive vacuum at any age")
+  }
+
   test("retention protection is TRANSITIVE across inheritance chains") {
     // g -> p -> k where p inherited B from g and k inherited A from p:
     // keeping only k must also keep p (A's owner) AND g (B's owner,

@@ -244,6 +244,24 @@ object Snapshot {
     try readManifest(s, root, tag).generation
     catch { case _: java.io.FileNotFoundException => -1L }
 
+  /** The DSv2 path serves FLAT entries only: a hive-partitioned
+    * entry's partition values are directory-encoded, absent from the
+    * parquet files themselves, so the DSv2 row reader fails mid-scan
+    * on the partition column (executor-side InvalidRecordException) —
+    * and a column-pruned read that skips it would silently serve a
+    * partial view, while a DSv2 append would link flat files into the
+    * partitioned layout and corrupt it. Fail at LOAD time with the
+    * correct path instead: [[read]] decodes partition dirs and prunes
+    * partitions; [[export]] writes them.
+    */
+  private[sources] def requireUnpartitioned(table: String, entry: TableEntry): Unit =
+    if (entry.partitionBy.nonEmpty)
+      throw new UnsupportedOperationException(
+        s"snapshot table '$table' is hive-partitioned " +
+          s"(partitionBy=${entry.partitionBy.mkString(",")}): the DSv2 source serves " +
+          "flat entries only — read it with Snapshot.read (partition-dir decoding + " +
+          "partition pruning) and write it with Snapshot.export")
+
   /** One existence probe (single filesystem call — listTags pays one
     * RPC per tag directory, which catalog hot paths must not).
     */

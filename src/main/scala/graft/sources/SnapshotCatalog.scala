@@ -117,6 +117,7 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces {
       // a legacy pre-schemaJson entry exists but cannot be served; the
       // catalog contract's catchable signal is NoSuchTableException
       .getOrElse(noSuchTable(ident))
+    Snapshot.requireUnpartitioned(actualName, entry)
     // owner = the session loading the table (loadTable runs on the
     // querying session's analysis thread) — captured ONCE here so
     // later builder/commit callbacks on Spark-internal threads never

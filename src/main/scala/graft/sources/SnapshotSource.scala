@@ -210,6 +210,7 @@ class SnapshotSource extends TableProvider {
     val owner = SparkSession.active
     manifest.flatMap(_.tables.get(table)) match {
       case Some(entry) =>
+        Snapshot.requireUnpartitioned(table, entry)
         SnapshotTable(table, schema, entry.files,
           entry.files.map(_.size).sum, entry.rows, root, tag,
           writable = asOf.isEmpty)(owner)

@@ -957,6 +957,27 @@ case class SnapshotBatchWrite(root: String, tag: String, table: String,
       catch { case _: java.io.FileNotFoundException => None }
     SnapshotBatchWrite.commitRaceHook()
     val priorEntry = if (truncateFirst) None else prior.flatMap(_.tables.get(table))
+    // Appends must match the entry's schema EXACTLY (names+types+order;
+    // catalogString ignores nullability/metadata, same normalization as
+    // the signature): the provider serves external metadata, so Spark
+    // hands the QUERY's schema through to this write without validating
+    // it against the entry — an unchecked wider append would stamp the
+    // new schema over a file set whose older files lack the new
+    // columns, committing a table that reads fine under pruning and
+    // fails mid-scan (executor InvalidRecordException) the first time
+    // the new column is touched. Checked HERE, under the commit lock,
+    // where the prior entry is authoritative; overwrite (truncate)
+    // replaces the file set wholesale, so a schema change there is
+    // legitimate evolution.
+    priorEntry.flatMap(_.schemaJson).foreach { pj =>
+      val priorSchema = DataType.fromJson(pj).asInstanceOf[StructType]
+      if (priorSchema.catalogString != schema.catalogString)
+        throw new IllegalArgumentException(
+          s"schema mismatch appending to snapshot table '$table': the entry is " +
+            s"${priorSchema.catalogString} but the append writes " +
+            s"${schema.catalogString} — appended files must match the entry " +
+            "schema exactly; use overwrite (truncate) to change it")
+    }
     val files = (priorEntry.map(_.files).getOrElse(Nil) ++
       committed.map(m => Snapshot.FileEntry(m.path, m.size, m.stats))).sortBy(_.path)
     val rows = priorEntry.map(_.rows).getOrElse(0L) + committed.map(_.rows).sum

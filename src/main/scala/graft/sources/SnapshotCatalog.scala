@@ -123,7 +123,8 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces {
     // later builder/commit callbacks on Spark-internal threads never
     // consult SparkSession.active themselves (advice r9)
     SnapshotTable(actualName, schema, entry.files,
-      entry.files.map(_.size).sum, entry.rows, root, tag, writable = writable)(spark)
+      entry.files.map(_.size).sum, entry.rows, root, tag, writable = writable,
+      entrySchemaJson = entry.schemaJson)(spark)
   }
 
   /** ONE fresh manifest resolution per call (freshness invariant). */

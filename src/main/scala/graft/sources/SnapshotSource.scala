@@ -213,7 +213,7 @@ class SnapshotSource extends TableProvider {
         Snapshot.requireUnpartitioned(table, entry)
         SnapshotTable(table, schema, entry.files,
           entry.files.map(_.size).sum, entry.rows, root, tag,
-          writable = asOf.isEmpty)(owner)
+          writable = asOf.isEmpty, entrySchemaJson = entry.schemaJson)(owner)
       // write target only: reading it must still fail loudly (see
       // newScanBuilder) — a typo'd tag/table on a READ that happens to
       // carry the schema option must not become a silent empty result
@@ -233,7 +233,8 @@ class SnapshotSource extends TableProvider {
 case class SnapshotTable(tableName: String, tableSchema: StructType,
                          files: Seq[Snapshot.FileEntry],
                          totalBytes: Long, rows: Long, root: String = "", tag: String = "",
-                         existed: Boolean = true, writable: Boolean = true)(
+                         existed: Boolean = true, writable: Boolean = true,
+                         entrySchemaJson: Option[String] = None)(
                          val owner: SparkSession)
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite {
@@ -246,6 +247,22 @@ case class SnapshotTable(tableName: String, tableSchema: StructType,
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     if (!existed) throw new IllegalArgumentException(
       s"table $tableName not in snapshot $tag — it exists only as a write target")
+    // The provider serves external metadata (writes need that channel),
+    // so a user's `.schema(...)` on a READ flows straight through to
+    // this table — a drifted one would read the entry's files under the
+    // wrong shape (mid-scan InvalidRecordException on a phantom column,
+    // or silently re-typed values). The snapshot's committed schema is
+    // authoritative on reads; reject overrides HERE, the read-only
+    // choke point, so overwrite-based schema evolution (which goes
+    // through newWriteBuilder + the commit-time append check) is
+    // unaffected.
+    entrySchemaJson.map(DataType.fromJson(_).asInstanceOf[StructType]).foreach { es =>
+      if (es.catalogString != tableSchema.catalogString)
+        throw new IllegalArgumentException(
+          s"user-specified read schema ${tableSchema.catalogString} does not match " +
+            s"snapshot table '$tableName''s committed schema ${es.catalogString} — " +
+            "drop .schema(...): the snapshot's own schema is authoritative on reads")
+    }
     new SnapshotScanBuilder(tableSchema, files, totalBytes, rows, owner)
   }
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {

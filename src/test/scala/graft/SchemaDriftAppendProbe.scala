@@ -44,6 +44,27 @@ class SchemaDriftAppendProbe extends SparkSpec {
     val retyped = v1.withColumn("n_nationkey", col("n_nationkey").cast("long"))
     val e2 = intercept[Throwable] { write(root, retyped, "append") }
     assert(chain(e2).exists(t => Option(t.getMessage).exists(_.contains("schema mismatch"))))
+    // the refused commits' executor files must not linger: Spark aborts
+    // the batch on commit failure (abort() deletes the part files), and
+    // anything a crash could still strand is exactly vacuum's orphan
+    // contract — so after a zero-grace vacuum the table dir holds only
+    // the committed generation's files
+    graft.sources.Snapshot.vacuum(spark, root)
+    val committed = graft.sources.Snapshot.readManifest(spark, root, "t")
+      .tables("n").files.map(_.path).toSet
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val onDisk = {
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(root), true)
+      val b = Set.newBuilder[String]
+      while (it.hasNext) { val st = it.next()
+        if (st.getPath.getName.endsWith(".parquet"))
+          b += fs.makeQualified(st.getPath).toString }
+      b.result()
+    }
+    assert(onDisk == committed.map(p =>
+      fs.makeQualified(new org.apache.hadoop.fs.Path(p)).toString),
+      s"refused appends left stray files: ${onDisk.size} on disk vs ${committed.size} committed")
   }
 
   test("matching-schema append still works; overwrite is the schema-evolution path") {

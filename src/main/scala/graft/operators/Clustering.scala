@@ -106,14 +106,18 @@ object Clustering {
     * and exact BIGINTs, so the collected values are identical on any
     * executor count — the engine-portable determinism is untouched.
     */
-  private def collectCentroids(cent: DataFrame): Map[Int, Array[Long]] =
+  private def collectCentroids(cent: DataFrame): Map[Int, Array[java.lang.Long]] =
     cent.select(col("cid").cast("int"), col("d").cast("int"), col("c"))
       .collect()
       .groupBy(_.getInt(0))
       .map { case (cid, rows) =>
+        // boxed with nulls, NOT zero-filled: a null mean (every member's
+        // element null at this position) must SKIP the dimension in the
+        // distance, exactly like the pivoted frame's null cell — a 0
+        // would charge (q-0)² instead
         val dim = rows.iterator.map(_.getInt(1)).max + 1
-        val arr = new Array[Long](dim)
-        rows.foreach(r => arr(r.getInt(1)) = r.getLong(2))
+        val arr = new Array[java.lang.Long](dim)
+        rows.foreach(r => if (!r.isNullAt(2)) arr(r.getInt(1)) = r.getLong(2))
         cid -> arr
       }
 
@@ -131,10 +135,12 @@ object Clustering {
     * the argmin as a MaxValue candidate — identical to the oracle,
     * where an emptied cluster disappears from the candidate set.
     */
-  private def assignLit(pts: DataFrame, cent: Map[Int, Array[Long]]): DataFrame = {
+  private def assignLit(pts: DataFrame, cent: Map[Int, Array[java.lang.Long]]): DataFrame = {
     val sums = (0 until K).flatMap { j =>
       cent.get(j).map { arr =>
-        val diff = col("q") - get(array(arr.map(lit(_)): _*), col("d"))
+        val lits = arr.map(v =>
+          if (v == null) lit(null).cast("long") else lit(v.longValue()))
+        val diff = col("q") - get(array(lits.toIndexedSeq: _*), col("d"))
         sum(diff * diff).as(s"d$j")
       }
     }
@@ -165,6 +171,11 @@ object Clustering {
     // join + two aggregates; the literal form compiles one aggregate
     // per round
     var cent = collectCentroids(initFrom(emb, pts))
+    // empty input ⇒ no centroids ⇒ nothing to assign: return the empty
+    // report directly (assignLit's agg needs ≥1 candidate to build)
+    if (cent.isEmpty)
+      return pts.select(col("vec_id").cast("long").as("cid"),
+        lit(0L).as("n_vecs"), lit(0L).as("inertia_q")).where(lit(false))
     for (_ <- 1 to Iters) cent = collectCentroids(update(pts, assignLit(pts, cent)))
     assignLit(pts, cent)
       .groupBy(col("cid"))

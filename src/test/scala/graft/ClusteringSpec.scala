@@ -79,6 +79,41 @@ class ClusteringSpec extends SparkSpec {
     assert(out.head.getLong(1) == 6L, "all six vectors must land in cid 0")
   }
 
+  test("kmeans on an empty embeddings table returns an empty report, not a plan error") {
+    import spark.implicits._
+    val emb = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    val out = Clustering.kmeansImpl(emb)
+    assert(out.columns.toSeq == Seq("cid", "n_vecs", "inertia_q"))
+    assert(out.count() == 0L)
+  }
+
+  test("kmeans: a null embedding element skips the dimension, matching the frame formulation") {
+    // vec 4's element 1 is null; the literal-centroid assign must charge
+    // only the non-null dims — identical to the pivoted frame's
+    // null-cell skip and the oracle's inner-join drop. Cross-check the
+    // two formulations end-to-end on the ragged input.
+    import spark.implicits._
+    val emb = Seq(
+      (0L, Array[java.lang.Float](0f, 0f)), (1L, Array[java.lang.Float](1f, 1f)),
+      (2L, Array[java.lang.Float](10f, 10f)), (3L, Array[java.lang.Float](11f, 11f)),
+      (4L, Array[java.lang.Float](10f, null))
+    ).toDF("vec_id", "embedding")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val lit = rows(Clustering.kmeansImpl(emb))
+    // frame formulation of the same two Lloyd rounds + final report
+    val pts = Clustering.pointsOf(emb)
+    var cent = Clustering.initCentroidsOf(emb)
+    for (_ <- 1 to 2) cent = Clustering.update(pts, Clustering.assign(pts, cent))
+    val frame = Clustering.assign(pts, cent)
+      .groupBy(col("cid"))
+      .agg(count(org.apache.spark.sql.functions.lit(1)).as("n_vecs"),
+        sum(col("dist")).as("inertia_q"))
+      .select(col("cid").cast("long").as("cid"), col("n_vecs"), col("inertia_q"))
+      .orderBy("cid")
+    assert(lit == rows(frame), "literal and frame formulations diverged on a null element")
+  }
+
   test("kmeans: every vector is assigned to its genuinely nearest final centroid") {
     // recompute distances naively on the driver from the quantized points
     val pts = Clustering.points(spark, sf).collect()

@@ -67,6 +67,26 @@ class SchemaDriftAppendProbe extends SparkSpec {
       s"refused appends left stray files: ${onDisk.size} on disk vs ${committed.size} committed")
   }
 
+  test("cross-writer: a DSv2 append onto an EXPORT-created entry passes the schema check") {
+    // the commit-time check compares against the schemaJson the export
+    // recorded — a same-shape append from the other writer must not be
+    // falsely rejected, and the generation chain must continue
+    val root = java.nio.file.Files.createTempDirectory("snap_xwriter").toString
+    val v1 = Tables.nation(spark, sf).select(col("n_nationkey"), col("n_name"))
+    graft.sources.Snapshot.export(spark, Map("n" -> v1), root, "t")
+    v1.write.format("graft.sources.SnapshotSource")
+      .option("root", root).option("tag", "t").option("table", "n")
+      .option("schema", v1.schema.json).mode("append").save()
+    assert(readBack(root).count() == v1.count() * 2)
+    assert(graft.sources.Snapshot.readManifest(spark, root, "t").generation == 1L)
+    // and a drifted cross-writer append is rejected like any other
+    val wider = v1.withColumn("extra", lit(1L))
+    val e = intercept[Throwable] { write(root, wider, "append") }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString("|")
+    assert(msgs.contains("schema mismatch"), msgs)
+  }
+
   test("matching-schema append still works; overwrite is the schema-evolution path") {
     val root = Files.createTempDirectory("snap_drift_ok").toString
     val v1 = Tables.nation(spark, sf).select(col("n_nationkey"), col("n_name"))

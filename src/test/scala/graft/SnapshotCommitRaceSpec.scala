@@ -132,6 +132,27 @@ class SnapshotCommitRaceSpec extends SparkSpec {
     assert(Snapshot.readManifest(spark, root, "g1").generation == 2L)
   }
 
+  test("a HELD commit marker released mid-retry lets the waiting committer through") {
+    // the acquisition loop's success branch: a live committer holds the
+    // marker briefly, the waiter retries and then commits — blocking
+    // then succeeding, not failing
+    val root = Files.createTempDirectory("snap_race_wait").toString
+    val t = Snapshot.TableEntry(Nil, 1L, "sig-a")
+    Snapshot.writeManifest(spark, root,
+      Snapshot.Manifest("g1", None, Map("a" -> t), generation = 0L))
+    val marker = new java.io.File(s"$root/g1/.manifest.json.commit-marker")
+    assert(marker.createNewFile())
+    val releaser = new Thread(() => { Thread.sleep(150); marker.delete(); () })
+    releaser.start()
+    try {
+      Snapshot.writeManifest(spark, root,
+        Snapshot.Manifest("g1", None, Map("a" -> t), generation = 1L),
+        expectedGeneration = Some(0L))
+      assert(Snapshot.readManifest(spark, root, "g1").generation == 1L)
+      assert(!marker.exists(), "the committer must release its own marker after the swap")
+    } finally releaser.join()
+  }
+
   test("stale commit marker fails loudly, naming the marker") {
     val root = Files.createTempDirectory("snap_race_marker").toString
     val t = Snapshot.TableEntry(Nil, 1L, "sig-a")

@@ -130,12 +130,17 @@ object Clustering {
     * the per-round cost: the k×dim centroid table is driver-resident
     * between rounds anyway. `get()` is null on out-of-range d and
     * sum() skips nulls, so ragged dims degrade exactly like the old
-    * inner join on d (excess dims drop out of the distance). A
+    * inner join on d (excess dims drop out of the distance) — and when
+    * EVERY dim of a point drops out against some present centroid the
+    * sum itself is null, so the candidate coalesces to +∞ exactly like
+    * the pivoted frame's emptied-pivot cell (least() over structs
+    * otherwise ranks a null dist field FIRST on this Spark build,
+    * which would hand the argmin to the degenerate centroid). A
     * centroid that lost all members is absent from the map and enters
     * the argmin as a MaxValue candidate — identical to the oracle,
     * where an emptied cluster disappears from the candidate set.
     */
-  private def assignLit(pts: DataFrame, cent: Map[Int, Array[java.lang.Long]]): DataFrame = {
+  private[graft] def assignLit(pts: DataFrame, cent: Map[Int, Array[java.lang.Long]]): DataFrame = {
     val sums = (0 until K).flatMap { j =>
       cent.get(j).map { arr =>
         val lits = arr.map(v =>
@@ -145,7 +150,8 @@ object Clustering {
       }
     }
     val cands = (0 until K).map { j =>
-      if (cent.contains(j)) struct(col(s"d$j").as("dist"), lit(j).as("cid"))
+      if (cent.contains(j))
+        struct(coalesce(col(s"d$j"), lit(Long.MaxValue)).as("dist"), lit(j).as("cid"))
       else struct(lit(Long.MaxValue).as("dist"), lit(j).as("cid"))
     }
     pts.groupBy(col("vec_id"))

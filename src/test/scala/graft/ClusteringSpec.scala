@@ -114,6 +114,34 @@ class ClusteringSpec extends SparkSpec {
     assert(lit == rows(frame), "literal and frame formulations diverged on a null element")
   }
 
+  test("assignLit: a present centroid null at every dim of a point loses the argmin, not wins with null dist") {
+    // Centroid 1 is PRESENT in the map but its mean is null at both of
+    // vec 0's dims (all-member-null column), and centroid 2's array is
+    // too short for vec 1's only dim (ragged out-of-range get). In both
+    // cases the point's distance sum to that centroid is null; least()
+    // over structs ranks a null dist field FIRST on this Spark build,
+    // so without the coalesce-to-MaxValue the degenerate centroid would
+    // STEAL the argmin with dist=null — diverging from assign()'s
+    // pivoted-frame coalesce and from the oracle's inner-join drop.
+    import spark.implicits._
+    val pts = Seq(
+      (0L, 0, 2000000L), (0L, 1, 2000000L), // vec 0: dims 0,1
+      (1L, 1, 3000000L)                      // vec 1: dim 1 only
+    ).toDF("vec_id", "d", "q")
+    val cent = Map(
+      0 -> Array[java.lang.Long](2000000L, 3000000L),
+      1 -> Array[java.lang.Long](null, null), // null at every dim of vec 0
+      2 -> Array[java.lang.Long](9000000L)    // out-of-range for vec 1's d=1
+    )
+    val out = Clustering.assignLit(pts, cent).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2))).toMap
+    // vec 0: d(c0) = 0 + 1e6²; c1 null-sum must coalesce to +∞, not win
+    assert(out(0L) == (0, 1000000L * 1000000L),
+      s"vec 0 must go to centroid 0, got ${out(0L)}")
+    // vec 1: d(c0) = 0 at dim 1; c2's short array must coalesce, not win
+    assert(out(1L) == (0, 0L), s"vec 1 must go to centroid 0, got ${out(1L)}")
+  }
+
   test("kmeans: every vector is assigned to its genuinely nearest final centroid") {
     // recompute distances naively on the driver from the quantized points
     val pts = Clustering.points(spark, sf).collect()

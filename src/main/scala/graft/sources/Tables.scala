@@ -98,16 +98,49 @@ object Tables {
     normalizeEventsTs(s.readStream.schema(landed).parquet(streamDir))
   }
 
+  /** Smallest INT64 `ts` the ns-long branch accepts as a plausible
+    * nanosecond epoch: 1e17 ns ≈ 1973-03. Every µs/ms/s encoding of
+    * any date up to year ~5000 sits ORDERS below it (µs(5000) ≈
+    * 9.5e16), while every ns epoch after 1973 sits above — so one
+    * codegen'd compare cleanly separates "really nanoseconds" from
+    * "some finer-grained unit landed behind an ns-declared schema".
+    */
+  private val MinPlausibleNs = 100000000000000000L // 1e17
+
   /** The one place that knows how to turn a landed `ts` column into a
     * µs TimestampType — shared by the batch reader above and the
     * streaming helper (whose `readStream.schema(...)` must declare the
     * landed type, then normalize identically).
+    *
+    * Streaming drift behavior (probed empirically, r12 — the declared
+    * schema is sampled ONCE from `fixtureFile`, but files keep landing
+    * afterwards and may not match it):
+    *  - µs-declared schema, ns file lands → the parquet vectorized
+    *    reader fails the micro-batch loudly with
+    *    [FAILED_READ_FILE.PARQUET_COLUMN_DATA_TYPE_MISMATCH] naming
+    *    the file (mid-stream, not our named error, but impossible to
+    *    miss and never wrong data).
+    *  - ns-declared schema, µs file lands → the reader happily decodes
+    *    ANY INT64 physical column into the declared LongType, so
+    *    `div 1000` would silently compress every instant 1000× — the
+    *    one SILENT member of the class. The per-row tripwire below
+    *    turns it into a named error at first touch.
     */
   private[graft] def normalizeEventsTs(df: DataFrame): DataFrame = {
-    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.functions.{col, concat, expr, lit, raise_error, timestamp_micros, when}
     import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     df.schema("ts").dataType match {
-      case LongType         => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case LongType =>
+        // drift tripwire: see scaladoc. One codegen'd compare per row;
+        // `div` keeps the exact integer division of the original form
+        // (a double division would lose the low µs digits at ~1.7e18).
+        val ns = when(col("ts").isNull || col("ts") >= MinPlausibleNs, col("ts"))
+          .otherwise(raise_error(concat(
+            lit("events.ts INT64 value "), col("ts").cast("string"),
+            lit(s" is below $MinPlausibleNs — too small for a nanosecond epoch; " +
+              "a µs/ms-encoded file behind an ns-declared schema? (encoding drift)"))))
+        df.withColumn("ts", ns) // guarded, still LongType
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
       case TimestampType    => df
       case other => throw new IllegalStateException(

@@ -133,6 +133,21 @@ object Snapshot {
     * A crashed committer can leave a stale marker; acquisition retries
     * for ~10 s and then fails naming the marker path so an operator can
     * remove it — blocking loudly beats corrupting silently.
+    *
+    * Behavior table (race = two committers with the same
+    * expectedGeneration; "adjacent" = their check and swap windows
+    * overlap, "non-adjacent" = one fully commits before the other
+    * swaps). SnapshotNoExclusiveFsSpec drives the degraded row:
+    * {{{
+    * store capability            marker mechanism        adjacent race      non-adjacent race
+    * file:                       NIO O_CREAT|O_EXCL      caught (marker)    caught (generation)
+    * create-exclusive (HDFS)     create(overwrite=false) caught (marker)    caught (generation)
+    * best-effort create (S3-ish) create(overwrite=false) likely caught      caught (generation)
+    * no create-exclusive (UOE)   none (degraded)         TOCTOU window      caught (generation)
+    * }}}
+    * In every row the non-adjacent lost-update class — the one that
+    * silently discards a committed manifest — is caught by the
+    * generation re-read; only marker quality varies.
     */
   def writeManifest(s: SparkSession, root: String, m: Manifest,
                     expectedGeneration: Option[Long] = None): Unit = {

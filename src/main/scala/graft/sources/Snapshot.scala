@@ -555,6 +555,16 @@ object Snapshot {
     * the single-writer fixture behavior (sweep everything
     * unreferenced); a concurrent deployment passes a window
     * comfortably above its longest write+commit latency.
+    *
+    * Clock-skew honesty (r12 advice): file mtimes are stamped by the
+    * STORAGE system, so comparing them against the vacuum driver's
+    * own clock silently shrinks (or inverts) the grace window by the
+    * skew between the two. When a grace window is in play, "now" is
+    * therefore derived from the filesystem itself — the mtime of a
+    * freshly-created probe file under `root` — so both sides of the
+    * comparison come from the same clock and skew cancels. If the
+    * probe cannot be created the driver clock is the fallback, and
+    * graceMillis must then also cover worst-case skew.
     */
   def vacuum(s: SparkSession, root: String, graceMillis: Long = 0L): Seq[String] = {
     val f = fs(s, root)
@@ -562,7 +572,15 @@ object Snapshot {
       readManifest(s, root, t).tables.values.flatMap(_.files)
         .map(fe => f.makeQualified(new Path(fe.path)).toString)
     }.toSet
-    val cutoff = System.currentTimeMillis() - graceMillis
+    val now =
+      if (graceMillis <= 0L) System.currentTimeMillis()
+      else try {
+        val probe = new Path(root, s".vacuum-probe-${java.util.UUID.randomUUID()}")
+        f.create(probe, false).close()
+        try f.getFileStatus(probe).getModificationTime
+        finally f.delete(probe, false)
+      } catch { case _: Exception => System.currentTimeMillis() }
+    val cutoff = now - graceMillis
     val doomed = scala.collection.mutable.ArrayBuffer.empty[String]
     val it = f.listFiles(new Path(root), true)
     while (it.hasNext) {

@@ -39,10 +39,24 @@ object Snapshot {
                        stats: Map[String, ColumnStats] = Map.empty)
   /** `dir` is set for hive-partitioned tables (partition values are
     * directory-encoded, so readers need the base dir, not bare files).
+    *
+    * `txns` is the per-table idempotence ledger for at-least-once
+    * writers (the Delta `SetTransaction` discipline): latest committed
+    * `txnVersion` per `txnAppId`. A DSv2 write carrying
+    * `option("txnAppId", app).option("txnVersion", v)` commits only if
+    * `v` is GREATER than the recorded version for `app` — a replayed
+    * streaming micro-batch (foreachBatch re-run after a crash between
+    * the checkpoint's offset and commit writes) re-arrives with the
+    * same batchId and becomes a no-op instead of a double-append.
+    * The ledger survives overwrites (writer progress is orthogonal to
+    * data replacement), so a pipeline restarting from a FRESH
+    * checkpoint must use a fresh txnAppId — same rule Delta documents.
+    * Manifests written before this field parse as an empty ledger.
     */
   case class TableEntry(files: Seq[FileEntry], rows: Long, signature: String,
                         dir: Option[String] = None, partitionBy: Seq[String] = Nil,
-                        schemaJson: Option[String] = None)
+                        schemaJson: Option[String] = None,
+                        txns: Map[String, Long] = Map.empty)
   /** `generation` is the tag's optimistic-concurrency version: every
     * committed manifest carries the predecessor's generation + 1, and a
     * committer states the generation it READ as a swap precondition

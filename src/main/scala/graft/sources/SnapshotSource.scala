@@ -938,6 +938,12 @@ class SnapshotPartitionReader(file: String, required: StructType,
   * the old generation's files stay on disk for time-travel until
   * retention removes them, exactly like the export pipeline's
   * incremental links.
+  *
+  * At-least-once writers (streaming foreachBatch) pass
+  * `txnAppId`/`txnVersion` to make replayed micro-batches no-ops —
+  * see [[graft.sources.Snapshot.TableEntry]] `txns` and the commit
+  * body below (SnapshotStreamRecoverySpec probes the failure mode and
+  * the guarantee).
   */
 class SnapshotWriteBuilder(root: String, tag: String, table: String,
                            info: org.apache.spark.sql.connector.write.LogicalWriteInfo,
@@ -945,6 +951,33 @@ class SnapshotWriteBuilder(root: String, tag: String, table: String,
     extends org.apache.spark.sql.connector.write.WriteBuilder
     with org.apache.spark.sql.connector.write.SupportsTruncate {
   private var truncateFirst = false
+
+  /** Idempotent-writer identity (`txnAppId`/`txnVersion` write options
+    * — see [[Snapshot.TableEntry]] `txns`). Parsed HERE, driver-side at
+    * build time, so a malformed pair fails the query before any
+    * executor writes a file: an at-least-once writer whose idempotence
+    * key silently failed to parse would be a correctness bug dressed as
+    * a fallback.
+    */
+  private val txn: Option[(String, Long)] = {
+    val o = info.options()
+    (Option(o.get("txnAppId")), Option(o.get("txnVersion"))) match {
+      case (Some(app), Some(ver)) =>
+        if (app.isEmpty) throw new IllegalArgumentException(
+          s"txnAppId must be non-empty for an idempotent write to snapshot table '$table'")
+        val v = try ver.toLong catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"txnVersion '$ver' is not a long (snapshot table '$table') — pass the " +
+              "micro-batch id (or any per-writer monotonic version)")
+        }
+        Some(app -> v)
+      case (None, None) => None
+      case (app, _) => throw new IllegalArgumentException(
+        s"snapshot table '$table': txnAppId and txnVersion must be set together " +
+          s"(got ${if (app.isDefined) "txnAppId without txnVersion" else "txnVersion without txnAppId"})")
+    }
+  }
+
   override def truncate(): org.apache.spark.sql.connector.write.WriteBuilder = {
     truncateFirst = true; this
   }
@@ -956,14 +989,15 @@ class SnapshotWriteBuilder(root: String, tag: String, table: String,
         // the session itself rides along for commit()'s manifest
         // read-modify-write, which runs on a Spark-internal thread
         // where SparkSession.active is not trustworthy (advice r9)
-        SnapshotBatchWrite(root, tag, table, info.schema().json, truncateFirst)(
+        SnapshotBatchWrite(root, tag, table, info.schema().json, truncateFirst, txn)(
           owner, new SerializableConfiguration(
             owner.sessionState.newHadoopConf()))
     }
 }
 
 case class SnapshotBatchWrite(root: String, tag: String, table: String,
-                              schemaJson: String, truncateFirst: Boolean)(
+                              schemaJson: String, truncateFirst: Boolean,
+                              txn: Option[(String, Long)] = None)(
                               val owner: SparkSession,
                               val hconf: SerializableConfiguration)
     extends org.apache.spark.sql.connector.write.BatchWrite {
@@ -983,6 +1017,40 @@ case class SnapshotBatchWrite(root: String, tag: String, table: String,
       try Some(Snapshot.readManifest(s, root, tag))
       catch { case _: java.io.FileNotFoundException => None }
     SnapshotBatchWrite.commitRaceHook()
+    // Idempotence ledger, read REGARDLESS of truncate: the recorded
+    // writer versions describe writer progress, not the current file
+    // set, so an overwrite consults (and below, carries forward) the
+    // same ledger an append does.
+    val priorLedger = prior.flatMap(_.tables.get(table))
+    val isReplay = txn.exists { case (app, v) =>
+      priorLedger.flatMap(_.txns.get(app)).exists(_ >= v)
+    }
+    if (isReplay) {
+      // Replay of an already-committed transaction — the at-least-once
+      // case this option exists for (a streaming micro-batch
+      // re-delivered after a crash between the checkpoint's offset and
+      // commit writes, possibly from a NEW driver JVM reading this
+      // manifest fresh). The whole write is a no-op: no manifest swap,
+      // and this attempt's data files (duplicates by construction,
+      // referenced by nothing) are deleted through the same conf
+      // abort() uses — not left for vacuum, or every replayed batch
+      // would leak a file set.
+      val conf = hconf.value
+      committed.foreach { m =>
+        val p = new org.apache.hadoop.fs.Path(m.path)
+        try p.getFileSystem(conf).delete(p, false) catch { case _: Exception => () }
+      }
+    } else commitFresh(s, schema, committed, prior, priorLedger)
+  }
+
+  /** The non-replay commit body: manifest read-modify-write under the
+    * caller's lock (split out only so the replay no-op above needs no
+    * non-local return).
+    */
+  private def commitFresh(s: SparkSession, schema: StructType,
+                          committed: Seq[SnapshotCommitMessage],
+                          prior: Option[Snapshot.Manifest],
+                          priorLedger: Option[Snapshot.TableEntry]): Unit = {
     val priorEntry = if (truncateFirst) None else prior.flatMap(_.tables.get(table))
     // Appends must match the entry's schema EXACTLY (names+types+order;
     // catalogString ignores nullability/metadata, same normalization as
@@ -1008,8 +1076,11 @@ case class SnapshotBatchWrite(root: String, tag: String, table: String,
     val files = (priorEntry.map(_.files).getOrElse(Nil) ++
       committed.map(m => Snapshot.FileEntry(m.path, m.size, m.stats))).sortBy(_.path)
     val rows = priorEntry.map(_.rows).getOrElse(0L) + committed.map(_.rows).sum
+    // carry the ledger forward (through overwrites too — see above) and
+    // record this transaction's version on top
+    val ledger = priorLedger.map(_.txns).getOrElse(Map.empty[String, Long]) ++ txn
     val entry = Snapshot.TableEntry(files, rows, Snapshot.signatureOf(schema, rows),
-      schemaJson = Some(schema.json))
+      schemaJson = Some(schema.json), txns = ledger)
     val m = prior.getOrElse(Snapshot.Manifest(tag, None, Map.empty))
     // OCC: state the generation this read-modify-write was based on as
     // the swap precondition — a second JVM that committed in the window

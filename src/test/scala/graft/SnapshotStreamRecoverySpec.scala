@@ -1,0 +1,256 @@
+package graft
+
+import org.apache.spark.sql.{Dataset, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.sources.Snapshot
+
+/** r12 seam probe: streaming checkpoint RECOVERY meets the snapshot
+  * sink's append semantics.
+  *
+  * The seam: Structured Streaming's foreachBatch contract is
+  * AT-LEAST-ONCE — a crash between the checkpoint's `offsets/<id>`
+  * write and its `commits/<id>` write replays batch `<id>` on restart,
+  * re-invoking foreachBatch with the SAME batchId and the SAME file
+  * slice (reconstructed from the offset log). A sink whose append is
+  * not idempotent then commits those rows twice. The probes below
+  * simulate exactly that crash window deterministically: run a
+  * checkpointed 3-file stream to completion, delete the final
+  * `commits/<id>` marker, restart — Spark re-runs that batch.
+  *
+  * Probe 1 pins the failure mode on a bare append (rows really do
+  * double — the class is real, not hypothetical). Probe 2 pins the
+  * guarantee: with `txnAppId`/`txnVersion` (the Delta SetTransaction
+  * discipline, recorded in the manifest's per-table `txns` ledger) the
+  * replayed batch is a no-op, a genuinely NEW batch afterwards still
+  * commits, and no duplicate data files are left behind for vacuum.
+  */
+class SnapshotStreamRecoverySpec extends SparkSpec {
+
+  private def ordersSlice = graft.sources.Tables.orders(spark, sf)
+    .select(col("o_orderkey"), col("o_totalprice"))
+
+  /** Stage `n` one-file micro-batch inputs split by key mod `of`. */
+  private def stageFiles(dir: String, n: Int, of: Int): Unit =
+    (0 until n).foreach { i =>
+      ordersSlice.where(pmod(col("o_orderkey"), lit(of)) === i)
+        .coalesce(1).write.mode("append").parquet(dir)
+    }
+
+  /** One checkpointed AvailableNow pass appending each micro-batch to
+    * the snapshot table; records per-batchId row counts so the probes
+    * can reason about exactly which rows a replay re-delivers.
+    */
+  private def runPass(inDir: String, ckpt: String, root: String,
+                      withTxn: Boolean,
+                      seen: scala.collection.concurrent.TrieMap[Long, Long]): Unit = {
+    val schemaJson = ordersSlice.schema.json
+    val sq = spark.readStream.schema(ordersSlice.schema)
+      .option("maxFilesPerTrigger", 1).parquet(inDir)
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: Dataset[Row], id: Long) =>
+        seen.updateWith(id) { prev => Some(prev.getOrElse(0L) + batch.count()) }
+        val w = batch.toDF().write.format("graft.sources.SnapshotSource")
+          .option("root", root).option("tag", "live").option("table", "orders_rec")
+          .option("schema", schemaJson)
+        (if (withTxn) w.option("txnAppId", "ingest-1").option("txnVersion", id.toString)
+         else w).mode("append").save()
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    sq.awaitTermination()
+    // awaitTermination can return a beat before the query leaves the
+    // session's active registry; a restart on the same checkpoint then
+    // trips the concurrent-checkpoint guard — drain before returning
+    val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+    while (spark.streams.active.exists(_.id == sq.id) && System.nanoTime() < deadline)
+      Thread.sleep(20)
+  }
+
+  /** Simulate the crash window: drop the newest commit marker (its
+    * offsets entry survives, so restart re-runs that batch). The
+    * checksum sibling (`.N.crc`, Hadoop local fs) must go too — a
+    * stale CRC makes the replayed batch's commit rewrite throw
+    * FileAlreadyExistsException, which Spark surfaces as the
+    * concurrent-checkpoint error; a real crash never wrote either file.
+    */
+  private def dropLastCommit(ckpt: String): Long = {
+    val commits = java.nio.file.Paths.get(ckpt, "commits")
+    val last = java.nio.file.Files.list(commits).toArray.map(_.toString)
+      .map(p => java.nio.file.Paths.get(p))
+      .filter(_.getFileName.toString.matches("\\d+"))
+      .maxBy(_.getFileName.toString.toLong)
+    java.nio.file.Files.delete(last)
+    java.nio.file.Files.deleteIfExists(
+      last.getParent.resolve(s".${last.getFileName}.crc"))
+    last.getFileName.toString.toLong
+  }
+
+  private def tableCount(root: String): Long =
+    spark.read.format("graft.sources.SnapshotSource")
+      .option("root", root).option("tag", "live").option("table", "orders_rec")
+      .load().count()
+
+  test("PROBE: a bare append double-commits the replayed micro-batch (at-least-once, no txn)") {
+    val inDir = java.nio.file.Files.createTempDirectory("rec_in_bare").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("rec_ck_bare").toString
+    val root = java.nio.file.Files.createTempDirectory("rec_root_bare").toString
+    stageFiles(inDir, 3, 3)
+    val seen = scala.collection.concurrent.TrieMap.empty[Long, Long]
+    runPass(inDir, ckpt, root, withTxn = false, seen)
+    val total = ordersSlice.count()
+    assert(tableCount(root) == total)
+    val replayedId = dropLastCommit(ckpt)
+    val firstDelivery = seen(replayedId)
+    runPass(inDir, ckpt, root, withTxn = false, seen)
+    // the replayed batch re-delivered the same slice...
+    assert(seen(replayedId) == 2 * firstDelivery && firstDelivery > 0)
+    // ...and the bare append committed it twice — the probed failure mode
+    assert(tableCount(root) == total + firstDelivery)
+  }
+
+  test("txnAppId/txnVersion make the replay a no-op; a new batch still commits; no file leak") {
+    val inDir = java.nio.file.Files.createTempDirectory("rec_in_txn").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("rec_ck_txn").toString
+    val root = java.nio.file.Files.createTempDirectory("rec_root_txn").toString
+    stageFiles(inDir, 3, 4) // slices 0..2 of mod 4 — slice 3 lands later
+    val seen = scala.collection.concurrent.TrieMap.empty[Long, Long]
+    runPass(inDir, ckpt, root, withTxn = true, seen)
+    val replayedId = dropLastCommit(ckpt)
+    runPass(inDir, ckpt, root, withTxn = true, seen)
+    // replay delivered again but committed once: exact batch-form equality
+    assert(seen(replayedId) > 0)
+    val first3 = ordersSlice.where(pmod(col("o_orderkey"), lit(4)) < 3)
+    assert(tableCount(root) == first3.count())
+    val streamed = spark.read.format("graft.sources.SnapshotSource")
+      .option("root", root).option("tag", "live").option("table", "orders_rec").load()
+    assert(streamed.exceptAll(first3).count() == 0 && first3.exceptAll(streamed).count() == 0)
+    // the skipped attempt deleted its duplicate files: every parquet
+    // under the table dir is referenced by the manifest (nothing for
+    // vacuum to sweep from the replay)
+    assert(Snapshot.vacuum(spark, root).isEmpty)
+    // a genuinely NEW batch after the recovery still commits (the
+    // ledger skips only replays, it does not wedge the writer)
+    ordersSlice.where(pmod(col("o_orderkey"), lit(4)) === 3)
+      .coalesce(1).write.mode("append").parquet(inDir)
+    runPass(inDir, ckpt, root, withTxn = true, seen)
+    assert(tableCount(root) == ordersSlice.count())
+    // ledger recorded: one appId at the newest batch version
+    val txns = Snapshot.readManifest(spark, root, "live").tables("orders_rec").txns
+    assert(txns == Map("ingest-1" -> (replayedId + 1)))
+  }
+
+  test("ledger unit semantics: same version skipped, higher commits, appIds independent") {
+    val root = java.nio.file.Files.createTempDirectory("rec_unit").toString
+    val df = ordersSlice.limit(10)
+    def write(app: String, v: Long): Unit =
+      df.write.format("graft.sources.SnapshotSource")
+        .option("root", root).option("tag", "live").option("table", "t")
+        .option("schema", df.schema.json)
+        .option("txnAppId", app).option("txnVersion", v.toString)
+        .mode("append").save()
+    write("a", 5)
+    write("a", 5) // exact replay → skipped
+    write("a", 4) // stale version → skipped
+    assert(tableCount2(root) == 10)
+    write("a", 6) // progress → commits
+    assert(tableCount2(root) == 20)
+    write("b", 1) // different writer → independent ledger entry
+    assert(tableCount2(root) == 30)
+    assert(Snapshot.readManifest(spark, root, "live").tables("t").txns ==
+      Map("a" -> 6L, "b" -> 1L))
+    // the ledger survives an overwrite (writer progress is orthogonal
+    // to data replacement): a post-overwrite replay is still skipped
+    df.write.format("graft.sources.SnapshotSource")
+      .option("root", root).option("tag", "live").option("table", "t")
+      .option("schema", df.schema.json)
+      .option("txnAppId", "a").option("txnVersion", "2")
+      .mode("overwrite").save() // stale version: even the overwrite is a replay no-op
+    assert(tableCount2(root) == 30)
+    df.write.format("graft.sources.SnapshotSource")
+      .option("root", root).option("tag", "live").option("table", "t")
+      .option("schema", df.schema.json)
+      .option("txnAppId", "a").option("txnVersion", "7")
+      .mode("overwrite").save()
+    assert(tableCount2(root) == 10)
+    assert(Snapshot.readManifest(spark, root, "live").tables("t").txns ==
+      Map("a" -> 7L, "b" -> 1L))
+    write("a", 7) // replay against the post-overwrite ledger → skipped
+    assert(tableCount2(root) == 10)
+  }
+
+  test("flatMapGroupsWithState state survives a checkpoint restart: run 2 continues run 1's counts") {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import spark.implicits._
+    val events = graft.sources.Tables.events(spark, sf).select(col("user_id"), col("event_id"))
+    val inDir = java.nio.file.Files.createTempDirectory("rec_state_in").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("rec_state_ck").toString
+    // run 1 sees the even event_ids only
+    events.where(pmod(col("event_id"), lit(2)) === 0)
+      .coalesce(1).write.mode("append").parquet(inDir)
+    val fn = (uid: Long, it: Iterator[Row], state: GroupState[Long]) => {
+      val n = state.getOption.getOrElse(0L) + it.size
+      state.update(n)
+      Iterator((uid, n))
+    }
+    // last emitted running count per user, re-collected per run
+    val latest = scala.collection.concurrent.TrieMap.empty[Long, Long]
+    def runPass(): Unit = {
+      val sq = spark.readStream.schema(events.schema).parquet(inDir)
+        .as[Row](org.apache.spark.sql.Encoders.row(events.schema))
+        .groupByKey(_.getLong(0))
+        .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout())(fn)
+        .toDF("user_id", "n")
+        .writeStream.outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: Dataset[Row], _: Long) =>
+          b.collect().foreach(r => latest.put(r.getLong(0), r.getLong(1)))
+          ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      sq.awaitTermination()
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (spark.streams.active.exists(_.id == sq.id) && System.nanoTime() < deadline)
+        Thread.sleep(20)
+    }
+    runPass()
+    // restart sees only the odd event_ids — emitted counts must CONTINUE
+    // from recovered state, covering the full table, not restart at zero
+    events.where(pmod(col("event_id"), lit(2)) === 1)
+      .coalesce(1).write.mode("append").parquet(inDir)
+    latest.clear()
+    runPass()
+    val batch = events.groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+      .as[(Long, Long)].collect().toMap
+    // every user emitted in run 2 carries the A+B total
+    assert(latest.nonEmpty)
+    latest.foreach { case (u, n) => assert(n == batch(u),
+      s"user $u: restart emitted $n, batch total ${batch(u)} — state did not recover") }
+  }
+
+  private def tableCount2(root: String): Long =
+    spark.read.format("graft.sources.SnapshotSource")
+      .option("root", root).option("tag", "live").option("table", "t")
+      .load().count()
+
+  test("malformed txn options fail driver-side at build, never as a silent bare append") {
+    val root = java.nio.file.Files.createTempDirectory("rec_bad").toString
+    val df = ordersSlice.limit(1)
+    def attempt(opts: Map[String, String]): Throwable = intercept[Throwable] {
+      val w = df.write.format("graft.sources.SnapshotSource")
+        .option("root", root).option("tag", "live").option("table", "t")
+        .option("schema", df.schema.json)
+      opts.foldLeft(w) { case (acc, (k, v)) => acc.option(k, v) }.mode("append").save()
+    }
+    def rootCause(t: Throwable): Throwable =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).toSeq.last
+    val missing = rootCause(attempt(Map("txnAppId" -> "a")))
+    assert(missing.getMessage.contains("must be set together"))
+    val junk = rootCause(attempt(Map("txnAppId" -> "a", "txnVersion" -> "not-a-long")))
+    assert(junk.getMessage.contains("not a long"))
+    // and nothing committed: the table was never created
+    val m = intercept[Throwable](Snapshot.readManifest(spark, root, "live"))
+    assert(rootCause(m).isInstanceOf[java.io.FileNotFoundException])
+  }
+}

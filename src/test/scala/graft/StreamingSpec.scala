@@ -103,10 +103,14 @@ class StreamingSpec extends SparkSpec {
     val sq = spark.readStream.schema(src.schema)
       .option("maxFilesPerTrigger", 1).parquet(logDir)
       .writeStream
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
         batch.toDF().write.format("graft.sources.SnapshotSource")
           .option("root", root).option("tag", "live").option("table", "orders_stream")
           .option("schema", src.schema.json)
+          // idempotence ledger: foreachBatch is at-least-once, so every
+          // streaming append carries its batchId as the txn version
+          // (replay → no-op; SnapshotStreamRecoverySpec probes this)
+          .option("txnAppId", "orders-stream-demo").option("txnVersion", id.toString)
           .mode("append").save()
         ()
       }

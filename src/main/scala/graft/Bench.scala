@@ -135,6 +135,20 @@ object Bench {
     def jitMs(): Long =
       if (jitBean != null && jitBean.isCompilationTimeMonitoringSupported)
         jitBean.getTotalCompilationTime else -1L
+    // Code-cache occupancy (r12): a jit+ storm has two very different
+    // causes — cold compilation of new codegen classes, or the sweeper
+    // EVICTING warm methods because the cache is near its reserve (then
+    // hot paths recompile over and over: rotating multi-second jit+
+    // victims, the r12 bench cliff signature). Used/committed of the
+    // three CodeHeap pools distinguishes them from the log alone:
+    // saturation at the reserve followed by drops = flushing.
+    val codePools = java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
+      .filter(_.getName.startsWith("CodeHeap"))
+    def codeMb(): (Long, Long) = {
+      val used = codePools.map(_.getUsage.getUsed).sum / 1048576
+      val max = codePools.map(p => math.max(p.getUsage.getMax, 0L)).sum / 1048576
+      (used, max)
+    }
     def cachedMb(): Long =
       try {
         val src = scala.io.Source.fromFile("/proc/meminfo")
@@ -166,9 +180,11 @@ object Bench {
       val elapsed = (System.nanoTime() - t0) / 1e9
       val (gcMs1, gcN1) = gcStat()
       val rt = Runtime.getRuntime
+      val (codeUsed, codeMax) = codeMb()
       System.err.println(f"[bench] $name $elapsed%.3fs gc+${gcMs1 - gcMs0}ms/${gcN1 - gcN0} " +
         f"jit+${jitMs() - jit0}ms " +
         f"heap=${(rt.totalMemory - rt.freeMemory) / 1048576}/${rt.maxMemory / 1048576}MB " +
+        f"code=$codeUsed/${codeMax}MB " +
         f"cached=${cachedMb()}MB")
       // Release storage the finished query left behind (localCheckpoint
       // blocks from the graph/clustering/PQ iterative queries persist

@@ -37,7 +37,12 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * Writes go through the loaded table's DSv2 write path (same
   * [[SnapshotWriteBuilder]] as the options path), so
   * `INSERT INTO snap.<tag>.<table>` / `writeTo(...).append()` append to
-  * the tag's manifest atomically. DDL (CREATE/ALTER/DROP) is rejected:
+  * the tag's manifest atomically. At-least-once writers use
+  * `writeTo(...).option("txnAppId", app).option("txnVersion", v)` —
+  * DataFrameWriterV2 options reach the write builder, so the catalog
+  * path gets the same replay idempotence as the options path (the SQL
+  * INSERT front door has no option channel; use writeTo for streaming
+  * ingestion). DDL (CREATE/ALTER/DROP) is rejected:
   * snapshot manifests are created by the export/write pipeline
   * ([[Snapshot.export]]), not by SQL DDL.
   */

@@ -91,6 +91,32 @@ class SnapshotCatalogSpec extends SparkSpec
       "a catalog append must land in the manifest and be visible to the next query")
   }
 
+  test("writeTo(...).option carries the txn idempotence ledger through the catalog path") {
+    // the SQL INSERT front door has no write-option channel, but the
+    // DataFrameWriterV2 one does — LogicalWriteInfo.options receives
+    // writeTo options, so catalog-path at-least-once writers get the
+    // same replay protection as the options path (SURVEY §7.9.9 item b)
+    val root = registerCatalog("snapc12")
+    val nation = Tables.nation(spark, sf)
+    Snapshot.export(spark, Map("nation" -> nation), root, "v1")
+    val base = spark.sql("SELECT count(*) AS n FROM snapc12.v1.nation")
+      .collect().head.getLong(0)
+    def appendTxn(v: String): Unit =
+      nation.limit(3).writeTo("snapc12.v1.nation")
+        .option("txnAppId", "cat-ingest").option("txnVersion", v).append()
+    appendTxn("1")
+    appendTxn("1") // replay → no-op
+    val after = spark.sql("SELECT count(*) AS n FROM snapc12.v1.nation")
+      .collect().head.getLong(0)
+    assert(after == base + 3,
+      s"the replayed catalog append must be a no-op (base $base, after $after)")
+    appendTxn("2") // progress → commits
+    assert(spark.sql("SELECT count(*) AS n FROM snapc12.v1.nation")
+      .collect().head.getLong(0) == base + 6)
+    assert(Snapshot.readManifest(spark, root, "v1").tables("nation").txns ==
+      Map("cat-ingest" -> 2L))
+  }
+
   test("unknown tables, tags and DDL fail loudly") {
     val root = registerCatalog("snapc5")
     Snapshot.export(spark, Map("nation" -> Tables.nation(spark, sf)), root, "v1")

@@ -249,6 +249,63 @@ class TransformWithStateSpec extends SparkSpec {
       .groupBy(col("user_id")).agg(max(col("value")).as("m"))
     assert(finalMax.exceptAll(batch).count() == 0 && batch.exceptAll(finalMax).count() == 0)
   }
+
+  test("transformWithState RocksDB state survives a checkpoint restart (running count continues)") {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val events = graft.sources.Tables.events(spark, sf).select(col("user_id"), col("event_id"))
+    val inDir = java.nio.file.Files.createTempDirectory("tws_rec_in").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("tws_rec_ck").toString
+    events.where(pmod(col("event_id"), lit(2)) === 0)
+      .coalesce(1).write.mode("append").parquet(inDir)
+    val processor = new org.apache.spark.sql.streaming.StatefulProcessor[Long, org.apache.spark.sql.Row, (Long, Long)] {
+      @transient private var nState: org.apache.spark.sql.streaming.ValueState[Long] = _
+      override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
+                        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+        nState = getHandle.getValueState[Long]("n",
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.streaming.TTLConfig.NONE)
+      override def handleInputRows(key: Long, rows: Iterator[org.apache.spark.sql.Row],
+          timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[(Long, Long)] = {
+        val n = (if (nState.exists()) nState.get() else 0L) + rows.size
+        nState.update(n)
+        Iterator((key, n))
+      }
+    }
+    val latest = scala.collection.concurrent.TrieMap.empty[Long, Long]
+    def runPass(): Unit = {
+      val out = spark.readStream.schema(events.schema).parquet(inDir)
+        .groupByKey((r: org.apache.spark.sql.Row) => r.getLong(0))
+        .transformWithState(processor,
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          org.apache.spark.sql.streaming.OutputMode.Update(),
+          org.apache.spark.sql.Encoders.tuple(org.apache.spark.sql.Encoders.scalaLong,
+            org.apache.spark.sql.Encoders.scalaLong))
+        .toDF("user_id", "n")
+      val sq = out.writeStream.outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: Dataset[org.apache.spark.sql.Row], _: Long) =>
+          b.collect().foreach(r => latest.put(r.getLong(0), r.getLong(1)))
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      sq.awaitTermination()
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (spark.streams.active.exists(_.id == sq.id) && System.nanoTime() < deadline)
+        Thread.sleep(20)
+    }
+    runPass()
+    events.where(pmod(col("event_id"), lit(2)) === 1)
+      .coalesce(1).write.mode("append").parquet(inDir)
+    latest.clear()
+    runPass()
+    import spark.implicits._
+    val batch = events.groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+      .as[(Long, Long)].collect().toMap
+    assert(latest.nonEmpty)
+    latest.foreach { case (u, n) => assert(n == batch(u),
+      s"user $u: restart emitted $n, batch total ${batch(u)} — RocksDB state did not recover") }
+  }
 }
 
 /** Stream-stream join: purchases joined to clicks of the same user

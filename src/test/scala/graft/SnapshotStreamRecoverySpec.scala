@@ -234,6 +234,50 @@ class SnapshotStreamRecoverySpec extends SparkSpec {
       .option("root", root).option("tag", "live").option("table", "t")
       .load().count()
 
+  test("cross-JVM replay race: the losing committer's RETRY is a no-op, not a double-append") {
+    // the production restart story end-to-end: a new driver JVM replays
+    // a batch another instance already committed, AND the two race.
+    // Interleave via the commitRaceHook (same seam as
+    // SnapshotCommitRaceSpec): session B commits the SAME (appId,
+    // version) inside A's commit window → A loses on the generation
+    // precondition (loud), and A's retry — the documented recovery
+    // action — re-reads the manifest, finds the ledger entry, and
+    // no-ops. Exactly-once holds across the whole episode.
+    import graft.sources.SnapshotBatchWrite
+    val df = ordersSlice.limit(10)
+    val root2 = java.nio.file.Files.createTempDirectory("rec_xjvm").toString
+    def append2(s: org.apache.spark.sql.SparkSession): Unit = {
+      val d = s.createDataFrame(df.collectAsList(), df.schema)
+      d.write.format("graft.sources.SnapshotSource")
+        .option("root", root2).option("tag", "live").option("table", "t")
+        .option("schema", df.schema.json)
+        .option("txnAppId", "ingest-x").option("txnVersion", "7")
+        .mode("append").save()
+    }
+    val sessionB = spark.newSession()
+    @volatile var fired = false
+    SnapshotBatchWrite.commitRaceHook = () => {
+      if (!fired) { fired = true; append2(sessionB) }
+    }
+    try {
+      val thrown = intercept[Throwable] { append2(spark) }
+      def chain(t: Throwable): Seq[Throwable] =
+        Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(20).toSeq
+      assert(chain(thrown).exists(
+        _.isInstanceOf[Snapshot.ConcurrentSnapshotCommitException]))
+      assert(fired)
+    } finally SnapshotBatchWrite.commitRaceHook = () => ()
+    // the retry: same (appId, version) against the winner's manifest → no-op
+    append2(spark)
+    val back = spark.read.format("graft.sources.SnapshotSource")
+      .option("root", root2).option("tag", "live").option("table", "t").load()
+    assert(back.count() == 10, "exactly-once across race + retry")
+    assert(Snapshot.readManifest(spark, root2, "live").tables("t").txns ==
+      Map("ingest-x" -> 7L))
+    // and nothing unreferenced left behind for vacuum
+    assert(Snapshot.vacuum(spark, root2).isEmpty)
+  }
+
   test("malformed txn options fail driver-side at build, never as a silent bare append") {
     val root = java.nio.file.Files.createTempDirectory("rec_bad").toString
     val df = ordersSlice.limit(1)

@@ -2,6 +2,22 @@ package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
+    // Serial-bench lockout (r12): two benches sharing one host measure
+    // each other, not the build — an overlapped pair this round produced
+    // two totals that had to be discarded as contaminated. An OS file
+    // lock (NOT a marker file: the kernel releases it on process death,
+    // so a crashed bench can never wedge the driver) makes the second
+    // invocation fail fast and loudly instead of silently co-running.
+    val lockPath = java.nio.file.Paths.get(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft_bench.lock")
+    val lockChannel = java.nio.channels.FileChannel.open(lockPath,
+      java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.WRITE)
+    if (lockChannel.tryLock() == null) {
+      System.err.println(s"[bench] ABORT: another bench holds $lockPath — " +
+        "benches must run strictly serially (concurrent benches contaminate " +
+        "both totals); wait for it to finish")
+      sys.exit(2)
+    }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()

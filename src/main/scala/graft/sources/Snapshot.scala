@@ -48,10 +48,21 @@ object Snapshot {
     * streaming micro-batch (foreachBatch re-run after a crash between
     * the checkpoint's offset and commit writes) re-arrives with the
     * same batchId and becomes a no-op instead of a double-append.
-    * The ledger survives overwrites (writer progress is orthogonal to
-    * data replacement), so a pipeline restarting from a FRESH
-    * checkpoint must use a fresh txnAppId — same rule Delta documents.
-    * Manifests written before this field parse as an empty ledger.
+    * The ledger survives overwrites — DSv2 truncate AND [[export]]
+    * re-exports (max-per-appId merge, see [[mergeTxns]]) — because
+    * writer progress is orthogonal to data replacement; so a pipeline
+    * restarting from a FRESH checkpoint must use a fresh txnAppId —
+    * same rule Delta documents. Manifests written before this field
+    * parse as an empty ledger.
+    *
+    * RETENTION: entries are carried forward forever (one Map entry —
+    * ~40 bytes of manifest JSON — per appId). That is the safe default:
+    * dropping an entry re-admits that writer's replays. Deployments
+    * must therefore use STABLE, FEW, LONG-LIVED appIds (one per
+    * pipeline, not per deployment/run — Delta's
+    * setTransactionRetentionDuration exists precisely because ad-hoc
+    * appIds bloat unbounded). An operator who has decommissioned a
+    * writer can drop its entry explicitly via [[dropTxns]].
     */
   case class TableEntry(files: Seq[FileEntry], rows: Long, signature: String,
                         dir: Option[String] = None, partitionBy: Seq[String] = Nil,
@@ -394,12 +405,39 @@ object Snapshot {
     // second JVM is caught by the generation precondition and fails
     // loudly instead of silently dropping this or the other export)
     SnapshotBatchWrite.commitLock.synchronized {
+      // The txns ledger survives export overwrites (same invariant the
+      // DSv2 overwrite honors — TableEntry's doc): writer progress is
+      // orthogonal to data replacement. Without this merge a nightly
+      // re-export beside an at-least-once streaming appender would
+      // silently reset the appender's recorded versions, and its next
+      // replayed micro-batch would double-commit. Read the CURRENT tag
+      // manifest under the same lock the swap uses, so a DSv2 commit
+      // can't record a version between this read and the swap (a
+      // second JVM in that window is caught by the generation
+      // precondition instead). Max-per-appId merge: never regress a
+      // writer's recorded progress, whichever side (current tag, or a
+      // parent-inherited entry) recorded more of it.
+      val current = try readManifest(s, root, tag).tables
+                    catch { case _: java.io.FileNotFoundException => Map.empty[String, TableEntry] }
+      val withLedgers = entries.map { case (name, e) =>
+        val carried = mergeTxns(e.txns, current.get(name).map(_.txns).getOrElse(Map.empty))
+        name -> (if (carried == e.txns) e else e.copy(txns = carried))
+      }
       val g = currentGeneration(s, root, tag)
-      val m = Manifest(tag, parent, entries, generation = g + 1)
+      val m = Manifest(tag, parent, withLedgers, generation = g + 1)
       writeManifest(s, root, m, expectedGeneration = Some(g))
       m
     }
   }
+
+  /** Max-per-appId union of two txns ledgers: each writer's recorded
+    * progress is the furthest version EITHER side saw — merging can
+    * only make the replay check stricter, never re-admit a replay.
+    */
+  private[graft] def mergeTxns(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] =
+    (a.keySet ++ b.keySet).iterator.map { k =>
+      k -> math.max(a.getOrElse(k, Long.MinValue), b.getOrElse(k, Long.MinValue))
+    }.toMap
 
   private def listParquetRecursive(s: SparkSession, f: FileSystem, dir: Path): Seq[FileEntry] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[FileEntry]
@@ -654,4 +692,28 @@ object Snapshot {
     doomed.foreach(t => f.delete(new Path(s"$root/$t"), true))
     doomed
   }
+
+  /** Maintenance: drop txns-ledger entries for DECOMMISSIONED writers
+    * (see TableEntry's RETENTION note — the ledger otherwise grows one
+    * entry per appId forever). Explicit and operator-driven rather than
+    * age-based, because the manifest stores no per-entry timestamp and
+    * the hazard is real: dropping a LIVE writer's entry re-admits its
+    * replays (its next re-delivered micro-batch double-commits). Only
+    * the named appIds are removed; returns the entries actually
+    * dropped. OCC-committed like every manifest mutation.
+    */
+  def dropTxns(s: SparkSession, root: String, tag: String, table: String,
+               appIds: Set[String]): Map[String, Long] =
+    SnapshotBatchWrite.commitLock.synchronized {
+      val m = readManifest(s, root, tag)
+      val entry = m.tables.getOrElse(table, throw new IllegalArgumentException(
+        s"snapshot tag '$tag' has no table '$table' (tables: ${m.tables.keys.toSeq.sorted.mkString(", ")})"))
+      val (dropped, kept) = entry.txns.partition { case (app, _) => appIds(app) }
+      if (dropped.nonEmpty)
+        writeManifest(s, root,
+          m.copy(tables = m.tables + (table -> entry.copy(txns = kept)),
+                 generation = m.generation + 1),
+          expectedGeneration = Some(m.generation))
+      dropped
+    }
 }

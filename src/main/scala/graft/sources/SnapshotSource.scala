@@ -1038,7 +1038,15 @@ case class SnapshotBatchWrite(root: String, tag: String, table: String,
       val conf = hconf.value
       committed.foreach { m =>
         val p = new org.apache.hadoop.fs.Path(m.path)
-        try p.getFileSystem(conf).delete(p, false) catch { case _: Exception => () }
+        // a transient delete failure leaks an unreferenced duplicate
+        // that nothing else will ever sweep (vacuum only walks tags it
+        // can attribute) — the commit must still succeed as a no-op,
+        // but the leak has to be OBSERVABLE, not swallowed
+        try p.getFileSystem(conf).delete(p, false) catch {
+          case e: Exception => System.err.println(
+            s"[snapshot] WARNING: replay no-op could not delete its duplicate file $p " +
+              s"(${e.getClass.getSimpleName}: ${e.getMessage}) — unreferenced file leaked; remove manually")
+        }
       }
     } else commitFresh(s, schema, committed, prior, priorLedger)
   }

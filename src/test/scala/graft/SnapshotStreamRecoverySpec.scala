@@ -180,6 +180,65 @@ class SnapshotStreamRecoverySpec extends SparkSpec {
     assert(tableCount2(root) == 10)
   }
 
+  test("Snapshot.export over a live tag carries the txns ledger forward: a post-export replay still no-ops") {
+    // ADVICE r12 probe: export REPLACES a tag's table set wholesale, but
+    // writer progress is orthogonal to data replacement (the same
+    // invariant the DSv2 overwrite already honors, pinned above). If
+    // export rebuilt entries with an empty ledger, a nightly re-export
+    // running beside an at-least-once streaming appender would silently
+    // reset the appender's recorded versions — the next replayed
+    // micro-batch then DOUBLE-COMMITS. Pre-fix this test fails at the
+    // post-export ledger assertion.
+    val root = java.nio.file.Files.createTempDirectory("rec_export").toString
+    val df = ordersSlice.limit(10)
+    def write(app: String, v: Long): Unit =
+      df.write.format("graft.sources.SnapshotSource")
+        .option("root", root).option("tag", "live").option("table", "t")
+        .option("schema", df.schema.json)
+        .option("txnAppId", app).option("txnVersion", v.toString)
+        .mode("append").save()
+    write("a", 5)
+    assert(tableCount2(root) == 10)
+    // full re-export of the SAME tag (the caller declares the complete
+    // snapshot; data replaced wholesale — 10 rows either way here)
+    Snapshot.export(spark, Map("t" -> df), root, "live")
+    assert(Snapshot.readManifest(spark, root, "live").tables("t").txns ==
+      Map("a" -> 5L), "export must carry the tag's txns ledger forward")
+    write("a", 5) // replayed micro-batch arriving after the export → no-op
+    assert(tableCount2(root) == 10)
+    write("a", 4) // stale replay → no-op too
+    assert(tableCount2(root) == 10)
+    write("a", 6) // genuine progress still commits
+    assert(tableCount2(root) == 20)
+  }
+
+  test("ledger retention: dropTxns removes only the named decommissioned appIds; mergeTxns never regresses") {
+    val root = java.nio.file.Files.createTempDirectory("rec_drop").toString
+    val df = ordersSlice.limit(10)
+    def write(app: String, v: Long): Unit =
+      df.write.format("graft.sources.SnapshotSource")
+        .option("root", root).option("tag", "live").option("table", "t")
+        .option("schema", df.schema.json)
+        .option("txnAppId", app).option("txnVersion", v.toString)
+        .mode("append").save()
+    write("old-writer", 3); write("live-writer", 8)
+    val dropped = Snapshot.dropTxns(spark, root, "live", "t", Set("old-writer", "never-existed"))
+    assert(dropped == Map("old-writer" -> 3L)) // reports only what was present
+    assert(Snapshot.readManifest(spark, root, "live").tables("t").txns ==
+      Map("live-writer" -> 8L))
+    write("live-writer", 8) // the kept writer's replay still no-ops
+    assert(tableCount2(root) == 20)
+    write("old-writer", 3) // documented hazard: a dropped appId's replay re-commits
+    assert(tableCount2(root) == 30)
+    val missing = intercept[IllegalArgumentException](
+      Snapshot.dropTxns(spark, root, "live", "no_such_table", Set("x")))
+    assert(missing.getMessage.contains("no table"))
+    // mergeTxns: max per appId, union of keys — progress never regresses
+    assert(Snapshot.mergeTxns(Map("a" -> 5L, "b" -> 1L), Map("a" -> 3L, "c" -> 9L)) ==
+      Map("a" -> 5L, "b" -> 1L, "c" -> 9L))
+    assert(Snapshot.mergeTxns(Map.empty, Map("a" -> Long.MaxValue)) == Map("a" -> Long.MaxValue))
+  }
+
   test("flatMapGroupsWithState state survives a checkpoint restart: run 2 continues run 1's counts") {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     import spark.implicits._

@@ -2,25 +2,10 @@ package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
-    // Serial-bench lockout (r12): two benches sharing one host measure
-    // each other, not the build — an overlapped pair this round produced
-    // two totals that had to be discarded as contaminated. An OS file
-    // lock (NOT a marker file: the kernel releases it on process death,
-    // so a crashed bench can never wedge a later run) serializes
-    // invocations: a second bench WAITS, loudly, rather than co-running
-    // — or aborting, which would cost the caller its round sample.
-    val lockPath = java.nio.file.Paths.get(
-      sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft_bench.lock")
-    val lockChannel = java.nio.channels.FileChannel.open(lockPath,
-      java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.WRITE)
-    if (lockChannel.tryLock() == null) {
-      System.err.println(s"[bench] another bench holds $lockPath — waiting for it " +
-        "to finish (benches must run strictly serially: concurrent benches " +
-        "contaminate both totals)")
-      val t0 = System.nanoTime()
-      lockChannel.lock() // blocks until the holder exits; kernel-released on death
-      System.err.println(f"[bench] lock acquired after ${(System.nanoTime() - t0) / 1e9}%.1fs")
-    }
+    // Serial-run lockout (r12, extracted to RunLock in r13 so Verify
+    // shares it — ADVICE r12 also flagged the locals-held lock as GC/
+    // cleaner-releasable mid-run; RunLock pins it in object fields).
+    RunLock.acquire("bench")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()

@@ -24,9 +24,14 @@ object RunLock {
   /** True once this JVM holds the serial-run lock. */
   def isHeld: Boolean = pinned != null
 
-  /** Path every graft measured run serializes on (one per host tmpdir). */
-  def lockPath: java.nio.file.Path = java.nio.file.Paths.get(
-    sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft_bench.lock")
+  /** Path every graft measured run serializes on (one per host tmpdir).
+    * `graft.runlock.path` overrides it so the spec can exercise the
+    * acquire path without contending with a real bench's lock.
+    */
+  def lockPath: java.nio.file.Path = sys.props.get("graft.runlock.path")
+    .map(java.nio.file.Paths.get(_))
+    .getOrElse(java.nio.file.Paths.get(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft_bench.lock"))
 
   /** Acquire (idempotent within the JVM): returns immediately if free,
     * otherwise blocks until the holder exits, logging the wait so an

@@ -32,6 +32,12 @@ object Verify {
       System.err.println(s"[verify] unknown query name(s): ${unknown.mkString(", ")}")
       sys.exit(2)
     }
+    // Same serial-run lockout as Bench (r13, VERDICT r12 item 4): the
+    // driver gets ONE Verify run per round, and a bench co-running on
+    // this host would surface as spurious per-query `err` entries and
+    // zero the round's correctness the same way an overlapped bench
+    // pair contaminated both totals in r12.
+    RunLock.acquire("verify")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -37,9 +37,18 @@ class ForeignEncodingSpec extends SparkSpec {
       .option("root", root).option("tag", "v1").option("table", "t").load()
 
   private def probe(writerOpts: Map[String, String], label: String): Unit = {
+    // The projection deliberately includes a decimal(12,2) and a DATE:
+    // the fixture's orders carries neither (totalprice is double,
+    // orderdate is timestamp), and the r13 mutation-smoke proved the
+    // original all-long/double/string/timestamp projection let decode
+    // mutants in the DecimalType and DateType branches survive — yet
+    // INT64-backed decimals and INT32 dates are exactly the columns a
+    // PARQUET_2_0 foreign writer puts through DELTA_BINARY_PACKED.
     val src = Tables.orders(spark, sf)
       .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
-        col("o_totalprice"), col("o_orderdate"))
+        col("o_totalprice"), col("o_orderdate"),
+        col("o_totalprice").cast("decimal(12,2)").as("o_price_dec"),
+        col("o_orderdate").cast("date").as("o_date"))
     val dir = Files.createTempDirectory(s"enc_$label").toString + "/data"
     writerOpts.foldLeft(src.coalesce(1).write)((w, kv) => w.option(kv._1, kv._2))
       .parquet(dir)

@@ -271,20 +271,10 @@ object Bench {
     val retryFloorSec = sys.env.getOrElse("SPARK_GRAFT_RETRY_SEC", "3.5").toDouble
     val retryMax = sys.env.getOrElse("SPARK_GRAFT_RETRY_MAX", "16").toInt
     val retryBudgetSec = sys.env.getOrElse("SPARK_GRAFT_RETRY_BUDGET_SEC", "90").toDouble
-    val sortedTimes = firstPass.map(_._2).sorted
-    val median = if (sortedTimes.isEmpty) 0.0 else sortedTimes(sortedTimes.size / 2)
-    // 5x-median: in a clean window (median ~0.35s) the 3.5s floor
-    // dominates and only genuine outliers retry; in a globally
-    // elevated window the floor still catches the rotating spikes
-    // (all nine r12 driver spikes were >4.2s) while retryMax/
-    // retryBudget bound the extra wall clock.
-    val threshold = math.max(retryFloorSec, 5 * median)
+    val (median, threshold, candidates) =
+      selectRetries(firstPass, failed.toSet, retryFloorSec, retryMax)
     val steadier = scala.collection.mutable.Map[String, Double]()
     if (retryEnabled) {
-      val candidates = firstPass
-        .filter { case (n, t) => t > threshold && !failed(n) }
-        .sortBy(-_._2)
-        .take(retryMax)
       if (candidates.nonEmpty) System.err.println(
         f"[bench] retry pass: ${candidates.size} quer${if (candidates.size == 1) "y" else "ies"} " +
           f"above ${threshold}%.2fs (median ${median}%.3fs): " +
@@ -303,6 +293,29 @@ object Bench {
     println(allLine)
     println(totalLine)
     spark.stop()
+  }
+
+  /** Pure retry selection (spec'd by BenchLinesSpec): median of the
+    * sample, the trigger threshold, and the cost-descending capped
+    * candidate list — failures excluded so a retry can never mask a
+    * failure's honest elapsed charge. The threshold is
+    * max(floorSec, 5× median): in a clean window (median ~0.35s) the
+    * 3.5s floor dominates and only genuine outliers retry; in a
+    * globally elevated window the floor still catches the rotating
+    * spikes (all nine r12 driver spikes were >4.2s) while
+    * retryMax/retryBudget bound the extra wall clock.
+    */
+  private[graft] def selectRetries(firstPass: Seq[(String, Double)], failed: Set[String],
+                                   floorSec: Double, maxN: Int)
+      : (Double, Double, Seq[(String, Double)]) = {
+    val sortedTimes = firstPass.map(_._2).sorted
+    val median = if (sortedTimes.isEmpty) 0.0 else sortedTimes(sortedTimes.size / 2)
+    val threshold = math.max(floorSec, 5 * median)
+    val candidates = firstPass
+      .filter { case (n, t) => t > threshold && !failed(n) }
+      .sortBy(-_._2)
+      .take(maxN)
+    (median, threshold, candidates)
   }
 
   /** The two stdout JSON lines — the round's graded artifact. The

@@ -73,4 +73,28 @@ class BenchLinesSpec extends AnyFunSuite {
     val JDouble(v) = parseObj(totalLine)("value")
     assert(v == 0.0)
   }
+
+  test("retry selection: floor dominates a clean window, 5x-median a slow one; caps and failure exclusion hold") {
+    // clean window: median ~0.35 → threshold is the 3.5 floor; only the
+    // genuine outlier retries, and a FAILED slow query never does
+    // (retry must not mask a failure's honest elapsed charge)
+    val clean = Seq("q_a" -> 0.3, "q_b" -> 0.35, "q_c" -> 0.4,
+      "q_spike" -> 9.0, "q_failed_slow" -> 30.0)
+    val (m1, t1, c1) = Bench.selectRetries(clean, Set("q_failed_slow"), 3.5, 16)
+    assert(t1 == 3.5, s"floor should dominate (median $m1)")
+    assert(c1 == Seq("q_spike" -> 9.0))
+
+    // elevated window: median 1.0 → threshold 5.0 tracks the elevation
+    // instead of retrying half the suite; candidates come back
+    // cost-DESCENDING and capped
+    val slow = (1 to 10).map(i => s"q_$i" -> 1.0) ++
+      Seq("q_x" -> 12.0, "q_y" -> 6.0, "q_z" -> 25.0)
+    val (m2, t2, c2) = Bench.selectRetries(slow, Set.empty, 3.5, 2)
+    assert(m2 == 1.0 && t2 == 5.0)
+    assert(c2 == Seq("q_z" -> 25.0, "q_x" -> 12.0), "cost-descending, capped at 2")
+
+    // empty sample: no division, no candidates
+    val (m3, t3, c3) = Bench.selectRetries(Nil, Set.empty, 3.5, 16)
+    assert(m3 == 0.0 && t3 == 3.5 && c3.isEmpty)
+  }
 }

@@ -34,8 +34,15 @@ object RunLock {
       sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft_bench.lock"))
 
   /** Acquire (idempotent within the JVM): returns immediately if free,
-    * otherwise blocks until the holder exits, logging the wait so an
-    * operator sees WHY the run hasn't started.
+    * otherwise waits — loudly — up to a BOUNDED deadline
+    * (SPARK_GRAFT_LOCK_WAIT_SEC, default 900) and then proceeds
+    * WITHOUT the lock, also loudly. The bound exists because the
+    * kernel only releases a dead holder's lock; a live-but-HUNG bench
+    * JVM would otherwise wedge the driver's one Verify run forever and
+    * zero the round's correctness — a worse outcome than the resource
+    * contamination the lock prevents. Every normal case (holder
+    * finishes, holder crashes) still serializes; only a wedged holder
+    * degrades to the loud co-run.
     */
   def acquire(what: String): Unit = synchronized {
     if (pinned != null) return
@@ -46,10 +53,36 @@ object RunLock {
       System.err.println(s"[$what] another measured run holds $lockPath — waiting for it " +
         "to finish (measured runs must be strictly serial: concurrent runs " +
         "contaminate each other's samples)")
+      val deadlineMs =
+        sys.env.getOrElse("SPARK_GRAFT_LOCK_WAIT_SEC", "900").toLong * 1000L
       val t0 = System.nanoTime()
-      lk = ch.lock() // blocks until the holder exits; kernel-released on death
+      lk = awaitOrTimeout(ch, deadlineMs)
+      if (lk == null) {
+        System.err.println(f"[$what] lock STILL held after ${deadlineMs / 1000}s — the " +
+          "holder is alive but not finishing (a crashed holder's lock is kernel-" +
+          "released). Proceeding WITHOUT the serial-run lock: this sample may be " +
+          "contaminated by the co-running holder; treat its timings accordingly.")
+        ch.close()
+        return
+      }
       System.err.println(f"[$what] lock acquired after ${(System.nanoTime() - t0) / 1e9}%.1fs")
     }
     pinned = (ch, lk)
+  }
+
+  /** Poll tryLock until acquired or the deadline passes (null). Pulled
+    * out of [[acquire]] so the timeout path is testable against a real
+    * external holder (RunLockSpec holds an fcntl lock from a separate
+    * process) without touching the JVM-lifetime pin.
+    */
+  private[graft] def awaitOrTimeout(ch: java.nio.channels.FileChannel,
+                                    deadlineMs: Long): java.nio.channels.FileLock = {
+    val deadline = System.nanoTime() + deadlineMs * 1000000L
+    var lk = ch.tryLock()
+    while (lk == null && System.nanoTime() < deadline) {
+      Thread.sleep(250)
+      lk = ch.tryLock()
+    }
+    lk
   }
 }

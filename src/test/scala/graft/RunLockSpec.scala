@@ -55,4 +55,53 @@ class RunLockSpec extends AnyFunSuite {
       // the release); the temp file is tiny and the test JVM exits.
     }
   }
+
+  test("bounded wait: a live-but-hung external holder times out; a finishing one hands over") {
+    // The hazard this pins (r13): the kernel releases a DEAD holder's
+    // lock, but a live-but-hung bench JVM would block an unbounded
+    // ch.lock() forever — wedging the driver's one Verify run and
+    // zeroing the round's correctness. awaitOrTimeout bounds that:
+    // timeout → null (acquire proceeds loudly without the lock).
+    val tmp = java.nio.file.Files.createTempFile("graft_runlock_wait", ".lock")
+
+    // External holder: a real OS lock from another process. NOT
+    // flock(1) — that takes a BSD flock(2) lock, which on Linux does
+    // not interact with the POSIX fcntl record locks Java's
+    // FileChannel.lock uses (probed: the JVM acquired straight through
+    // a flock holder). python's fcntl.lockf IS the fcntl family.
+    def holdFor(sec: String): Process =
+      new ProcessBuilder("python3", "-c",
+        "import fcntl,time,sys; f=open(sys.argv[1],'w'); " +
+          "fcntl.lockf(f, fcntl.LOCK_EX); time.sleep(float(sys.argv[2]))",
+        tmp.toString, sec).start()
+
+    val hung = holdFor("60")
+    try {
+      // give flock a moment to actually take the lock
+      Thread.sleep(500)
+      val ch = java.nio.channels.FileChannel.open(tmp,
+        java.nio.file.StandardOpenOption.WRITE)
+      try {
+        val t0 = System.nanoTime()
+        val lk = RunLock.awaitOrTimeout(ch, deadlineMs = 1500)
+        val waited = (System.nanoTime() - t0) / 1e9
+        assert(lk == null, "a held lock must time out, not hang")
+        assert(waited >= 1.0 && waited < 10.0, f"waited $waited%.1fs — not bounded?")
+      } finally ch.close()
+    } finally { hung.destroyForcibly(); hung.waitFor() }
+
+    // and the normal case: the holder finishes inside the deadline and
+    // the waiter really acquires
+    val brief = holdFor("2")
+    try {
+      Thread.sleep(500)
+      val ch = java.nio.channels.FileChannel.open(tmp,
+        java.nio.file.StandardOpenOption.WRITE)
+      try {
+        val lk = RunLock.awaitOrTimeout(ch, deadlineMs = 30000)
+        assert(lk != null, "the waiter must acquire once the holder exits")
+        lk.release()
+      } finally ch.close()
+    } finally { brief.destroyForcibly(); brief.waitFor() }
+  }
 }

@@ -283,9 +283,17 @@ object Bench {
       for ((name, first) <- candidates if spent < retryBudgetSec) {
         val again = timeOne(name, SparkEntry.queries(name), "#retry")
         spent += again
-        steadier(name) = math.min(first, again)
-        System.err.println(f"[bench] retry $name first=$first%.3fs retry=$again%.3fs " +
-          f"reported=${math.min(first, again)}%.3fs")
+        // a query that SUCCEEDED slowly but whose retry THREW would
+        // otherwise report the retry's cheap failed elapsed as if it
+        // were a successful steady run (candidates exclude first-pass
+        // failures, so failed(name) here means the retry failed)
+        if (failed(name)) System.err.println(
+          f"[bench] retry $name FAILED — keeping first-pass $first%.3fs")
+        else {
+          steadier(name) = math.min(first, again)
+          System.err.println(f"[bench] retry $name first=$first%.3fs retry=$again%.3fs " +
+            f"reported=${math.min(first, again)}%.3fs")
+        }
       }
     }
     val results = firstPass.map { case (n, t) => n -> steadier.getOrElse(n, t) }.toMap

@@ -55,19 +55,32 @@ object Snapshot {
     * same rule Delta documents. Manifests written before this field
     * parse as an empty ledger.
     *
-    * RETENTION: entries are carried forward forever (one Map entry —
-    * ~40 bytes of manifest JSON — per appId). That is the safe default:
-    * dropping an entry re-admits that writer's replays. Deployments
-    * must therefore use STABLE, FEW, LONG-LIVED appIds (one per
-    * pipeline, not per deployment/run — Delta's
-    * setTransactionRetentionDuration exists precisely because ad-hoc
-    * appIds bloat unbounded). An operator who has decommissioned a
-    * writer can drop its entry explicitly via [[dropTxns]].
+    * RETENTION: entries are carried forward forever by default (one
+    * Map entry — ~40 bytes of manifest JSON — per appId). That is the
+    * safe default: dropping an entry re-admits that writer's replays.
+    * Deployments must therefore use STABLE, FEW, LONG-LIVED appIds
+    * (one per pipeline, not per deployment/run). For deployments that
+    * can't (ad-hoc appIds bloat unbounded — the problem Delta's
+    * setTransactionRetentionDuration exists for), each txn commit also
+    * stamps `txnStamps(appId)` with the committer's epoch-ms clock,
+    * and age-based expiry exists in two forms: the [[expireTxns]]
+    * maintenance API, and the `txnRetentionMs` write option (sweep
+    * piggybacked on the writer's own commits). Both drop ONLY stamped
+    * entries older than the retention window — entries recorded by
+    * pre-stamp builds have unknown age and are kept (decommission
+    * those explicitly via [[dropTxns]]). The hazard is the same as
+    * Delta documents: a retention shorter than a writer's longest
+    * possible replay gap re-admits its replays — pick days, not
+    * minutes, and see the pinned-hazard spec. Stamps come from writer
+    * clocks (mixed-clock skew is noise at day granularity; the
+    * filesystem-probe trick vacuum uses has no analogue here because
+    * ledger entries are manifest rows, not files).
     */
   case class TableEntry(files: Seq[FileEntry], rows: Long, signature: String,
                         dir: Option[String] = None, partitionBy: Seq[String] = Nil,
                         schemaJson: Option[String] = None,
-                        txns: Map[String, Long] = Map.empty)
+                        txns: Map[String, Long] = Map.empty,
+                        txnStamps: Map[String, Long] = Map.empty)
   /** `generation` is the tag's optimistic-concurrency version: every
     * committed manifest carries the predecessor's generation + 1, and a
     * committer states the generation it READ as a swap precondition
@@ -420,8 +433,11 @@ object Snapshot {
       val current = try readManifest(s, root, tag).tables
                     catch { case _: java.io.FileNotFoundException => Map.empty[String, TableEntry] }
       val withLedgers = entries.map { case (name, e) =>
-        val carried = mergeTxns(e.txns, current.get(name).map(_.txns).getOrElse(Map.empty))
-        name -> (if (carried == e.txns) e else e.copy(txns = carried))
+        val cur = current.get(name)
+        val carried = mergeTxns(e.txns, cur.map(_.txns).getOrElse(Map.empty))
+        val stamps = mergeTxns(e.txnStamps, cur.map(_.txnStamps).getOrElse(Map.empty))
+        name -> (if (carried == e.txns && stamps == e.txnStamps) e
+                 else e.copy(txns = carried, txnStamps = stamps))
       }
       val g = currentGeneration(s, root, tag)
       val m = Manifest(tag, parent, withLedgers, generation = g + 1)
@@ -433,6 +449,9 @@ object Snapshot {
   /** Max-per-appId union of two txns ledgers: each writer's recorded
     * progress is the furthest version EITHER side saw — merging can
     * only make the replay check stricter, never re-admit a replay.
+    * Reused for `txnStamps` (max epoch-ms per appId): the freshest
+    * stamp either side saw, so a merge can only make age-based expiry
+    * LATER, never drop an entry a fresher stamp would have kept.
     */
   private[graft] def mergeTxns(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] =
     (a.keySet ++ b.keySet).iterator.map { k =>
@@ -695,12 +714,12 @@ object Snapshot {
 
   /** Maintenance: drop txns-ledger entries for DECOMMISSIONED writers
     * (see TableEntry's RETENTION note — the ledger otherwise grows one
-    * entry per appId forever). Explicit and operator-driven rather than
-    * age-based, because the manifest stores no per-entry timestamp and
-    * the hazard is real: dropping a LIVE writer's entry re-admits its
+    * entry per appId forever). Explicit and operator-driven; the
+    * hazard is real: dropping a LIVE writer's entry re-admits its
     * replays (its next re-delivered micro-batch double-commits). Only
-    * the named appIds are removed; returns the entries actually
-    * dropped. OCC-committed like every manifest mutation.
+    * the named appIds are removed (stamps too); returns the entries
+    * actually dropped. OCC-committed like every manifest mutation.
+    * For AGE-based expiry see [[expireTxns]].
     */
   def dropTxns(s: SparkSession, root: String, tag: String, table: String,
                appIds: Set[String]): Map[String, Long] =
@@ -711,7 +730,51 @@ object Snapshot {
       val (dropped, kept) = entry.txns.partition { case (app, _) => appIds(app) }
       if (dropped.nonEmpty)
         writeManifest(s, root,
-          m.copy(tables = m.tables + (table -> entry.copy(txns = kept)),
+          m.copy(tables = m.tables + (table ->
+                   entry.copy(txns = kept, txnStamps = entry.txnStamps -- dropped.keys)),
+                 generation = m.generation + 1),
+          expectedGeneration = Some(m.generation))
+      dropped
+    }
+
+  /** Which ledger entries an age-based sweep drops: stamped entries
+    * whose last commit is older than the retention window. Entries
+    * WITHOUT a stamp (recorded by a pre-stamp build) have unknown age
+    * and are always kept — expiring them on no evidence would be the
+    * double-commit hazard with extra steps; decommission those via
+    * [[dropTxns]]. Pure and shared by [[expireTxns]] and the
+    * `txnRetentionMs` write-option sweep so both paths expire
+    * identically (spec'd).
+    */
+  private[graft] def expiredTxnApps(entry: TableEntry, retentionMs: Long,
+                                    nowMs: Long): Set[String] =
+    entry.txns.keySet.filter { app =>
+      entry.txnStamps.get(app).exists(_ < nowMs - retentionMs)
+    }
+
+  /** Maintenance: age-based txns-ledger expiry (Delta's
+    * setTransactionRetentionDuration analogue). Drops entries whose
+    * stamp is older than `retentionMs`; returns what was dropped.
+    * THE RETENTION WINDOW IS A CORRECTNESS PARAMETER: it must exceed
+    * the longest possible gap between a writer's crash and its replay
+    * (checkpoint recovery, backfill restart) — an expired live writer's
+    * replay double-commits (hazard pinned in
+    * SnapshotStreamRecoverySpec). Days, not minutes.
+    */
+  def expireTxns(s: SparkSession, root: String, tag: String, table: String,
+                 retentionMs: Long,
+                 nowMs: Long = System.currentTimeMillis()): Map[String, Long] =
+    SnapshotBatchWrite.commitLock.synchronized {
+      val m = readManifest(s, root, tag)
+      val entry = m.tables.getOrElse(table, throw new IllegalArgumentException(
+        s"snapshot tag '$tag' has no table '$table' (tables: ${m.tables.keys.toSeq.sorted.mkString(", ")})"))
+      val doomed = expiredTxnApps(entry, retentionMs, nowMs)
+      val dropped = entry.txns.filter { case (app, _) => doomed(app) }
+      if (dropped.nonEmpty)
+        writeManifest(s, root,
+          m.copy(tables = m.tables + (table ->
+                   entry.copy(txns = entry.txns -- doomed,
+                              txnStamps = entry.txnStamps -- doomed)),
                  generation = m.generation + 1),
           expectedGeneration = Some(m.generation))
       dropped

@@ -978,6 +978,27 @@ class SnapshotWriteBuilder(root: String, tag: String, table: String,
     }
   }
 
+  /** Optional age-based ledger retention (`txnRetentionMs` write
+    * option — Delta's setTransactionRetentionDuration analogue): each
+    * commit carrying it sweeps stamped ledger entries older than the
+    * window (see [[Snapshot.expiredTxnApps]] for exactly what
+    * qualifies, and TableEntry's RETENTION doc for the double-commit
+    * hazard of a too-short window). Validated here at build time like
+    * the txn pair: a mistyped retention silently not applying would
+    * let the ledger bloat unnoticed.
+    */
+  private val txnRetentionMs: Option[Long] =
+    Option(info.options().get("txnRetentionMs")).map { r =>
+      val v = try r.toLong catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"txnRetentionMs '$r' is not a long (snapshot table '$table') — pass the " +
+            "retention window in milliseconds")
+      }
+      if (v <= 0) throw new IllegalArgumentException(
+        s"txnRetentionMs must be positive (snapshot table '$table', got $v)")
+      v
+    }
+
   override def truncate(): org.apache.spark.sql.connector.write.WriteBuilder = {
     truncateFirst = true; this
   }
@@ -989,7 +1010,8 @@ class SnapshotWriteBuilder(root: String, tag: String, table: String,
         // the session itself rides along for commit()'s manifest
         // read-modify-write, which runs on a Spark-internal thread
         // where SparkSession.active is not trustworthy (advice r9)
-        SnapshotBatchWrite(root, tag, table, info.schema().json, truncateFirst, txn)(
+        SnapshotBatchWrite(root, tag, table, info.schema().json, truncateFirst, txn,
+          txnRetentionMs)(
           owner, new SerializableConfiguration(
             owner.sessionState.newHadoopConf()))
     }
@@ -997,7 +1019,8 @@ class SnapshotWriteBuilder(root: String, tag: String, table: String,
 
 case class SnapshotBatchWrite(root: String, tag: String, table: String,
                               schemaJson: String, truncateFirst: Boolean,
-                              txn: Option[(String, Long)] = None)(
+                              txn: Option[(String, Long)] = None,
+                              txnRetentionMs: Option[Long] = None)(
                               val owner: SparkSession,
                               val hconf: SerializableConfiguration)
     extends org.apache.spark.sql.connector.write.BatchWrite {
@@ -1085,10 +1108,26 @@ case class SnapshotBatchWrite(root: String, tag: String, table: String,
       committed.map(m => Snapshot.FileEntry(m.path, m.size, m.stats))).sortBy(_.path)
     val rows = priorEntry.map(_.rows).getOrElse(0L) + committed.map(_.rows).sum
     // carry the ledger forward (through overwrites too — see above) and
-    // record this transaction's version on top
+    // record this transaction's version on top, stamping the commit
+    // time for age-based retention (TableEntry's RETENTION doc)
+    val nowMs = System.currentTimeMillis()
     val ledger = priorLedger.map(_.txns).getOrElse(Map.empty[String, Long]) ++ txn
-    val entry = Snapshot.TableEntry(files, rows, Snapshot.signatureOf(schema, rows),
-      schemaJson = Some(schema.json), txns = ledger)
+    val stamps = priorLedger.map(_.txnStamps).getOrElse(Map.empty[String, Long]) ++
+      txn.map { case (app, _) => app -> nowMs }
+    val stamped = Snapshot.TableEntry(files, rows, Snapshot.signatureOf(schema, rows),
+      schemaJson = Some(schema.json), txns = ledger, txnStamps = stamps)
+    // optional piggybacked sweep: this writer's own entry was stamped
+    // `nowMs` above, so it can never expire itself
+    val entry = txnRetentionMs.fold(stamped) { ret =>
+      val doomed = Snapshot.expiredTxnApps(stamped, ret, nowMs)
+      if (doomed.isEmpty) stamped
+      else {
+        System.err.println(s"[snapshot] txnRetentionMs sweep on '$table' expired " +
+          s"${doomed.size} ledger entr${if (doomed.size == 1) "y" else "ies"}: " +
+          doomed.toSeq.sorted.mkString(", "))
+        stamped.copy(txns = stamped.txns -- doomed, txnStamps = stamped.txnStamps -- doomed)
+      }
+    }
     val m = prior.getOrElse(Snapshot.Manifest(tag, None, Map.empty))
     // OCC: state the generation this read-modify-write was based on as
     // the swap precondition — a second JVM that committed in the window

@@ -32,6 +32,7 @@ class ManifestCompatSpec extends SparkSpec {
     assert(m.generation == 0L)
     val e = m.tables("t")
     assert(e.txns.isEmpty)
+    assert(e.txnStamps.isEmpty) // r13 age-retention field: same default rule
     assert(e.files.head.stats.isEmpty && e.dir.isEmpty && e.partitionBy.isEmpty &&
       e.schemaJson.isEmpty)
     // and the OCC entry point treats it as generation 0, not -1

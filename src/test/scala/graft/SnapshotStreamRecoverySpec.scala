@@ -293,6 +293,117 @@ class SnapshotStreamRecoverySpec extends SparkSpec {
       .option("root", root).option("tag", "live").option("table", "t")
       .load().count()
 
+  private val dayMs = 24L * 3600 * 1000
+
+  /** Backdate `app`'s ledger stamp and optionally plant an UNSTAMPED
+    * legacy entry — forged through the engine's own manifest
+    * read/write (same wire format, OCC generation bump), exactly what
+    * a manifest written days ago / by a pre-stamp build looks like.
+    */
+  private def forgeLedger(root: String, app: String, stampMs: Long,
+                          legacy: Option[(String, Long)]): Unit = {
+    val m = Snapshot.readManifest(spark, root, "live")
+    val e = m.tables("t")
+    val forged = e.copy(
+      txns = e.txns ++ legacy,
+      txnStamps = e.txnStamps + (app -> stampMs))
+    Snapshot.writeManifest(spark, root,
+      m.copy(tables = m.tables + ("t" -> forged), generation = m.generation + 1),
+      expectedGeneration = Some(m.generation))
+  }
+
+  test("age-based retention: commits stamp the ledger; expireTxns drops only stamped-and-old, never unstamped legacy entries") {
+    val root = java.nio.file.Files.createTempDirectory("rec_expire").toString
+    val df = ordersSlice.limit(10)
+    def write(app: String, v: Long): Unit =
+      df.write.format("graft.sources.SnapshotSource")
+        .option("root", root).option("tag", "live").option("table", "t")
+        .option("schema", df.schema.json)
+        .option("txnAppId", app).option("txnVersion", v.toString)
+        .mode("append").save()
+    val t0 = System.currentTimeMillis()
+    write("young", 1); write("old", 2)
+    // every txn commit stamps its appId with a sane clock reading
+    val stamps0 = Snapshot.readManifest(spark, root, "live").tables("t").txnStamps
+    assert(stamps0.keySet == Set("young", "old"))
+    assert(stamps0.values.forall(s => s >= t0 && s <= System.currentTimeMillis() + 1000))
+    // age "old" by 10 days and plant "legacy" (a pre-stamp build's
+    // entry: in txns, absent from txnStamps)
+    forgeLedger(root, "old", t0 - 10 * dayMs, legacy = Some("legacy" -> 7L))
+    val dropped = Snapshot.expireTxns(spark, root, "live", "t", retentionMs = 7 * dayMs)
+    assert(dropped == Map("old" -> 2L), s"expected only 'old' expired, got $dropped")
+    val e = Snapshot.readManifest(spark, root, "live").tables("t")
+    assert(e.txns == Map("young" -> 1L, "legacy" -> 7L),
+      "unstamped legacy entries have unknown age and MUST survive an age sweep")
+    assert(e.txnStamps.keySet == Set("young"))
+    // idempotent: nothing left to expire
+    assert(Snapshot.expireTxns(spark, root, "live", "t", 7 * dayMs).isEmpty)
+  }
+
+  test("txnRetentionMs write option sweeps on commit; an expired live writer's replay double-commits (the documented hazard)") {
+    val root = java.nio.file.Files.createTempDirectory("rec_retopt").toString
+    val df = ordersSlice.limit(10)
+    def write(app: String, v: Long, retention: Option[Long] = None): Unit = {
+      val w = df.write.format("graft.sources.SnapshotSource")
+        .option("root", root).option("tag", "live").option("table", "t")
+        .option("schema", df.schema.json)
+        .option("txnAppId", app).option("txnVersion", v.toString)
+      retention.fold(w)(r => w.option("txnRetentionMs", r.toString))
+        .mode("append").save()
+    }
+    write("old-writer", 3)
+    forgeLedger(root, "old-writer", System.currentTimeMillis() - 10 * dayMs, None)
+    // a fresh writer commits WITH retention: the piggybacked sweep
+    // expires old-writer; the sweeping writer stamped `now`, so it can
+    // never expire itself
+    write("fresh", 1, retention = Some(7 * dayMs))
+    val e = Snapshot.readManifest(spark, root, "live").tables("t")
+    assert(e.txns == Map("fresh" -> 1L), s"old-writer should be swept, got ${e.txns}")
+    assert(e.txnStamps.keySet == Set("fresh"))
+    assert(tableCount2(root) == 20)
+    // THE HAZARD, pinned: old-writer's replay of its already-committed
+    // v3 is no longer recognized — it double-commits. This is why the
+    // retention window must exceed any possible replay gap.
+    write("old-writer", 3)
+    assert(tableCount2(root) == 30,
+      "an expired live writer's replay double-commits — the documented hazard")
+    // option validation fails at build time, before any file is written
+    val bad = intercept[IllegalArgumentException] {
+      df.write.format("graft.sources.SnapshotSource")
+        .option("root", root).option("tag", "live").option("table", "t")
+        .option("schema", df.schema.json)
+        .option("txnAppId", "x").option("txnVersion", "1")
+        .option("txnRetentionMs", "soon").mode("append").save()
+    }
+    assert(bad.getMessage.contains("txnRetentionMs"))
+    val neg = intercept[IllegalArgumentException] {
+      df.write.format("graft.sources.SnapshotSource")
+        .option("root", root).option("tag", "live").option("table", "t")
+        .option("schema", df.schema.json)
+        .option("txnAppId", "x").option("txnVersion", "1")
+        .option("txnRetentionMs", "-5").mode("append").save()
+    }
+    assert(neg.getMessage.contains("positive"))
+  }
+
+  test("export carries txnStamps with the ledger, so age-based expiry stays correct across re-exports") {
+    val root = java.nio.file.Files.createTempDirectory("rec_expstamp").toString
+    val df = ordersSlice.limit(10)
+    df.write.format("graft.sources.SnapshotSource")
+      .option("root", root).option("tag", "live").option("table", "t")
+      .option("schema", df.schema.json)
+      .option("txnAppId", "a").option("txnVersion", "5")
+      .mode("append").save()
+    val before = Snapshot.readManifest(spark, root, "live").tables("t").txnStamps
+    assert(before.contains("a"))
+    Snapshot.export(spark, Map("t" -> df), root, "live")
+    val after = Snapshot.readManifest(spark, root, "live").tables("t")
+    assert(after.txns == Map("a" -> 5L))
+    assert(after.txnStamps == before,
+      "export must carry txnStamps with the ledger — a wiped stamp would turn " +
+        "the entry into an unexpirable legacy row (or, merged stale, expire it early)")
+  }
+
   test("cross-JVM replay race: the losing committer's RETRY is a no-op, not a double-append") {
     // the production restart story end-to-end: a new driver JVM replays
     // a batch another instance already committed, AND the two race.

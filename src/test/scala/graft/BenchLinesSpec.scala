@@ -74,7 +74,7 @@ class BenchLinesSpec extends AnyFunSuite {
     assert(v == 0.0)
   }
 
-  test("retry selection: floor dominates a clean window, 5x-median a slow one; caps and failure exclusion hold") {
+  test("retry selection: floor dominates a clean window, 3x-median a slow one; caps and failure exclusion hold") {
     // clean window: median ~0.35 → threshold is the 3.5 floor; only the
     // genuine outlier retries, and a FAILED slow query never does
     // (retry must not mask a failure's honest elapsed charge)
@@ -84,13 +84,16 @@ class BenchLinesSpec extends AnyFunSuite {
     assert(t1 == 3.5, s"floor should dominate (median $m1)")
     assert(c1 == Seq("q_spike" -> 9.0))
 
-    // elevated window: median 1.0 → threshold 5.0 tracks the elevation
-    // instead of retrying half the suite; candidates come back
-    // cost-DESCENDING and capped
-    val slow = (1 to 10).map(i => s"q_$i" -> 1.0) ++
-      Seq("q_x" -> 12.0, "q_y" -> 6.0, "q_z" -> 25.0)
+    // elevated window: median 2.0 → threshold 6.0 (3x) tracks the
+    // elevation instead of retrying half the suite; candidates come
+    // back cost-DESCENDING and capped. (3x not 5x: the r13
+    // natural-storm sample — median 2.66, first-pass sum 877s — showed
+    // 5x leaving 5-13s victims unrepaired; retries are min-reported
+    // and budget-capped, so the lower multiplier is weakly dominant.)
+    val slow = (1 to 10).map(i => s"q_$i" -> 2.0) ++
+      Seq("q_x" -> 12.0, "q_y" -> 5.5, "q_z" -> 25.0)
     val (m2, t2, c2) = Bench.selectRetries(slow, Set.empty, 3.5, 2)
-    assert(m2 == 1.0 && t2 == 5.0)
+    assert(m2 == 2.0 && t2 == 6.0)
     assert(c2 == Seq("q_z" -> 25.0, "q_x" -> 12.0), "cost-descending, capped at 2")
 
     // empty sample: no division, no candidates

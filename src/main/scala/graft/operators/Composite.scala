@@ -309,10 +309,24 @@ object Composite {
     val cust = Tables.customer(s, dir)
       .where(col("c_mktsegment") === "BUILDING")
       .select(col("c_custkey"))
-    val bf = cust.stat.bloomFilter("c_custkey", 1000000L, 0.01)
-    val mightContain = udf((k: Long) => bf.mightContain(k))
-    Tables.orders(s, dir)
-      .where(mightContain(col("o_custkey")))
+    // a ZERO-ROW build side makes `stat.bloomFilter` itself NPE (the
+    // underlying bloom_filter_agg returns a null buffer on no input —
+    // EmptyInputSweepSpec, r13). The pre-filter is then pointless
+    // anyway (the exact semi join below is already vacuous), so treat
+    // a failed build as "no pre-filter" — the result is provably
+    // unchanged either way, and probe the filter once post-build so a
+    // degenerate-but-constructed filter is also caught.
+    import scala.util.control.NonFatal
+    val bfOpt = try {
+      val bf = cust.stat.bloomFilter("c_custkey", 1000000L, 0.01)
+      bf.mightContain(0L) // degenerate-filter probe
+      Some(bf)
+    } catch { case NonFatal(_) => None }
+    val orders = Tables.orders(s, dir)
+    bfOpt.fold(orders) { bf =>
+      val mightContain = udf((k: Long) => bf.mightContain(k))
+      orders.where(mightContain(col("o_custkey")))
+    }
       .join(cust, col("o_custkey") === col("c_custkey"), "left_semi")
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("n"), dbl(sum(dec("o_totalprice"))).as("total"))

@@ -185,7 +185,15 @@ object Graph {
     val d28 = DecimalType(28, 18)
     val reps = docs.groupBy(col("lang"), col("source")).agg(min(col("doc_id")).as("rep"))
     val firstRow = docs.agg(min(col("doc_id")).as("g"), count(lit(1)).as("n")).head
-    val (gmin, n) = (firstRow.getLong(0), firstRow.getLong(1))
+    val n = firstRow.getLong(1)
+    // an empty graph has no global-min node (min(doc_id) is NULL — the
+    // getLong would throw ROW_VALUE_IS_NULL) and no well-defined 1/N
+    // seed; the honest degenerate result is zero rows of the same
+    // shape (EmptyInputSweepSpec, r13)
+    if (n == 0L)
+      return docs.select(col("doc_id"),
+        dbl(lit(0).cast(DecimalType(12, 6))).as("pr")).limit(0)
+    val gmin = firstRow.getLong(0)
     val edges = docs.join(reps, Seq("lang", "source"))
       .select(col("doc_id").as("src"),
         when(col("doc_id") === col("rep"), lit(gmin)).otherwise(col("rep")).as("dst"))

@@ -199,10 +199,14 @@ object Scans {
     */
   def writePartitioned(s: SparkSession, dir: String): DataFrame = {
     val tmp = java.nio.file.Files.createTempDirectory("graft_part").toString
-    Tables.orders(s, dir)
+    val slice = Tables.orders(s, dir)
       .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"), col("o_orderpriority"))
-      .write.mode("overwrite").partitionBy("o_orderpriority").parquet(tmp)
-    s.read.parquet(tmp)
+    slice.write.mode("overwrite").partitionBy("o_orderpriority").parquet(tmp)
+    // explicit read schema: skips footer-sampling inference (at 100 TB
+    // a real listing+IO cost) and keeps a ZERO-ROW round-trip legal —
+    // inference over an empty partitioned write has no footer to read
+    // and throws UNABLE_TO_INFER_SCHEMA (EmptyInputSweepSpec, r13)
+    s.read.schema(slice.schema).parquet(tmp)
       .where(col("o_orderpriority") === "1-URGENT")
       .agg(
         count(lit(1)).as("n"),
@@ -227,14 +231,16 @@ object Scans {
 
   def scanDpp(s: SparkSession, dir: String): DataFrame = {
     graft.SessionToken.sweep(dppRoots)(graft.SessionToken.deleteDir)
+    val factSlice = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
     val root = dppRoots.getOrElseUpdate((graft.SessionToken(s), dir), {
       val r = java.nio.file.Files.createTempDirectory("graft_dpp").toString
-      Tables.orders(s, dir)
-        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
-        .write.mode("overwrite").partitionBy("o_orderpriority").parquet(r)
+      factSlice.write.mode("overwrite").partitionBy("o_orderpriority").parquet(r)
       r
     })
-    val fact = s.read.parquet(root)
+    // explicit schema for the same two reasons as writePartitioned:
+    // no inference IO, and a zero-row source stays readable
+    val fact = s.read.schema(factSlice.schema).parquet(root)
     val dim = Tables.orders(s, dir)
       .select(col("o_orderpriority")).distinct()
       .withColumn("cls", substring(col("o_orderpriority"), 1, 1))

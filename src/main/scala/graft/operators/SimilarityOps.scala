@@ -34,10 +34,15 @@ object SimilarityOps {
   def simTopK(s: SparkSession, dir: String): DataFrame = {
     graft.functions.VectorExprs.register(s)
     val emb = Tables.embeddings(s, dir)
-    val qvec = emb.where(col("vec_id") === 0).select(col("embedding"))
-      .head.getSeq[Float](0).toArray
-    emb.where(col("vec_id") =!= 0)
-      .withColumn("q", typedlit(qvec))
+    // headOption, not head: a source with no vec_id=0 (routine on an
+    // empty/filtered 100 TB slice) means "no query vector", and the
+    // honest answer is an empty result with the same shape, not a
+    // driver NoSuchElementException (EmptyInputSweepSpec, r13). The
+    // lit(false) gate constant-folds the scan away entirely.
+    val qopt = emb.where(col("vec_id") === 0).select(col("embedding"))
+      .head(1).headOption.map(_.getSeq[Float](0).toArray)
+    emb.where(col("vec_id") =!= 0 && lit(qopt.isDefined))
+      .withColumn("q", typedlit(qopt.getOrElse(Array.empty[Float])))
       .withColumn("score_d",
         dotExpr("embedding", "q") / (normExpr("embedding") * normExpr("q")))
       .select(col("vec_id"), col("label"), dbl(col("score_d").cast("decimal(12,6)")).as("score"))
@@ -169,11 +174,13 @@ object SimilarityOps {
         |  CASE WHEN aggregate(zip_with(embedding, p, (x, y) -> CAST(x AS DOUBLE) * y),
         |                      CAST(0 AS DOUBLE), (acc, v) -> acc + v) >= 0 THEN 1 ELSE 0 END),
         |  0, (acc, bit) -> acc * 2 + bit)""".stripMargin))
+    // same missing-query-vector contract as simTopK: empty result,
+    // same shape, no driver head-of-empty crash
     val qrow = withSig.where(col("vec_id") === 0)
-      .select(col("embedding"), col("bucket")).head
-    val qvec = qrow.getSeq[Float](0).toArray
-    val qbucket = qrow.getInt(1)
-    withSig.where(col("vec_id") =!= 0 && col("bucket") === qbucket)
+      .select(col("embedding"), col("bucket")).head(1).headOption
+    val qvec = qrow.map(_.getSeq[Float](0).toArray).getOrElse(Array.empty[Float])
+    val qbucket = qrow.map(_.getInt(1)).getOrElse(0)
+    withSig.where(col("vec_id") =!= 0 && col("bucket") === qbucket && lit(qrow.isDefined))
       .withColumn("q", typedlit(qvec))
       .withColumn("score_d",
         dotExpr("embedding", "q") / (normExpr("embedding") * normExpr("q")))
@@ -208,9 +215,14 @@ object SimilarityOps {
   def simAnnIvf(s: SparkSession, dir: String): DataFrame = {
     graft.functions.VectorExprs.register(s)
     val emb = Tables.embeddings(s, dir)
-    val centroids: Array[Array[Float]] = emb.where(col("vec_id") < 16)
+    val collected: Array[Array[Float]] = emb.where(col("vec_id") < 16)
       .orderBy("vec_id").select(col("embedding"))
       .collect().map(_.getSeq[Float](0).toArray)
+    // zero centroids (empty source) would make the argmax a 0-ary
+    // greatest() and centroids(0) a crash; substitute one dummy
+    // centroid to keep the plan well-formed and gate every row out
+    // below — empty in, same-shape empty out (EmptyInputSweepSpec, r13)
+    val centroids = if (collected.isEmpty) Array(Array.empty[Float]) else collected
     val cands = centroids.zipWithIndex.map { case (c, i) =>
       struct(dotExpr("embedding", s"cents[$i]").as("score"), lit(-i).as("nidx"))
     }
@@ -221,7 +233,8 @@ object SimilarityOps {
     // carries a NULL score iff all 16 were NULL — without the guard it
     // would fall through to the nidx field and land the row in list 0.
     val best = if (cands.length == 1) cands.head else greatest(cands: _*)
-    val withList = emb.withColumn("cents", typedlit(centroids))
+    val withList = emb.where(lit(collected.nonEmpty))
+      .withColumn("cents", typedlit(centroids))
       .withColumn("best", best)
       .withColumn("ivf_list",
         when(col("best").getField("score").isNull, lit(-1))

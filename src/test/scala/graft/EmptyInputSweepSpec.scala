@@ -101,6 +101,34 @@ class EmptyInputSweepSpec extends SparkSpec {
   test("graph, time-series, TPC-H composites survive empty input") {
     assertClean(family("q_graph", "q_ts", "q_tpch"))
   }
+  test("missing query vector / missing centroids: NON-empty embeddings, empty result") {
+    // the zero-row sweep can't pin the lit(...)-gates in the
+    // similarity family — an empty table is vacuously empty with or
+    // without them. The input class that needs the gate is a NON-empty
+    // embeddings table with no vec_id=0 (simTopK/simAnnLsh query
+    // vector) or no vec_id<16 (simAnnIvf centroids): without the gate
+    // those queries would emit rows scored against a zero-length
+    // vector (0/0 garbage), not report "nothing to search". Planted
+    // here by filtering the real fixture to vec_id >= 16.
+    val dir = java.nio.file.Files.createTempDirectory("graft_noqvec").toString
+    val tables = Seq("region", "nation", "customer", "supplier", "part",
+      "orders", "lineitem", "events", "documents")
+    tables.foreach { t =>
+      spark.read.parquet(s"$sf/$t.parquet").limit(0)
+        .write.mode("overwrite").parquet(s"$dir/$t.parquet")
+    }
+    import org.apache.spark.sql.functions.col
+    spark.read.parquet(s"$sf/embeddings.parquet").where(col("vec_id") >= 16)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    for (name <- Seq("q_sim_topk", "q_sim_ann_lsh", "q_sim_ann_ivf")) {
+      val df = SparkEntry.queries(name)(spark, dir)
+      assert(df.count() === 0L,
+        s"$name must return an empty result when its query vector/centroids are absent")
+      assert(shape(df.schema) === shape(SparkEntry.queries(name)(spark, sf).schema),
+        s"$name schema must not drift on the no-query-vector input")
+    }
+  }
+
   test("everything else survives empty input") {
     val covered = family("q_scan", "q_source", "q_filter", "q_project", "q_join",
       "q_agg", "q_udaf", "q_win", "q_sort", "q_set", "q_fn", "q_udf", "q_udtf",

@@ -321,7 +321,16 @@ object Composite {
       val bf = cust.stat.bloomFilter("c_custkey", 1000000L, 0.01)
       bf.mightContain(0L) // degenerate-filter probe
       Some(bf)
-    } catch { case NonFatal(_) => None }
+    } catch { case NonFatal(e) =>
+      // ADVICE r13: a swallowed transient failure (executor loss, IO)
+      // would silently change the measured plan — results stay correct
+      // via the exact semi join either way, but the fallback must be
+      // loud so a benched plan change is visible in the log
+      System.err.println(
+        s"[graft] joinBloom: bloom build failed (${e.getClass.getSimpleName}: " +
+          s"${e.getMessage}) — running WITHOUT the pre-filter")
+      None
+    }
     val orders = Tables.orders(s, dir)
     bfOpt.fold(orders) { bf =>
       val mightContain = udf((k: Long) => bf.mightContain(k))

@@ -227,20 +227,24 @@ object Scans {
     * the quarter the dim filter selected". The oracle states the
     * equivalent static semantics (dim-join on distinct keys ≡ filter).
     */
-  private val dppRoots = scala.collection.concurrent.TrieMap.empty[(String, String), String]
+  // value carries the write's schema too (ADVICE r13): on a cache hit
+  // the read needs only the schema, and deriving it fresh re-plans a
+  // Tables.orders scan (listing + footer work) on the bench hot path
+  private val dppRoots =
+    scala.collection.concurrent.TrieMap.empty[(String, String), (String, org.apache.spark.sql.types.StructType)]
 
   def scanDpp(s: SparkSession, dir: String): DataFrame = {
-    graft.SessionToken.sweep(dppRoots)(graft.SessionToken.deleteDir)
-    val factSlice = Tables.orders(s, dir)
-      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
-    val root = dppRoots.getOrElseUpdate((graft.SessionToken(s), dir), {
+    graft.SessionToken.sweep(dppRoots) { case (p, _) => graft.SessionToken.deleteDir(p) }
+    val (root, factSchema) = dppRoots.getOrElseUpdate((graft.SessionToken(s), dir), {
+      val factSlice = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
       val r = java.nio.file.Files.createTempDirectory("graft_dpp").toString
       factSlice.write.mode("overwrite").partitionBy("o_orderpriority").parquet(r)
-      r
+      (r, factSlice.schema)
     })
     // explicit schema for the same two reasons as writePartitioned:
     // no inference IO, and a zero-row source stays readable
-    val fact = s.read.schema(factSlice.schema).parquet(root)
+    val fact = s.read.schema(factSchema).parquet(root)
     val dim = Tables.orders(s, dir)
       .select(col("o_orderpriority")).distinct()
       .withColumn("cls", substring(col("o_orderpriority"), 1, 1))

@@ -215,9 +215,17 @@ object SimilarityOps {
   def simAnnIvf(s: SparkSession, dir: String): DataFrame = {
     graft.functions.VectorExprs.register(s)
     val emb = Tables.embeddings(s, dir)
-    val collected: Array[Array[Float]] = emb.where(col("vec_id") < 16)
-      .orderBy("vec_id").select(col("embedding"))
-      .collect().map(_.getSeq[Float](0).toArray)
+    val collectedRows = emb.where(col("vec_id") < 16)
+      .orderBy("vec_id").select(col("vec_id"), col("embedding"))
+      .collect()
+    val collected: Array[Array[Float]] = collectedRows.map(_.getSeq[Float](1).toArray)
+    // the query vector IS vec_id 0 (centroids(0) below). An input with
+    // vec_ids 1-15 but no 0 would silently promote the lowest-id vector
+    // to query; gate on vec_id 0's presence and return the same-shape
+    // empty result instead — the simTopK/simAnnLsh missing-query
+    // contract (ADVICE r13)
+    val hasQuery = collectedRows.nonEmpty &&
+      collectedRows.head.getAs[Number](0).longValue == 0L
     // zero centroids (empty source) would make the argmax a 0-ary
     // greatest() and centroids(0) a crash; substitute one dummy
     // centroid to keep the plan well-formed and gate every row out
@@ -233,7 +241,7 @@ object SimilarityOps {
     // carries a NULL score iff all 16 were NULL — without the guard it
     // would fall through to the nidx field and land the row in list 0.
     val best = if (cands.length == 1) cands.head else greatest(cands: _*)
-    val withList = emb.where(lit(collected.nonEmpty))
+    val withList = emb.where(lit(hasQuery))
       .withColumn("cents", typedlit(centroids))
       .withColumn("best", best)
       .withColumn("ivf_list",

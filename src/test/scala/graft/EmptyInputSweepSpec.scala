@@ -129,6 +129,32 @@ class EmptyInputSweepSpec extends SparkSpec {
     }
   }
 
+  test("query vector absent but other centroids present: empty result (ADVICE r13)") {
+    // the vec_id>=16 planting above removes ALL centroids, which the
+    // IVF gate already caught; the subtler class is vec_ids 1-15
+    // PRESENT with only vec_id 0 (the query) missing — pre-fix,
+    // simAnnIvf silently promoted the lowest-id centroid to query
+    // while simTopK/simAnnLsh returned empty. All three must agree:
+    // no query vector, no rows, same shape.
+    val dir = java.nio.file.Files.createTempDirectory("graft_noq0").toString
+    val tables = Seq("region", "nation", "customer", "supplier", "part",
+      "orders", "lineitem", "events", "documents")
+    tables.foreach { t =>
+      spark.read.parquet(s"$sf/$t.parquet").limit(0)
+        .write.mode("overwrite").parquet(s"$dir/$t.parquet")
+    }
+    import org.apache.spark.sql.functions.col
+    spark.read.parquet(s"$sf/embeddings.parquet").where(col("vec_id") >= 1)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    for (name <- Seq("q_sim_topk", "q_sim_ann_lsh", "q_sim_ann_ivf")) {
+      val df = SparkEntry.queries(name)(spark, dir)
+      assert(df.count() === 0L,
+        s"$name must return an empty result when vec_id 0 (the query vector) is absent")
+      assert(shape(df.schema) === shape(SparkEntry.queries(name)(spark, sf).schema),
+        s"$name schema must not drift on the missing-vec_id-0 input")
+    }
+  }
+
   test("everything else survives empty input") {
     val covered = family("q_scan", "q_source", "q_filter", "q_project", "q_join",
       "q_agg", "q_udaf", "q_win", "q_sort", "q_set", "q_fn", "q_udf", "q_udtf",

@@ -100,4 +100,25 @@ class BenchLinesSpec extends AnyFunSuite {
     val (m3, t3, c3) = Bench.selectRetries(Nil, Set.empty, 3.5, 16)
     assert(m3 == 0.0 && t3 == 3.5 && c3.isEmpty)
   }
+
+  test("r13 driver blind band: the 2.0 floor catches the sub-3.5s spike class") {
+    // the r13 driver sample's failure mode: median 0.53s, twelve
+    // rotating 2.5-8x spikes ALL between 1.5 and 3.5s (worst 3.457s,
+    // 43ms under the old 3.5 floor) — zero retries fired. Shape
+    // reproduced here with the actual worst victims' values; at the
+    // shipped 2.0 floor every spike above 2.0 is selected, while the
+    // sub-2.0 remainder (and the steady body) stays out.
+    val r13ish = (1 to 140).map(i => s"q_s$i" -> 0.53) ++ Seq(
+      "q_join_range_bin" -> 3.457, "q_pipeline_clean" -> 3.28,
+      "q_knn_graph" -> 3.15, "q_win_running_distinct" -> 2.28,
+      "q_text_pii_redact" -> 2.14, "q_join_broadcast" -> 2.13,
+      "q_text_lm_score" -> 2.11, "q_text_fingerprint" -> 1.16)
+    val (mOld, tOld, cOld) = Bench.selectRetries(r13ish, Set.empty, 3.5, 32)
+    assert(cOld.isEmpty, s"the old floor's blind band (threshold $tOld, median $mOld)")
+    val (m4, t4, c4) = Bench.selectRetries(r13ish, Set.empty, 2.0, 32)
+    assert(t4 == 2.0, s"floor should dominate (median $m4)")
+    assert(c4.map(_._1) == Seq("q_join_range_bin", "q_pipeline_clean", "q_knn_graph",
+      "q_win_running_distinct", "q_text_pii_redact", "q_join_broadcast", "q_text_lm_score"),
+      s"got ${c4.map(_._1)}")
+  }
 }

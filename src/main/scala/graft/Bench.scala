@@ -259,10 +259,21 @@ object Bench {
     if (sys.env.getOrElse("SPARK_GRAFT_SLOT0", "true").toBoolean) {
       SparkEntry.queries.headOption.foreach { case (name, fn) =>
         val t0 = System.nanoTime()
-        // a failure here is ignored: the timed pass will charge and
-        // NAME the same failure; slot-0 must never mask or duplicate it
+        // a non-fatal failure here is logged-and-ignored: the timed pass
+        // will charge and NAME the same failure; slot-0 must never mask
+        // or duplicate it. FATAL throwables (OOM, linkage) propagate —
+        // the timed pass would otherwise run in a corrupted JVM and
+        // report garbage (VERDICT r14 item 3 / ADVICE r14).
         try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-        catch { case _: Throwable => () }
+        catch { case scala.util.control.NonFatal(e) =>
+          System.err.println(
+            s"[bench] slot-0 $name failed (${e.getClass.getSimpleName}) — timed pass will name it")
+        }
+        // same blocking sweep timeOne does: if the head query pins
+        // localCheckpoint blocks, they must not survive into its own
+        // first TIMED run (ADVICE r14)
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = true))
         System.err.println(
           f"[bench] slot-0 sacrificial $name ${(System.nanoTime() - t0) / 1e9}%.3fs (untimed)")
       }

@@ -219,13 +219,16 @@ object SimilarityOps {
       .orderBy("vec_id").select(col("vec_id"), col("embedding"))
       .collect()
     val collected: Array[Array[Float]] = collectedRows.map(_.getSeq[Float](1).toArray)
-    // the query vector IS vec_id 0 (centroids(0) below). An input with
-    // vec_ids 1-15 but no 0 would silently promote the lowest-id vector
-    // to query; gate on vec_id 0's presence and return the same-shape
-    // empty result instead — the simTopK/simAnnLsh missing-query
-    // contract (ADVICE r13)
-    val hasQuery = collectedRows.nonEmpty &&
-      collectedRows.head.getAs[Number](0).longValue == 0L
+    // the query vector IS vec_id 0. An input with vec_ids 1-15 but no 0
+    // would silently promote the lowest-id vector to query; gate on
+    // vec_id 0's presence and return the same-shape empty result
+    // instead — the simTopK/simAnnLsh missing-query contract (ADVICE
+    // r13). Presence is `indexWhere`, not `head == 0` (ADVICE r14): a
+    // hypothetical negative vec_id alongside 0 would make head-based
+    // detection wrongly report the query missing, and the lookup below
+    // locates the query vector BY ID, not positionally.
+    val queryIdx = collectedRows.indexWhere(_.getAs[Number](0).longValue == 0L)
+    val hasQuery = queryIdx >= 0
     // zero centroids (empty source) would make the argmax a 0-ary
     // greatest() and centroids(0) a crash; substitute one dummy
     // centroid to keep the plan well-formed and gate every row out
@@ -248,7 +251,9 @@ object SimilarityOps {
         when(col("best").getField("score").isNull, lit(-1))
           .otherwise(-col("best").getField("nidx")))
       .drop("cents", "best")
-    val qvec = centroids(0)
+    // by-id lookup; when gated (hasQuery false) every row is already
+    // filtered out above, so the dummy only keeps the plan well-formed
+    val qvec = if (hasQuery) centroids(queryIdx) else centroids(0)
     // nprobe=2: query's own list + nearest other centroid list
     val scores = centroids.zipWithIndex.map { case (c, i) =>
       (i, c.zip(qvec).map { case (x, y) => x.toDouble * y.toDouble }.sum)

@@ -61,8 +61,12 @@ class MultiFileFixtureSpec extends SparkSpec {
     val df = SparkEntry.queries("q_scan_pruned")(spark, splitDir)
     assert(rows(df) == single)
     val plan = df.queryExecution.executedPlan.toString
+    // the filter must be INSIDE the pushed list — "PushedFilters: ["
+    // alone also matches an empty list (r15 mutation-smoke finding)
     assert(plan.contains("PushedFilters: ["), plan)
-    assert(plan.contains("l_quantity"), plan)
+    val pushedStart = plan.indexOf("PushedFilters: [")
+    val pushedList = plan.substring(pushedStart, plan.indexOf("]", pushedStart) + 1)
+    assert(pushedList.contains("l_quantity"), s"l_quantity not pushed: $pushedList")
     // projection+filter columns only — price columns must not be read
     assert(!plan.contains("l_extendedprice"), plan)
   }

@@ -61,4 +61,44 @@ class PartitionedDsv2ProbeSpec extends SparkSpec {
     assert(Snapshot.read(spark, root, "pt", "nation").count() ==
       Tables.nation(spark, sf).count())
   }
+
+  // ── WRITE-side asymmetry probes (VERDICT r13 item 6): a partitioned
+  // write attempt must be as loud as the partitioned read rejections
+  // above — never a silently-flat table.
+
+  test("DSv2 APPEND into an existing partitioned entry fails loudly at load, entry untouched") {
+    val root = exportPartitioned()
+    val before = Snapshot.read(spark, root, "pt", "nation").count()
+    val extra = Tables.nation(spark, sf).limit(1)
+    val e = intercept[Exception] {
+      extra.write.format("graft.sources.SnapshotSource")
+        .option("root", root).option("tag", "pt").option("table", "nation")
+        .option("schema", extra.schema.json)
+        .mode("append").save()
+    }
+    assert(e.getMessage.contains("hive-partitioned"), e.getMessage)
+    // nothing was linked into the partitioned layout
+    assert(Snapshot.read(spark, root, "pt", "nation").count() == before)
+  }
+
+  test("writer-side partitionBy on the DSv2 format fails loudly, never a silently-flat write") {
+    val root = Files.createTempDirectory("snap_part_w").toString
+    val df = Tables.nation(spark, sf)
+    val e = intercept[Exception] {
+      df.write.format("graft.sources.SnapshotSource")
+        .option("root", root).option("tag", "pw").option("table", "nation")
+        .option("schema", df.schema.json)
+        .partitionBy("n_regionkey")
+        .mode("overwrite").save()
+    }
+    // probed: Spark's DSv2 writer compares the requested partitioning
+    // against SnapshotTable.partitioning() (empty — the source is
+    // flat-only by design) and rejects the mismatch before any write
+    assert(e.getMessage.contains("partitioning") || e.getMessage.contains("clustering"),
+      s"${e.getClass.getName}: ${e.getMessage}")
+    // and no flat table materialized behind the failure
+    assert(intercept[Exception] {
+      Snapshot.read(spark, root, "pw", "nation").count()
+    } != null)
+  }
 }

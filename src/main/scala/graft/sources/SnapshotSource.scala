@@ -435,8 +435,16 @@ class SnapshotFooterAggReader(file: String, aggs: Seq[SnapshotAgg],
                 // statistics: fall back to the row scan — which raises a
                 // genuine schema error itself if the column truly doesn't
                 // exist — rather than failing the query here.
-                val st = b.getColumns.asScala.find(_.getPath.toDotString == cname)
-                  .map(_.getStatistics).orNull
+                // Exact SINGLE-ELEMENT path match, not toDotString: only
+                // top-level columns are ever pushed (statSafeField), and
+                // a dot-string compare would let a NESTED chunk a.b
+                // shadow a flat column literally named "a.b" (dots are
+                // parquet's path delimiter) — find() would take whichever
+                // comes first in schema order and silently serve the
+                // OTHER column's min/max (DottedColumnProbeSpec).
+                val st = b.getColumns.asScala.find { c =>
+                  val p = c.getPath.toArray; p.length == 1 && p(0) == cname
+                }.map(_.getStatistics).orNull
                 if (st == null || st.isEmpty) ok = false // → row-scan fallback
                 else if (st.hasNonNullValue) {
                   val v = (if (fn == "min") st.genericGetMin else st.genericGetMax) match {

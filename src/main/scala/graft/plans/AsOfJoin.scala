@@ -54,6 +54,18 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
   override def requiredChildDistribution: Seq[Distribution] =
     Seq(ClusteredDistribution(Seq(leftKey)), ClusteredDistribution(Seq(rightKey)))
 
+  /** Rows never move after the children's exchanges and every output
+    * row is a left row (right side only extends it), so the left
+    * child's hash partitioning survives — the same claim
+    * SortMergeJoinExec makes for LEFT OUTER. Without this override the
+    * default UnknownPartitioning makes a downstream aggregation or
+    * join on the as-of key pay a THIRD shuffle for data already
+    * clustered on it — at 100 TB, a whole pass over the join output
+    * (AsOfSpec pins the exchange count).
+    */
+  override def outputPartitioning: org.apache.spark.sql.catalyst.plans.physical.Partitioning =
+    left.outputPartitioning
+
   override def requiredChildOrdering: Seq[Seq[SortOrder]] =
     Seq(Seq(SortOrder(leftKey, org.apache.spark.sql.catalyst.expressions.Ascending),
             SortOrder(leftTs, org.apache.spark.sql.catalyst.expressions.Ascending)),

@@ -98,4 +98,24 @@ class AsOfSpec extends SparkSpec {
       assert(out == want, s"trial $trial: native as-of diverged from brute force")
     }
   }
+
+  test("output partitioning survives: groupBy on the as-of key adds NO third shuffle") {
+    def ts(s: String) = Timestamp.valueOf(s)
+    val lefts = (1 to 40).map(i => (i.toLong, (i % 5).toLong, ts("2024-01-01 10:00:00")))
+      .toDF("id", "k", "t")
+    val rights = (0 until 5).map(u => (u.toLong, ts("2024-01-01 09:00:00"), s"u$u"))
+      .toDF("rk", "rt", "tag")
+    val agg = AsOf.join(lefts, rights, "k", "rk", "t", "rt")
+      .groupBy(col("k")).agg(count(lit(1)).as("n"))
+    val plan = agg.queryExecution.executedPlan.toString
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).size
+    // two child exchanges only — AsOfJoinExec declares the left child's
+    // hash partitioning as its own, so the aggregation reuses it; a
+    // third exchange here means the override regressed and every
+    // downstream keyed op re-shuffles the join output
+    assert(shuffles == 2, s"expected 2 exchanges (children only), got $shuffles:\n$plan")
+    // and the answer is still right
+    val got = agg.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == (0 until 5).map(u => u.toLong -> 8L).toMap)
+  }
 }

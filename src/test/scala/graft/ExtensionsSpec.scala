@@ -175,6 +175,52 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("BandedRangeJoin: pre-epoch timestamps (negative micros) — no pair missed by trunc binning") {
+    // UnixMicros is negative before 1970, and IntegralDivide truncates
+    // toward ZERO while bin semantics reason in floor terms — the zero
+    // bin is double-width (-w, w) and all boundaries are >= w apart, so
+    // a <=w step still crosses at most one boundary and the ±1 probe
+    // fan must cover every true pair. That argument lives only in
+    // review notes unless data straddles the epoch; this pins it.
+    val rnd = new scala.util.Random(42)
+    val w = 600 // seconds; INTERVAL 10 MINUTES
+    // cluster points around the epoch and around ±w multiples, the
+    // exact trunc/floor disagreement zone, plus inclusive boundaries
+    val aSecs = (1 to 30).map(_ => (rnd.nextInt(4 * w) - 2 * w).toLong) ++
+      Seq(-w.toLong, -1L, 0L, 1L, w.toLong)
+    val bSecs = (1 to 30).map(_ => (rnd.nextInt(4 * w) - 2 * w).toLong) ++
+      aSecs.take(8).flatMap(t => Seq(t - w, t + w, t - w - 1, t + w + 1))
+    import spark.implicits._
+    val a = aSecs.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("p_id", "p_sec")
+      .select(col("p_id"), timestamp_seconds(col("p_sec")).as("p_ts"))
+    val b = bSecs.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("s_id", "s_sec")
+      .select(col("s_id"), timestamp_seconds(col("s_sec")).as("s_ts"))
+    def joined = a.join(b,
+      col("s_ts") >= col("p_ts") - expr("INTERVAL 10 MINUTES") &&
+        col("s_ts") <= col("p_ts") + expr("INTERVAL 10 MINUTES"))
+      .select("p_id", "s_id")
+    val before = joined.orderBy("p_id", "s_id").collect()
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ graft.plans.BandedRangeJoin
+    try {
+      val rewritten = joined
+      assert(rewritten.queryExecution.optimizedPlan.toString.contains("graft_band_bin"),
+        "the rule must fire on pre-epoch data too")
+      val after = rewritten.orderBy("p_id", "s_id").collect()
+      assert(after.sameElements(before), "banded rewrite lost or invented pre-epoch pairs")
+      // the brute-force ground truth, independent of Spark entirely
+      val want = (for {
+        (at, ai) <- aSecs.zipWithIndex
+        (bt, bi) <- bSecs.zipWithIndex
+        if math.abs(at - bt) <= w
+      } yield (ai.toLong, bi.toLong)).sorted
+      assert(before.map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted == want)
+    } finally {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_ == graft.plans.BandedRangeJoin)
+    }
+  }
+
   test("BigramGenerator emits n-1 bigrams per doc and handles short docs") {
     import spark.implicits._
     graft.functions.BigramGenerator.register(spark)

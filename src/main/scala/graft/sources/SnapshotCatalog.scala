@@ -156,6 +156,14 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces {
   /** `FOR TIMESTAMP AS OF <ts>`: Spark hands micros since epoch; tags
     * are sortable strings (ISO instants in production), so the instant
     * string resolves through the same asOf walk.
+    *
+    * Precision caveat: `Instant.toString` renders whole seconds as
+    * `…T10:00:00Z` but sub-second instants as `…T10:00:00.000500Z`,
+    * and `'Z' > '.'` lexicographically — so second-precision `…Z` tags
+    * compare AFTER a sub-second instant within the same second. Tag
+    * discipline must therefore pick ONE fixed precision (the walk is
+    * string-ordered by design; mixing widths misorders only within the
+    * boundary second, but pick one anyway).
     */
   override def loadTable(ident: Identifier, timestamp: Long): Table =
     loadTable(ident, java.time.Instant.ofEpochSecond(

@@ -197,6 +197,16 @@ class SnapshotSpec extends SparkSpec {
     // and the unchanged case still skips (links parent files)
     val m3 = Snapshot.export(spark, Map("n" -> v2), root, "s3", Some("s2"))
     assert(m3.tables("n").files == m2.tables("n").files)
+    // the content fingerprint is an order-independent SUM of row hashes:
+    // the same rows under a different partitioning / row order must
+    // still skip — otherwise every repartitioned nightly re-export
+    // rewrites an unchanged table (the claim in signatureAndRows' doc,
+    // pinned here)
+    val m4 = Snapshot.export(spark,
+      Map("n" -> v2.repartition(7, col("n_name")).sortWithinPartitions(col("n_name"))),
+      root, "s4", Some("s3"))
+    assert(m4.tables("n").files == m2.tables("n").files,
+      "repartitioned identical content must inherit the parent's files")
   }
 
   test("partitioned snapshot reads are pinned to the manifest, not directory contents") {

@@ -153,10 +153,36 @@ object AsOf {
     if (!s.experimental.extraStrategies.contains(AsOfStrategy))
       s.experimental.extraStrategies = s.experimental.extraStrategies :+ AsOfStrategy
     val lp = leftDf.queryExecution.analyzed
-    val rp = rightDf.queryExecution.analyzed
+    val rp0 = rightDf.queryExecution.analyzed
+    // SELF-JOIN dedup (what Spark's analyzer does for Join nodes and a
+    // hand-built logical node must do itself): AsOf.join(df, df, …)
+    // hands both sides the SAME attribute exprIds, and the duplicated
+    // output breaks downstream binding with an internal
+    // ATTRIBUTE_NOT_FOUND mid-execution. Re-alias the right side with
+    // fresh exprIds whenever the two outputs overlap.
+    val rp: LogicalPlan =
+      if (lp.outputSet.intersect(rp0.outputSet).isEmpty) rp0
+      else org.apache.spark.sql.catalyst.plans.logical.Project(
+        rp0.output.map(a =>
+          org.apache.spark.sql.catalyst.expressions.Alias(a, a.name)()), rp0)
     def attr(p: LogicalPlan, n: String) = p.output.find(_.name == n).getOrElse(
       throw new IllegalArgumentException(s"column $n not found in ${p.output.map(_.name)}"))
-    GraftShim.ofRows(s, AsOfJoin(lp, rp,
-      attr(lp, leftKey), attr(rp, rightKey), attr(lp, leftTs), attr(rp, rightTs)))
+    // long-backed only (the exec unboxes eval() results to Long): an
+    // int key would otherwise die executor-side as a bare
+    // ClassCastException mid-merge — validate HERE, at plan build, with
+    // the column named (the engine-wide fail-loudly-at-load discipline)
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    def requireType(a: org.apache.spark.sql.catalyst.expressions.Attribute,
+                    role: String, ok: Seq[org.apache.spark.sql.types.DataType]): Unit =
+      if (!ok.contains(a.dataType)) throw new IllegalArgumentException(
+        s"as-of $role column '${a.name}' is ${a.dataType.simpleString}; the native " +
+          s"as-of join needs a long-backed type (${ok.map(_.simpleString).mkString("/")}) " +
+          "— cast the column first")
+    val (lk, rk, lts, rts) =
+      (attr(lp, leftKey), attr(rp, rightKey), attr(lp, leftTs), attr(rp, rightTs))
+    Seq(lk -> "key", rk -> "key").foreach { case (a, r) => requireType(a, r, Seq(LongType)) }
+    Seq(lts -> "timestamp", rts -> "timestamp").foreach { case (a, r) =>
+      requireType(a, r, Seq(TimestampType, TimestampNTZType, LongType)) }
+    GraftShim.ofRows(s, AsOfJoin(lp, rp, lk, rk, lts, rts))
   }
 }

@@ -66,6 +66,33 @@ class AsOfSpec extends SparkSpec {
     assert(e.getMessage.contains("nope"))
   }
 
+  test("non-long key/ts types fail at plan build with the column named, not executor-side") {
+    val longs = Seq((1L, 2L)).toDF("k", "t")
+    val ints = Seq((1, 2)).toDF("k", "t") // int columns — would CCE mid-merge
+    val ek = intercept[IllegalArgumentException](AsOf.join(ints, longs, "k", "k", "t", "t"))
+    assert(ek.getMessage.contains("'k'") && ek.getMessage.contains("int"),
+      s"key-type error must name the column and type: ${ek.getMessage}")
+    val strTs = Seq((1L, "x")).toDF("k", "t")
+    val et = intercept[IllegalArgumentException](AsOf.join(longs, strTs, "k", "k", "t", "t"))
+    assert(et.getMessage.contains("'t'") && et.getMessage.contains("string"))
+    // long-backed inputs still plan fine (timestamp covered by every other test)
+    assert(AsOf.join(longs, longs, "k", "k", "t", "t").count() == 1)
+  }
+
+  test("self-join: AsOf.join(df, df, ...) dedups the shared attribute ids") {
+    // both sides the SAME analyzed plan — without right-side re-aliasing
+    // this dies mid-execution with INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND
+    val df = Seq((1L, 10L, 100L), (2L, 10L, 200L), (3L, 20L, 150L))
+      .toDF("id", "k", "t")
+    val out = AsOf.join(df, df, "k", "k", "t", "t")
+    assert(out.columns.toSeq == Seq("id", "k", "t", "id", "k", "t"))
+    // every row's latest at-or-before partner with its own key is ITSELF
+    // for the earliest row per key, and the later row sees both
+    val pairs = out.collect().map(r => (r.getLong(0), r.getLong(3))).toSet
+    assert(pairs == Set((1L, 1L), (2L, 2L), (3L, 3L)),
+      s"self as-of must match each row to its own latest-at-or-before: $pairs")
+  }
+
   test("native as-of equals a driver-side brute force on tie-heavy random streams") {
     // a 50-second clock over 8 users forces heavy ts collisions — exactly
     // equal left/right timestamps (inclusive boundary), multiple eligible

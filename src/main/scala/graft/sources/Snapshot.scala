@@ -394,9 +394,30 @@ object Snapshot {
     * live appends and exports on one tag; use separate tags with a
     * parent link.
     */
+  /** Tags and table names become filesystem path segments under
+    * `root`. A slashed tag (`x/y`) commits `root/x/y/manifest.json` —
+    * a manifest [[listTags]] (depth-1) never sees — so a later
+    * [[vacuum]] treats every file it references as unreferenced and
+    * DELETES COMMITTED DATA; traversal shapes (`..`) escape the root
+    * entirely. The SQL catalog has always rejected these
+    * (SnapshotCatalog.safeSegment); the programmatic writers must too,
+    * BEFORE any file lands. Read paths stay unguarded: a slashed tag
+    * can no longer exist, so reads just FileNotFound.
+    */
+  private[sources] def requireSafeSegment(kind: String, v: String): Unit =
+    if (v == null || v.isEmpty || v == "." || v == ".." ||
+        v.exists(c => c == '/' || c == '\\' || c == '\u0000'))
+      throw new IllegalArgumentException(
+        s"$kind ${Option(v).map(x => s"'$x'").getOrElse("null")} must be a single " +
+          "path segment (no /, \\, NUL, '.', '..'): a slashed or traversal-shaped " +
+          "name commits a manifest listTags never sees, and vacuum would then sweep " +
+          "its referenced files as orphans")
+
   def export(s: SparkSession, tables: Map[String, DataFrame], root: String,
              tag: String, parent: Option[String] = None,
              partitionBy: Map[String, Seq[String]] = Map.empty): Manifest = {
+    requireSafeSegment("snapshot tag", tag)
+    tables.keys.foreach(requireSafeSegment("snapshot table name", _))
     val parentManifest = parent.map(readManifest(s, root, _))
     val entries = tables.map { case (name, df) =>
       val (rows, sig) = signatureAndRows(df)

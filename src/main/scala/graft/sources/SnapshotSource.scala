@@ -51,6 +51,15 @@ class SnapshotSource extends TableProvider {
     val table = options.get("table")
     require(root != null && table != null && (tag != null || asOf != null),
       "options root, table and one of tag/asOf are required")
+    // tag/table become path segments under root; a slashed or
+    // traversal-shaped value on a WRITE commits a manifest listTags
+    // never sees — whose files vacuum then sweeps as orphans (the
+    // catalog path has always rejected these; the options path must
+    // too). Guarded here, the single coords chokepoint, so reads get
+    // the same loud error instead of a confusing FileNotFound. asOf is
+    // a comparison string, not a path — unguarded by design.
+    if (tag != null) Snapshot.requireSafeSegment("snapshot tag", tag)
+    Snapshot.requireSafeSegment("snapshot table name", table)
     (root, tag, table)
   }
 

@@ -77,12 +77,24 @@ object Graph {
         l.join(ptr, l("lbl") === col("jid"))
           .select(l("id").as("id"), least(l("lbl"), col("jl")).as("lbl"))
       }
+      // fixpoint detector: the label sum in DECIMAL(38,0), NOT a Long
+      // sum — at billions of nodes with large ids the Long sum exceeds
+      // 2^63 and either throws mid-job (ANSI, the Spark 4 default) or
+      // wraps (non-ANSI), where a round whose label decrease is an
+      // exact multiple of 2^64 collides with the previous wrapped sum
+      // and the loop would return partially-merged labels as converged.
+      // DECIMAL(38,0) holds 10^19 ids of 2^63 exactly — no engine this
+      // side of 10^18 rows can overflow it. Labels only decrease, so an
+      // unchanged exact sum IS the fixpoint.
+      def labelSum(l: DataFrame): java.math.BigDecimal =
+        l.agg(coalesce(sum(col("lbl").cast(org.apache.spark.sql.types.DecimalType(38, 0))),
+          lit(0).cast(org.apache.spark.sql.types.DecimalType(38, 0)))).head.getDecimal(0)
       var labels = nodes.select(col("nid").as("id"), col("nid").as("lbl"))
         .localCheckpoint()
-      var prevSum = -1L
-      var curSum = labels.agg(sum(col("lbl"))).head.getLong(0)
+      var prevSum: java.math.BigDecimal = null
+      var curSum = labelSum(labels)
       var iter = 0
-      while (curSum != prevSum && iter < 25) {
+      while ((prevSum == null || curSum.compareTo(prevSum) != 0) && iter < 25) {
         prevSum = curSum
         val nbrMin = edges.join(labels, col("dst") === col("id"))
           .groupBy(col("src")).agg(min(col("lbl")).as("nl"))
@@ -93,13 +105,13 @@ object Graph {
         // round count (each round = fixed scheduler+checkpoint
         // overhead) shrinks ~2× vs a single jump for the same join work
         labels = jump(jump(stepped)).localCheckpoint()
-        curSum = labels.agg(sum(col("lbl"))).head.getLong(0)
+        curSum = labelSum(labels)
         iter += 1
       }
       // double pointer-jumping converges in O(log d) rounds, so 25 is far
       // beyond any reachable diameter — but if the fixpoint was somehow not
       // reached, fail loudly instead of returning partially-merged labels
-      if (curSum != prevSum)
+      if (curSum.compareTo(prevSum) != 0)
         throw new IllegalStateException(
           s"connected components did not converge after $iter rounds (labelSum $prevSum -> $curSum)")
       labels

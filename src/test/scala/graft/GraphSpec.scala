@@ -39,6 +39,25 @@ class GraphSpec extends SparkSpec {
     assert(dist.forall(_._2 == 0L), "every node labels to the chain min")
   }
 
+  test("distributed fixpoint detection survives label sums past 2^63") {
+    // ids chosen so the initial label sum is 2^64 + 6 and round 1's
+    // total label decrease is EXACTLY 2^64: a Long-typed fixpoint sum
+    // either throws mid-job (ANSI sum overflow — Spark 4 default) or
+    // wraps so that sum_0 == sum_1 == 6 and the loop declares
+    // convergence after round 1 with v5..v7 still carrying interior
+    // labels — silent partial merge. The DECIMAL(38,0) detector sees
+    // 2^64+6 != 6 and keeps jumping until the true fixpoint (all a0).
+    //   path: 0 - 1 - 2 - 3 - (2^62-2) - (2^62-1) - 2^62 - (2^62+3)
+    //   after round 1 (step + double jump): [a0×5, a1, a2, a3]
+    //   decrease = (a4+a5+a6+a7) - 4*a0 = 4*2^62 + 0 = 2^64
+    val q = 1L << 62
+    val nodes = Seq[Long](0, 1, 2, 3, q - 2, q - 1, q, q + 3)
+    val edges = nodes.zip(nodes.tail)
+    val dist = cc(nodes, edges, threshold = 0L)
+    assert(dist == nodes.map(_ -> 0L),
+      "every node must label to the path min despite the 2^64 sum collision")
+  }
+
   test("pagerank: mass conserved, global-min doc tops the ranking") {
     val df = q("q_graph_pagerank").cache()
     val docs = graft.sources.Tables.documents(spark, sf)

@@ -40,7 +40,7 @@ object Graph {
   /** Driver-local union-find over a collected edge list: path-halving
     * find + union-by-min so every root is its component's min id.
     */
-  private def unionFindLocal(ids: Array[Long], es: Array[(Long, Long)]): Map[Long, Long] = {
+  private[graft] def unionFindLocal(ids: Array[Long], es: Array[(Long, Long)]): Map[Long, Long] = {
     val parent = scala.collection.mutable.HashMap.empty[Long, Long]
     ids.foreach(i => parent(i) = i)
     // getOrElseUpdate: an edge endpoint absent from `ids` becomes its own

@@ -146,11 +146,17 @@ object Composite {
   }
 
   /** TPC-H Q14 shape (promo revenue share): percentage of one month's
-    * revenue from promo-class parts. The part class dim broadcasts
-    * onto the date-pruned fact slice; numerator and denominator are
-    * the same exact-decimal sum with and without the class predicate,
-    * in ONE aggregate pass; only the final 100·num/den ratio runs in
-    * float64 (mirrored op order, DECIMAL(9,6) presentation).
+    * revenue from promo-class parts. The part class columns join onto
+    * the date-pruned fact slice WITHOUT a broadcast hint — part grows
+    * with SF (200k×SF rows; q_join_broadcast documents the same rule),
+    * and the one-month fact slice is ~1/84 of lineitem, so which side
+    * is smaller is a runtime question AQE answers with real sizes (at
+    * test scale it picks broadcast on its own, same plan as the old
+    * explicit hint; at 100 TB it shuffles both — the hint would pin a
+    * >8 GB broadcast and fail). Numerator and denominator are the same
+    * exact-decimal sum with and without the class predicate, in ONE
+    * aggregate pass; only the final 100·num/den ratio runs in float64
+    * (mirrored op order, DECIMAL(9,6) presentation).
     */
   def tpchQ14(s: SparkSession, dir: String): DataFrame = {
     val lo = lit("1995-09-01").cast("timestamp")
@@ -160,7 +166,7 @@ object Composite {
       .where(col("l_shipdate") >= lo && col("l_shipdate") < hi)
       .select(col("l_partkey"),
         (dec("l_extendedprice") * (one - dec("l_discount"))).as("rev"))
-      .join(broadcast(Tables.part(s, dir).select(col("p_partkey"), col("p_type"))),
+      .join(Tables.part(s, dir).select(col("p_partkey"), col("p_type")),
         col("l_partkey") === col("p_partkey"))
       .agg(
         sum(when(promo, col("rev")).otherwise(lit(0).cast("decimal(18,2)"))).as("promo"),

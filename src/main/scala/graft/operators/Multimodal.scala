@@ -32,6 +32,20 @@ case class ResizedMedia(doc_id: Long, orig_side: Int, new_side: Int,
   */
 object Multimodal {
 
+  /** Loud contract for the typed media stages: a NULL blob reaching a
+    * mapPartitions decode NPEs deep inside an executor with no row
+    * context — name the offending id instead. SQL-null propagation is
+    * not available here (the typed outputs are primitive case-class
+    * fields), so the honest library behavior is an explicit, named
+    * rejection: filter nulls or coalesce a placeholder upstream.
+    */
+  private def requireBlob(id: Long, bytes: Array[Byte]): Array[Byte] = {
+    require(bytes != null,
+      s"null media blob for id=$id — filter nulls (or coalesce a placeholder) " +
+        "before the decode stage")
+    bytes
+  }
+
   /** Stand-in for a real media decoder (e.g. JPEG → pixels). */
   def decodeStub(bytes: Array[Byte]): (Int, Long, Int) = {
     var sum = 0L
@@ -56,7 +70,7 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { iter =>
         iter.map { case (id, bytes) =>
-          val (n, sum, mx) = decodeStub(bytes)
+          val (n, sum, mx) = decodeStub(requireBlob(id, bytes))
           MediaFeatures(id, n, sum, mx)
         }
       }
@@ -72,7 +86,7 @@ object Multimodal {
     df.select(col(idCol).cast("long"), col(mediaCol))
       .as[(Long, Array[Byte])]
       .flatMap { case (id, bytes) =>
-        bytes.grouped(chunkSize).zipWithIndex.collect {
+        requireBlob(id, bytes).grouped(chunkSize).zipWithIndex.collect {
           case (chunk, idx) if idx % stride == 0 => (id, idx, chunk)
         }
       }
@@ -148,7 +162,8 @@ object Multimodal {
     df.select(col(idCol).cast("long"), col(mediaCol))
       .as[(Long, Array[Byte])]
       .mapPartitions { iter =>
-        iter.map { case (id, bytes) =>
+        iter.map { case (id, bytes0) =>
+          val bytes = requireBlob(id, bytes0)
           val side = math.sqrt(bytes.length.toDouble).toInt
           val newSide = side / 2
           var sum = 0L
@@ -218,7 +233,7 @@ object Multimodal {
       .select(col("doc_id"), col("text").cast("binary").as("media"))
     val sigs = blobs.as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, bytes) =>
-        val (hi, lo) = phashWords(bytes)
+        val (hi, lo) = phashWords(requireBlob(id, bytes))
         (id, hi, lo)
       })
       .toDF("doc_id", "sig_hi", "sig_lo")

@@ -63,6 +63,21 @@ class MultimodalSpec extends SparkSpec {
     assert(joined.where(col("n_bytes") =!= col("n_chars")).count() == 0)
   }
 
+  test("a null media blob fails loudly with the offending id named") {
+    // an unguarded mapPartitions would NPE deep in the executor with no
+    // row context; the stage contract names the id instead
+    import spark.implicits._
+    val df = Seq((1L, "ok".getBytes("UTF-8")), (2L, null: Array[Byte]))
+      .toDF("doc_id", "media")
+    val e = intercept[Exception] {
+      Multimodal.extractFeatures(spark, df, "doc_id", "media").collect()
+    }
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ chain(t.getCause)
+    assert(chain(e).exists(m => m.contains("null media blob") && m.contains("id=2")),
+      s"expected the named-blob rejection, got: ${chain(e).mkString(" | ")}")
+  }
+
   test("phash: bands recompose the signature; hamming<=3 pairs always share a band") {
     val rows = q("q_multimodal_phash").collect()
     assert(rows.nonEmpty)

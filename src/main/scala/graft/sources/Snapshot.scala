@@ -404,7 +404,7 @@ object Snapshot {
     * BEFORE any file lands. Read paths stay unguarded: a slashed tag
     * can no longer exist, so reads just FileNotFound.
     */
-  private[sources] def requireSafeSegment(kind: String, v: String): Unit =
+  private[graft] def requireSafeSegment(kind: String, v: String): Unit =
     if (v == null || v.isEmpty || v == "." || v == ".." ||
         v.exists(c => c == '/' || c == '\\' || c == '\u0000'))
       throw new IllegalArgumentException(

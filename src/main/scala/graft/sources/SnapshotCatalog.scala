@@ -70,7 +70,7 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces {
     * sweep as orphans). Only a single safe path segment is a legal tag
     * or table name.
     */
-  private def safeSegment(s: String): Boolean =
+  private[graft] def safeSegment(s: String): Boolean =
     s != null && s.nonEmpty && s != "." && s != ".." &&
       !s.exists(c => c == '/' || c == '\\' || c == '\u0000')
 

@@ -417,6 +417,10 @@ object Snapshot {
              tag: String, parent: Option[String] = None,
              partitionBy: Map[String, Seq[String]] = Map.empty): Manifest = {
     requireSafeSegment("snapshot tag", tag)
+    // the parent tag is a path segment too: export(parent=Some("x/y"))
+    // would readManifest a traversal-shaped path outside/below root and
+    // inherit ITS file entries into the committed manifest (advice r15)
+    parent.foreach(requireSafeSegment("snapshot parent tag", _))
     tables.keys.foreach(requireSafeSegment("snapshot table name", _))
     val parentManifest = parent.map(readManifest(s, root, _))
     val entries = tables.map { case (name, df) =>

@@ -157,17 +157,20 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces {
     * are sortable strings (ISO instants in production), so the instant
     * string resolves through the same asOf walk.
     *
-    * Precision caveat: `Instant.toString` renders whole seconds as
-    * `…T10:00:00Z` but sub-second instants as `…T10:00:00.000500Z`,
-    * and `'Z' > '.'` lexicographically — so second-precision `…Z` tags
-    * compare AFTER a sub-second instant within the same second. Tag
-    * discipline must therefore pick ONE fixed precision (the walk is
-    * string-ordered by design; mixing widths misorders only within the
-    * boundary second, but pick one anyway).
+    * The query instant is rendered with a FIXED 6-digit fraction
+    * (`…T10:00:00.000000Z`), never `Instant.toString` — that renders
+    * whole seconds as `…T10:00:00Z`, and `'Z' > '.'` lexicographically,
+    * so a variable-width query string compares AFTER every sub-second
+    * tag in the same second and the `tag <= asOf` walk would return a
+    * snapshot tagged up to ~1s after the queried instant (advice r15).
+    * Tag discipline should still pick one fixed precision for the tags
+    * themselves (the walk is string-ordered by design; 6-digit-fraction
+    * ISO tags compare exactly against this rendering).
     */
   override def loadTable(ident: Identifier, timestamp: Long): Table =
-    loadTable(ident, java.time.Instant.ofEpochSecond(
-      timestamp / 1000000L, (timestamp % 1000000L) * 1000L).toString)
+    loadTable(ident, SnapshotCatalog.microsFormatter.format(
+      java.time.Instant.ofEpochSecond(
+        timestamp / 1000000L, (timestamp % 1000000L) * 1000L)))
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     // arity != 1 (incl. the empty default namespace from `USE snap`) is
@@ -226,4 +229,18 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces {
   override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean =
     throw new UnsupportedOperationException(
       "drop snapshots via Snapshot.retain/vacuum, not SQL DDL")
+}
+
+object SnapshotCatalog {
+  /** Fixed-width UTC instant rendering for TIMESTAMP AS OF: always a
+    * 6-digit fraction, so whole-second query instants sort correctly
+    * against sub-second ISO tags (see loadTable(ident, timestamp)).
+    */
+  private[sources] val microsFormatter: java.time.format.DateTimeFormatter =
+    new java.time.format.DateTimeFormatterBuilder()
+      .appendPattern("uuuu-MM-dd'T'HH:mm:ss")
+      .appendFraction(java.time.temporal.ChronoField.NANO_OF_SECOND, 6, 6, true)
+      .appendLiteral('Z')
+      .toFormatter
+      .withZone(java.time.ZoneOffset.UTC)
 }

@@ -201,6 +201,39 @@ class SnapshotCatalogSpec extends SparkSpec
       .collect().head.getLong(0) == nation.count() + 3)
   }
 
+  test("TIMESTAMP AS OF renders the query instant fixed-width (whole-second vs sub-second tags)") {
+    // `Instant.toString` is variable-precision: a whole-second instant
+    // renders `…T10:00:00Z`, and since 'Z' > '.' that string sorts
+    // AFTER every sub-second tag in the same second — so the asOf walk
+    // would return a snapshot tagged up to ~1s AFTER the queried
+    // instant (advice r15). The catalog renders a fixed 6-digit
+    // fraction; this test plants exactly the discriminating tag.
+    val root = registerCatalog("snapc13")
+    val nation = Tables.nation(spark, sf)
+    val older = "2024-02-01T09:00:00.000000Z"
+    val newer = "2024-02-01T10:00:00.500000Z"
+    Snapshot.export(spark, Map("nation" -> nation.limit(5)), root, older)
+    Snapshot.export(spark, Map("nation" -> nation), root, newer, parent = Some(older))
+    val cat = spark.sessionState.catalogManager.catalog("snapc13")
+      .asInstanceOf[SnapshotCatalog]
+    val ident = org.apache.spark.sql.connector.catalog.Identifier.of(
+      Array(newer), "nation")
+    // whole-second query instant 10:00:00.000000 — 0.5s BEFORE `newer`
+    val micros = java.time.Instant.parse("2024-02-01T10:00:00Z")
+      .getEpochSecond * 1000000L
+    val t = cat.loadTable(ident, micros)
+      .asInstanceOf[graft.sources.SnapshotTable]
+    assert(t.tag == older,
+      s"whole-second query instant resolved '${t.tag}' — a snapshot AFTER " +
+        "the queried instant (variable-width rendering regression)")
+    assert(t.rows == 5)
+    // a query instant at/after the sub-second tag still resolves it exactly
+    val t2 = cat.loadTable(ident, micros + 500000L)
+      .asInstanceOf[graft.sources.SnapshotTable]
+    assert(t2.tag == newer)
+    assert(t2.rows == nation.count())
+  }
+
   test("SQL time travel: FOR VERSION AS OF resolves the tag's parent chain read-only") {
     val root = registerCatalog("snapc10")
     val nation = Tables.nation(spark, sf)

@@ -52,6 +52,27 @@ class SnapshotSegmentGuardSpec extends SparkSpec {
     assert(er.getMessage.contains("path segment"))
   }
 
+  test("export rejects slashed / traversal PARENT tags before reading any manifest") {
+    // export(parent=Some("..")) would readManifest a traversal-shaped
+    // path outside the root and inherit ITS file entries into the newly
+    // committed manifest (advice r15) — the guard must fire first
+    val root = Files.createTempDirectory("snap_guard_p").toString
+    // plant a readable manifest where ".." would land, so a missing
+    // guard manifests as silent inheritance, not a clean FileNotFound
+    Snapshot.export(spark, Map("n" -> nation),
+      new java.io.File(root).getParent, "escape_parent")
+    for (parent <- Seq("..", "x/y", ".", "", "x\\y")) {
+      val e = intercept[IllegalArgumentException](
+        Snapshot.export(spark, Map("n" -> nation), root, "ok", parent = Some(parent)))
+      assert(e.getMessage.contains("parent tag"), s"parent '$parent': ${e.getMessage}")
+    }
+    // the guard fired before ANY file landed under this root
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.listStatus(new org.apache.hadoop.fs.Path(root)).isEmpty,
+      "a rejected export must leave nothing behind")
+  }
+
   test("the hazard is real: an unlisted nested manifest's files ARE vacuum bait") {
     // construct the pre-guard state by hand (manifest at depth 2) and
     // show listTags misses it — exactly why the guard must exist

@@ -10,30 +10,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * seam (snapshot sources in graft.sources.Snapshot reuse it).
   */
 object Tables {
-  /** LANDED footer schema per (dir, table), inferred ONCE per JVM and
-    * replayed as an explicit read schema afterwards. Every query plans
-    * through these readers, so without the cache each of the ~168 bench
-    * queries re-reads the same footers at analysis time — pure fixed
-    * overhead that an elevated host window multiplies (VERDICT r15
-    * item 2). The cache stores what the FIRST read's footer inference
-    * produced (never a hand-written schema), so fixture drift across
-    * JVM runs is picked up fresh, and the Fixtures.report tripwire —
-    * which reads footers directly, not through this cache — still
-    * names any drift at Verify/Bench startup. Within one JVM the
-    * fixtures are immutable by contract (the driver regenerates them
-    * only between rounds); if a file were swapped mid-JVM anyway, a
-    * re-typed column fails loudly in the vectorized reader rather than
-    * serving wrong shapes.
-    */
-  private val landedSchemas =
-    scala.collection.concurrent.TrieMap.empty[(String, String), org.apache.spark.sql.types.StructType]
-
-  private def read(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val path = s"$dir/$name.parquet"
-    val schema = landedSchemas.getOrElseUpdate((dir, name),
-      spark.read.parquet(path).schema) // one footer inference per (dir, table)
-    spark.read.schema(schema).parquet(path)
-  }
+  private def read(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
 
   def region(s: SparkSession, dir: String): DataFrame    = read(s, dir, "region")
   def nation(s: SparkSession, dir: String): DataFrame    = read(s, dir, "nation")
@@ -105,24 +83,8 @@ object Tables {
         s.read.parquet(path)
     }
 
-  def events(s: SparkSession, dir: String): DataFrame = {
-    val path = s"$dir/events.parquet"
-    val cached = landedSchemas.get((dir, "events"))
-    val raw = cached match {
-      case Some(schema) => s.read.schema(schema).parquet(path)
-      case None =>
-        val df = readMaybeNanos(s, path)
-        // cache ONLY when the nanos fallback did NOT fire: the ns-long
-        // landing depends on the per-session nanosAsLong conf, and an
-        // explicit ns-long schema replayed into a session without that
-        // conf would change which code path decodes the column — the
-        // µs/NTZ landings are conf-independent and safe to replay
-        if (s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true")
-          landedSchemas.putIfAbsent((dir, "events"), df.schema)
-        df
-    }
-    normalizeEventsTs(raw)
-  }
+  def events(s: SparkSession, dir: String): DataFrame =
+    normalizeEventsTs(readMaybeNanos(s, s"$dir/events.parquet"))
 
   /** Streaming twin of [[events]] for specs: file-stream sources need
     * an explicit schema, so declare the LANDED footer types read from

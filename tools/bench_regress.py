@@ -141,6 +141,37 @@ def selftest():
         ("all queries 10% faster: passes",
          {f"q_{i}": 1.0 for i in range(20)},
          {f"q_{i}": 0.9 for i in range(20)}, 0),
+        # isolates the LEAVE-ONE-OUT: with even-N ratios (1.6, 1.3, 1.0,
+        # 1.0) the candidate's own 1.6 would average into a self-median
+        # of 1.15 and excuse itself (1.6/1.15 = 1.39 < RATIO); excluded,
+        # the yardstick is 1.0 and the flag fires. Totals stay under
+        # TOTAL_MIN_ABS so only the per-query rule is in play
+        ("1.6x candidate among (1.3, 1.0, 1.0) peers: own ratio must not "
+         "enter its yardstick",
+         {"q_a": 1.0, "q_b": 1.0, "q_c": 1.0, "q_d": 1.0},
+         {"q_a": 1.6, "q_b": 1.0, "q_c": 1.0, "q_d": 1.3}, 1),
+        # isolates the ADJUSTED-total guard AND the median (vs mean)
+        # host-speed estimate: 9 of 20 queries at 1.45x sit below the
+        # per-query RATIO, the raw total (1.20x) is under the backstop,
+        # and the true median is 1.0 — only adj_total catches it. A
+        # mean-based estimate (1.20) would divide the regression away
+        ("9 of 20 at 1.45x: adjusted-total guard fires on the true median",
+         {f"q_{i}": 1.0 for i in range(20)},
+         {**{f"q_{i}": 1.0 for i in range(20)},
+          **{f"q_{i}": 1.45 for i in range(9)}}, 1),
+        # isolates the RAW backstop: at uniform 1.5x the clamped-median
+        # total stays under TOTAL_RATIO (1.5/1.3 = 1.15) and per-query
+        # norms sit at 1.15 — ONLY raw_regressed can fail this run, so
+        # deleting the backstop is caught here and nowhere else
+        ("uniform 1.5x fails via the raw backstop alone",
+         {f"q_{i}": 1.0 for i in range(20)},
+         {f"q_{i}": 1.5 for i in range(20)}, 1),
+        # isolates MIN_ABS: 2.16x ratio on a sizable-but-small query with
+        # +0.29s absolute growth must stay quiet — dropping the absolute
+        # gate would flag every small query in a jittery window
+        ("sub-MIN_ABS drift at 2x ratio on a small sizable query: passes",
+         {"q_a": 0.25, "q_b": 1.0, "q_c": 1.0},
+         {"q_a": 0.54, "q_b": 1.0, "q_c": 1.0}, 0),
         ("tiny-query drift among steady peers: ignored (MIN_PREV/MIN_ABS)",
          {**{f"q_{i}": 0.05 for i in range(20)},
           **{f"s_{i}": 1.0 for i in range(10)}},

@@ -68,19 +68,25 @@ def main():
         "q_zero_sign": pa.table({"x": pa.array([0.0], type=pa.float64())}),
         "q_nan_vs_null": pa.table({"x": pa.array([None], type=pa.float64())}),
         "q_zero_vs_one": pa.table({"k": pa.array([], type=pa.int64())}),
+        # same MULTISET, different produced order: the driver hashes in
+        # produced row order, so an order-insensitive comparator here
+        # would certify queries the driver fails
+        "q_row_order": pa.table({"k": pa.array([2, 1], type=pa.int64())}),
     }, {
         "q_zero_sign": "SELECT -0.0::double AS x",
         "q_nan_vs_null": "SELECT 'nan'::double AS x",
         "q_zero_vs_one": "SELECT 1::bigint AS k",
+        "q_row_order": "SELECT * FROM (VALUES (1::bigint), (2::bigint)) t(k)",
     })
     rc, outp = run(bad)
     assert rc == 1, f"bad set must exit 1, got {rc}:\n{outp}"
-    assert "0 matched, 3 failed" in outp, outp
+    assert "0 matched, 4 failed" in outp, outp
     assert "FAIL q_zero_sign" in outp and "FAIL q_nan_vs_null" in outp \
-        and "row count: oracle=1 spark=0" in outp, outp
+        and "row count: oracle=1 spark=0" in outp \
+        and "FAIL q_row_order" in outp, outp
 
-    print("oracle_check selftest: all 6 edge behaviors pinned (exit codes, "
-          "0-row match, sign/NaN/count divergence detection)")
+    print("oracle_check selftest: all 7 edge behaviors pinned (exit codes, "
+          "0-row match, sign/NaN/count/row-order divergence detection)")
 
 
 if __name__ == "__main__":

@@ -48,7 +48,14 @@ object Corpus {
     * per-shard top-k (min-heap per partition, merge k per shard).
     */
   def sampleReservoir(s: SparkSession, dir: String): DataFrame = {
-    val h = pmod(col("doc_id") * 2654435761L + 12345L, lit(1000003L))
+    // mod-FIRST, like QuantileSketch.hash: `doc_id * 2654435761` raw
+    // overflows Long once doc_id passes ~3.47e9 — a plausible doc count
+    // at 100 TB (~28 KB/doc) — and Spark 4's default ANSI mode throws
+    // mid-job on that legitimate input. Reducing doc_id mod 1000003
+    // first keeps the product ≤ ~4.3e11 and is algebraically identical
+    // mod 1000003 (2654435761 ≡ 427799), so every selected sample —
+    // and the DuckDB oracle — is unchanged.
+    val h = pmod(pmod(col("doc_id"), lit(1000003L)) * 427799L + 12345L, lit(1000003L))
     val w = Window.partitionBy(col("lang")).orderBy(h, col("doc_id"))
     Tables.documents(s, dir)
       .select(col("doc_id"), col("lang"), col("n_chars"))
@@ -83,7 +90,7 @@ object Corpus {
       """WITH r AS (
         |  SELECT doc_id, lang, n_chars,
         |    row_number() OVER (PARTITION BY lang
-        |      ORDER BY (doc_id * 2654435761 + 12345) % 1000003, doc_id) AS rk
+        |      ORDER BY ((doc_id % 1000003) * 427799 + 12345) % 1000003, doc_id) AS rk
         |  FROM documents)
         |SELECT doc_id, lang, n_chars FROM r WHERE rk <= 10
         |ORDER BY lang, doc_id""".stripMargin

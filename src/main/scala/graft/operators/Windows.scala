@@ -101,8 +101,9 @@ object Windows {
     * conditional-min window passes over the SAME user partition — one
     * exchange for all three stages, no self-joins (the join
     * formulation would rescan events per stage). The final
-    * multi-distinct aggregate adds its own Expand+exchange, but over
-    * rows already reduced per user; the 100 TB funnel shape.
+    * multi-distinct aggregate adds its own Expand+exchange over the
+    * event rows, but partial aggregation dedups (gid, user_id) pairs
+    * map-side before that shuffle; the 100 TB funnel shape.
     */
   def winFunnel(s: SparkSession, dir: String): DataFrame = {
     val byUser = Window.partitionBy(col("user_id"))

@@ -84,6 +84,33 @@ class CompositeSpec extends SparkSpec {
     assert(perLang.where(col("count") > 10).count() == 0)
   }
 
+  test("reservoir: billion-scale doc_ids do not overflow the sampling hash") {
+    // `doc_id * 2654435761` raw passes 2^63 once doc_id > ~3.47e9 — a
+    // plausible 100 TB doc count — and ANSI mode (the Spark 4 default)
+    // throws mid-job; non-ANSI wraps and silently reorders the sample.
+    // The mod-first form must return, and must still agree with the raw
+    // formula computed in overflow-free arithmetic (BigInt reference).
+    val dir = java.nio.file.Files.createTempDirectory("corpus_bigid").toString
+    try {
+      import spark.implicits._
+      // 25 ids in one lang so the k=10 SELECTION depends on the hash
+      val ids = Seq(3470000000L, 5000000000L, Long.MaxValue / 48271,
+        Long.MaxValue - 1L, 7L) ++ (1 to 20).map(i => 4000000000L + 137L * i)
+      ids.map(i => (i, s"text $i", "en", "synth", 7L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val got = SparkEntry.queries("q_sample_reservoir")(spark, dir)
+        .select(col("doc_id")).collect().map(_.getLong(0)).toSeq
+      // which 10 survive is decided by the hash — pin the selection
+      // against the RAW formula computed overflow-free in BigInt
+      val expected = ids.sortBy(i =>
+        ((BigInt(i) * BigInt(2654435761L) + 12345) mod BigInt(1000003L), BigInt(i)))
+        .take(10).sorted
+      assert(got == expected,
+        s"mod-first hash diverged from the overflow-free raw formula: $got vs $expected")
+    } finally SessionToken.deleteDir(dir)
+  }
+
   test("banded range join equals the naive theta join and plans as an equi join") {
     val e = Tables.events(spark, sf)
     val naive = e.where(col("event_type") === "purchase")

@@ -33,7 +33,13 @@ object ScaleRehearsal {
       .drop("rep")
     val orders = spark.read.parquet(s"$sfDir/orders.parquet")
 
-    def time(name: String)(df: => DataFrame): Unit = {
+    // optional second arg: comma-separated leg names — run only those
+    // (the ×100 rehearsal runs the cheap linear shapes alone; the
+    // density-pathological legs (grid2d ×K², triangles) are documented
+    // superlinear BY CONSTRUCTION and would dominate a full ×100 run)
+    val only: Option[Set[String]] = args.drop(1).headOption.map(_.split(",").toSet)
+
+    def time(name: String)(df: => DataFrame): Unit = if (only.forall(_.contains(name))) {
       // Noop-force like Bench: count-forcing lets the optimizer drop
       // agg-final queries' aggregate expressions (and their column
       // reads), so a count-timed leg under-prices the work being

@@ -96,10 +96,21 @@ object Aggregations {
   /** min_by/max_by (sort-agg flavor) with a tie-free ranking value:
     * totalprice is not unique, so rank on price*100 (exact cents)
     * composed with the unique orderkey.
+    *
+    * The composition spacing must exceed EVERY possible orderkey or the
+    * tiebreak term corrupts the price ordering silently (the pre-r16
+    * `cents * 1e7 + orderkey` form inverted winners once orderkeys pass
+    * 1e7 — TPC-H sf100 reaches 6e11). Prices are value-bounded (cents
+    * fit 10 digits at any SF) but keys GROW with the corpus, so the
+    * spacing is 1e18 in DECIMAL arithmetic: product ≤ 1e28, exact in
+    * DECIMAL(38,0), orderable by min_by/max_by, and HUGEINT-expressible
+    * on the DuckDB side. Same (price, orderkey) lexicographic order at
+    * every scale.
     */
   def aggSortFirstLast(s: SparkSession, dir: String): DataFrame = {
-    val rankVal = (round(col("o_totalprice") * 100).cast("bigint") * lit(10000000L)
-      + col("o_orderkey")).as("v")
+    val rankVal = (round(col("o_totalprice") * 100).cast("decimal(10,0)")
+      * lit(1000000000000000000L).cast("decimal(19,0)")
+      + col("o_orderkey").cast("decimal(19,0)")).as("v")
     Tables.orders(s, dir)
       .select(col("o_orderpriority"), col("o_orderkey"), dec("o_totalprice").as("price"), rankVal)
       .groupBy(col("o_orderpriority"))
@@ -401,7 +412,7 @@ object Aggregations {
         |  CAST(max(price) AS DOUBLE) AS max_price
         |FROM (SELECT o_orderpriority, o_orderkey,
         |        CAST(o_totalprice AS DECIMAL(18,2)) AS price,
-        |        CAST(round(o_totalprice * 100) AS BIGINT) * 10000000 + o_orderkey AS v
+        |        CAST(round(o_totalprice * 100) AS HUGEINT) * 1000000000000000000 + o_orderkey AS v
         |      FROM orders)
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,

@@ -180,4 +180,30 @@ class AnalyticsSpec extends SparkSpec {
     val reps = df.groupBy("cluster").agg(min("doc_id").as("min_id"))
     assert(reps.where(col("cluster") =!= col("min_id")).count() == 0)
   }
+
+  test("sort_first_last: orderkeys past the composition spacing cannot invert winners") {
+    // the pre-r16 rank value was `cents * 1e7 + orderkey`; once an
+    // orderkey exceeds 1e7 its tiebreak term outgrows a 1-cent price
+    // step and min_by/max_by SILENTLY return the wrong order (TPC-H
+    // sf100 orderkeys reach 6e11). Pin the discriminating pair: the
+    // 99.99 order with a 2e7 key must beat the 100.00 order with key 1.
+    val dir = java.nio.file.Files.createTempDirectory("agg_bigkey").toString
+    try {
+      import spark.implicits._
+      val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+      Seq(
+        (1L, 1L, "O", 100.00, ts, "1-URGENT"),
+        (20000000L, 2L, "O", 99.99, ts, "1-URGENT"),
+        (30000000L, 3L, "O", 250.00, ts, "1-URGENT"))
+        .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+          "o_orderdate", "o_orderpriority")
+        .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+      val row = SparkEntry.queries("q_agg_sort_first_last")(spark, dir).head()
+      assert(row.getLong(row.fieldIndex("cheapest_order")) == 20000000L,
+        s"cheapest must be the 99.99 order regardless of its key magnitude: $row")
+      assert(row.getLong(row.fieldIndex("priciest_order")) == 30000000L, s"$row")
+      assert(row.getDouble(row.fieldIndex("min_price")) == 99.99)
+      assert(row.getDouble(row.fieldIndex("max_price")) == 250.00)
+    } finally SessionToken.deleteDir(dir)
+  }
 }

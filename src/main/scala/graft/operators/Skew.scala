@@ -13,18 +13,23 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
+  /** The salt expression BOTH utilities use — deterministic (a hash of
+    * the row id column, never rand(), so results and partition
+    * placement reproduce run to run) and sign-safe (pmod). Factored out
+    * so the spread property is testable against the code the operators
+    * actually run, not a spec-side re-implementation.
+    */
+  private[graft] def saltCol(rowIdCol: String, salts: Int): Column =
+    pmod(hash(col(rowIdCol)), lit(salts))
+
   /** Salted equi-join: the skewed (big) side gets a random-but-
     * deterministic salt in [0, salts) derived from a row fingerprint;
     * the other side is replicated `salts` times. The join key becomes
     * (key, salt), spreading each hot key over `salts` reducers.
-    *
-    * Determinism: the salt comes from a hash of the big side's row id
-    * column, not rand(), so results and partition placement are
-    * reproducible run to run.
     */
   def saltedJoin(big: DataFrame, small: DataFrame, bigKey: String, smallKey: String,
                  rowIdCol: String, salts: Int): DataFrame = {
-    val salted = big.withColumn("_salt", pmod(hash(col(rowIdCol)), lit(salts)))
+    val salted = big.withColumn("_salt", saltCol(rowIdCol, salts))
     val replicated = small
       .withColumn("_salt", explode(lit((0 until salts).toArray)))
     salted.join(replicated,
@@ -39,7 +44,7 @@ object Skew {
     */
   def saltedSumCount(df: DataFrame, groupKey: String, valueCol: Column,
                      rowIdCol: String, salts: Int): DataFrame = {
-    df.withColumn("_salt", pmod(hash(col(rowIdCol)), lit(salts)))
+    df.withColumn("_salt", saltCol(rowIdCol, salts))
       .groupBy(col(groupKey), col("_salt"))
       .agg(sum(valueCol).as("_psum"), count(lit(1)).as("_pcnt"))
       .groupBy(col(groupKey))

@@ -66,11 +66,28 @@ class SkewSpec extends SparkSpec {
   }
 
   test("salt actually spreads a hot key across groups in stage 1") {
+    // THROUGH Skew.saltCol — the expression the operators run, not a
+    // spec-side re-implementation (a dead-salt mutant in Skew would
+    // pass an inline copy of the formula while the claim hollows)
     val events = Tables.events(spark, sf)
     val saltCards = events
-      .withColumn("_salt", pmod(hash(col("event_id")), lit(8)))
+      .withColumn("_salt", Skew.saltCol("event_id", 8))
       .where(col("event_type") === "click")
       .select(col("_salt")).distinct().count()
     assert(saltCards > 1, "hot key must occupy multiple salt buckets")
+  }
+
+  test("saltedSumCount's stage-1 exchange partitions on (key, salt) — the spread IS the plan") {
+    // the result-equality tests above cannot bind the spread: salting
+    // with a constant salt is still CORRECT, it just stops spreading.
+    // The scale property lives in the physical plan — stage 1 must
+    // shuffle on (event_type, _salt), never event_type alone.
+    val events = Tables.events(spark, sf)
+    val salted = Skew.saltedSumCount(events, "event_type", dec("value"), "event_id", 8)
+    salted.collect() // finalize the (possibly adaptive) plan
+    val plan = salted.queryExecution.executedPlan.toString
+    val spread = "(?s).*hashpartitioning\\([^)]*event_type[^)]*_salt[^)]*\\).*"
+    assert(plan.matches(spread),
+      s"stage-1 exchange must carry the salt in its partitioning keys:\n$plan")
   }
 }

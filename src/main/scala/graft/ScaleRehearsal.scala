@@ -14,9 +14,17 @@ object ScaleRehearsal {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val k = args.headOption.map(_.toInt).getOrElse(10)
+    // SPARK_GRAFT_SHUFFLE: shuffle-partition override for attribution
+    // experiments — at ×K inflation a fixed partition count eventually
+    // spills (partition bytes grow ×K), and re-sizing partitions to the
+    // data is exactly the lever a real cluster uses; this knob proves
+    // whether a superlinear leg is spill (ratio drops when re-sized) or
+    // plan pathology (ratio doesn't)
+    val cpus0 = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
-      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
-      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+      .master(s"local[$cpus0]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus0))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -548,6 +548,37 @@ object Snapshot {
       } finally reader.close()
     } catch { case _: Exception => Map.empty }
 
+  private def parseInstant(t: String): Option[java.time.Instant] =
+    try Some(java.time.Instant.parse(t))
+    catch { case _: java.time.format.DateTimeParseException => None }
+
+  /** asOf ordering: string comparison, EXCEPT that when BOTH sides parse
+    * as ISO-8601 instants they compare as instants. Mixed-precision ISO
+    * tags do not sort lexicographically by time — a whole-second tag
+    * `…T10:00:00Z` (natural `Instant.toString` output) compares AFTER
+    * the fixed 6-digit query rendering `…T10:00:00.000000Z` because
+    * `'Z' > '.'`, so TIMESTAMP AS OF at the exact commit instant would
+    * exclude that snapshot (advice r16; time-travel semantics include
+    * equal timestamps). Parsing both sides makes every ISO precision
+    * agree; non-ISO tags (v1, 2024-01-01, …) keep pure string order.
+    */
+  private[sources] def tagLeq(tag: String, asOf: String): Boolean =
+    (parseInstant(tag), parseInstant(asOf)) match {
+      case (Some(a), Some(b)) => !a.isAfter(b)
+      case _ => tag <= asOf
+    }
+
+  /** Newest-tag selection under the same mixed-precision rule as
+    * [[tagLeq]]: instants order by time (string as tiebreak), anything
+    * else by string; an instant and a non-instant fall back to string.
+    */
+  private[sources] val tagOrdering: Ordering[String] = (x: String, y: String) =>
+    (parseInstant(x), parseInstant(y)) match {
+      case (Some(a), Some(b)) =>
+        val c = a.compareTo(b); if (c != 0) c else x.compareTo(y)
+      case _ => x.compareTo(y)
+    }
+
   /** Time-travel resolution: the snapshot manifest in effect "as of"
     * `asOf` (tags are sortable strings — ISO timestamps in production,
     * so `asOf` is a tag OR any timestamp between two tags).
@@ -582,13 +613,16 @@ object Snapshot {
                 s"asOf='$asOf': parent chain from '$start' breaks at " +
                   s"'${cur.get}' (tag no longer exists — removed by retention?)")
           }
-        if (m.tag <= asOf) return m
+        if (tagLeq(m.tag, asOf)) return m
         cur = m.parent
       }
       throw new IllegalArgumentException(
         s"no snapshot at or before '$asOf' on the parent chain of '$start'")
     case None =>
-      listTags(s, root).filter(_ <= asOf).lastOption
+      // maxOption under tagOrdering, not lastOption: listTags is
+      // string-sorted, and mixed-precision ISO tags do not string-sort
+      // by time (see tagLeq)
+      listTags(s, root).filter(tagLeq(_, asOf)).maxOption(tagOrdering)
         .map(readManifest(s, root, _))
         .getOrElse(throw new IllegalArgumentException(
           s"no snapshot at or before '$asOf' under $root " +

@@ -163,9 +163,11 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces {
     * so a variable-width query string compares AFTER every sub-second
     * tag in the same second and the `tag <= asOf` walk would return a
     * snapshot tagged up to ~1s after the queried instant (advice r15).
-    * Tag discipline should still pick one fixed precision for the tags
-    * themselves (the walk is string-ordered by design; 6-digit-fraction
-    * ISO tags compare exactly against this rendering).
+    * The walk itself also parses BOTH sides as instants when they parse
+    * ([[Snapshot.tagLeq]], advice r16), so a whole-second tag
+    * `…T10:00:00Z` committed exactly at the queried instant is INCLUDED
+    * (time-travel semantics include equal timestamps) even though
+    * `'Z' > '.'` would string-sort it after this rendering.
     */
   override def loadTable(ident: Identifier, timestamp: Long): Table =
     loadTable(ident, SnapshotCatalog.microsFormatter.format(

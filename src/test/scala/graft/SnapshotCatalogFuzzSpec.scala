@@ -33,11 +33,16 @@ class SnapshotCatalogFuzzSpec extends SparkSpec {
     val anomalies = new java.util.concurrent.ConcurrentLinkedQueue[String]()
     try {
       val writer = Future {
-        for (i <- 1 to 12) {
-          val rows = if (i % 2 == 0) 5 else 20
-          Snapshot.export(spark, Map("nation" -> nation.limit(rows)), root, "live")
-        }
-        stop = true
+        // stop in a finally: a writer that THROWS mid-loop must still
+        // release the readers — pool.shutdown() does not interrupt
+        // running tasks, so a dangling `stop=false` is a hung suite
+        // plus an unbounded anomaly queue, not a failed test (advice r16)
+        try {
+          for (i <- 1 to 12) {
+            val rows = if (i % 2 == 0) 5 else 20
+            Snapshot.export(spark, Map("nation" -> nation.limit(rows)), root, "live")
+          }
+        } finally stop = true
       }
       val readers = (0 until 4).map { r =>
         Future {
@@ -66,6 +71,11 @@ class SnapshotCatalogFuzzSpec extends SparkSpec {
         s"readers saw torn/missing snapshots:\n${anomalies.toArray.mkString("\n")}")
     } finally {
       pool.shutdown()
+      // drop the catalog registration: CatalogManager caches the plugin
+      // instance per name for the session's lifetime, and a 'snapfz'
+      // pointing at a deleted root would poison any later same-name use
+      spark.conf.unset("spark.sql.catalog.snapfz")
+      spark.conf.unset("spark.sql.catalog.snapfz.root")
       SessionToken.deleteDir(root)
     }
   }

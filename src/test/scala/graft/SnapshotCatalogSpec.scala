@@ -234,6 +234,47 @@ class SnapshotCatalogSpec extends SparkSpec
     assert(t2.rows == nation.count())
   }
 
+  test("mixed-precision ISO tags resolve by INSTANT, not string order") {
+    // Two discipline-violating-but-legal ISO tags: a whole-second tag
+    // (natural Instant.toString output — no fraction) and a sub-second
+    // one half a second LATER. Lexicographically they sort BACKWARDS
+    // ('.' < 'Z' puts the later tag first), so the old string-only walk
+    // (a) excluded the whole-second tag at its own exact commit instant
+    // ('Z' > '.': tag sorts after the fixed 6-digit query rendering) and
+    // (b) could find NO snapshot for instants between the two (advice
+    // r16). tagLeq parses both sides when both parse ISO.
+    val root = registerCatalog("snapc14")
+    val nation = Tables.nation(spark, sf)
+    val whole = "2024-03-01T10:00:00Z"          // instant 10:00:00.000000
+    val sub   = "2024-03-01T10:00:00.500000Z"   // instant 10:00:00.500000
+    Snapshot.export(spark, Map("nation" -> nation.limit(5)), root, whole)
+    Snapshot.export(spark, Map("nation" -> nation), root, sub, parent = Some(whole))
+    val cat = spark.sessionState.catalogManager.catalog("snapc14")
+      .asInstanceOf[SnapshotCatalog]
+    val ident = org.apache.spark.sql.connector.catalog.Identifier.of(
+      Array(sub), "nation")
+    val base = java.time.Instant.parse(whole).getEpochSecond * 1000000L
+    // TIMESTAMP AS OF at the whole-second tag's EXACT commit instant:
+    // equal timestamps are included (the string walk excluded it)
+    val t0 = cat.loadTable(ident, base).asInstanceOf[graft.sources.SnapshotTable]
+    assert(t0.tag == whole,
+      s"exact-commit-instant query resolved '${t0.tag}' — equal timestamps must be included")
+    assert(t0.rows == 5)
+    // an instant strictly BETWEEN the two tags: the string walk found
+    // NEITHER (whole sorts after the query, sub compares greater on the
+    // fraction digit) and threw; instant order resolves the older tag
+    val tMid = cat.loadTable(ident, base + 250000L)
+      .asInstanceOf[graft.sources.SnapshotTable]
+    assert(tMid.tag == whole, s"mid-instant query resolved '${tMid.tag}'")
+    // at/after the sub-second tag: the newer snapshot, exactly
+    val t1 = cat.loadTable(ident, base + 500000L)
+      .asInstanceOf[graft.sources.SnapshotTable]
+    assert(t1.tag == sub && t1.rows == nation.count())
+    // the no-`from` catalog walk picks max-by-instant, not last-by-string
+    assert(Snapshot.resolveAsOf(spark, root, "2024-03-01T10:00:00.250000Z").tag == whole)
+    assert(Snapshot.resolveAsOf(spark, root, "2024-03-01T11:00:00Z").tag == sub)
+  }
+
   test("SQL time travel: FOR VERSION AS OF resolves the tag's parent chain read-only") {
     val root = registerCatalog("snapc10")
     val nation = Tables.nation(spark, sf)

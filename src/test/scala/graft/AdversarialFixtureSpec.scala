@@ -1,0 +1,151 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Adversarial fixture mutations BEYOND FixtureDriftSpec's synthetic
+  * set (round-17 roadmap / SURVEY §7.9.12): each mutation is either
+  * HANDLED (drift tripwire silent, queries produce standard-SQL
+  * results) or REJECTED LOUDLY (a named drift line and/or a named
+  * analysis error) — never a silent wrong answer.
+  *
+  * The three mutation classes probed here are the ones a driver-side
+  * fixture regeneration (or a real 100 TB ingest) can plausibly ship:
+  *  - NULLs appearing in join keys of tables that never had them —
+  *    legal data, must flow with standard null-key join semantics
+  *    (inner: never matches; left-outer: left rows preserved, null
+  *    keys attach nowhere; groupBy: one null group);
+  *  - a zero-row table with a valid footer (empty partition/source) —
+  *    query paths are pinned by EmptyInputSweepSpec; HERE the drift
+  *    tripwire's dim probe must name the unprovable-dim condition;
+  *  - renamed / reordered parquet columns — reorder is a non-event
+  *    (by-name resolution), rename must fire MISSING + UNEXPECTED and
+  *    the touching query must fail at analysis naming the column.
+  */
+class AdversarialFixtureSpec extends SparkSpec {
+
+  private val allTables = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Clone every sf0.001 fixture into a fresh dir, applying `mutate`
+    * to the named tables. events goes through the Tables seam (the raw
+    * footer may need the nanos mapping; the clone lands a plain
+    * timestamp, still within the accepted encodings).
+    */
+  private def cloneFixtures(dir: String,
+                            mutate: Map[String, DataFrame => DataFrame]): Unit =
+    allTables.foreach { t =>
+      val base = if (t == "events") graft.sources.Tables.events(spark, sf)
+                 else spark.read.parquet(s"$sf/$t.parquet")
+      mutate.getOrElse(t, identity[DataFrame] _)(base)
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/$t.parquet")
+    }
+
+  private def withDir(mutate: Map[String, DataFrame => DataFrame])
+                     (body: String => Unit): Unit = {
+    val dir = java.nio.file.Files.createTempDirectory("adv_fixture").toString
+    try { cloneFixtures(dir, mutate); body(dir) }
+    finally SessionToken.deleteDir(dir)
+  }
+
+  private def rows(name: String, dir: String): Seq[org.apache.spark.sql.Row] =
+    SparkEntry.queries(name)(spark, dir).collect().toSeq
+
+  test("NULL inner-join keys: handled — nulls never match, results equal the null-free subset") {
+    // plant nulls in lineitem.l_partkey (the q_join_broadcast key) on a
+    // deterministic ~5% slice; the fixture never had null keys, so this
+    // is exactly the adversarial regeneration the roadmap names
+    val nullCond = col("l_orderkey") % 19 === 3
+    withDir(Map("lineitem" ->
+        ((li: DataFrame) => li.withColumn("l_partkey",
+          when(nullCond, lit(null)).otherwise(col("l_partkey")))))) { dir =>
+      // legal data, not drift: the tripwire must stay silent
+      val d = graft.sources.Fixtures.drift(spark, dir)
+      assert(d.isEmpty, s"null join keys misreported as drift:\n${d.mkString("\n")}")
+      val planted = spark.read.parquet(s"$dir/lineitem.parquet")
+        .where(col("l_partkey").isNull).count()
+      assert(planted > 0, "mutation planted no nulls — probe is vacuous")
+      // inner-join semantics: a null key matches NOTHING, so the query
+      // over the mutated fixture must equal the query over a fixture
+      // with those rows REMOVED entirely — no crash, no phantom matches
+      val got = rows("q_join_broadcast", dir)
+      withDir(Map("lineitem" ->
+          ((li: DataFrame) => li.where(!nullCond)))) { filteredDir =>
+        assert(got == rows("q_join_broadcast", filteredDir),
+          "null-key rows changed an inner join's result — they must never match")
+      }
+    }
+  }
+
+  test("NULL left-outer keys: handled — every left row preserved, null keys attach nowhere") {
+    val nullCond = col("o_orderkey") % 17 === 5
+    withDir(Map("orders" ->
+        ((o: DataFrame) => o.withColumn("o_custkey",
+          when(nullCond, lit(null)).otherwise(col("o_custkey")))))) { dir =>
+      assert(graft.sources.Fixtures.drift(spark, dir).isEmpty)
+      val custCount = spark.read.parquet(s"$dir/customer.parquet").count()
+      val got = rows("q_join_outer", dir)
+      // left-outer + groupBy(left key): exactly one output row per customer
+      assert(got.size == custCount,
+        s"left-outer lost/duplicated customers: ${got.size} vs $custCount")
+      // the null-key orders attach to NO customer — identical to dropping them
+      withDir(Map("orders" ->
+          ((o: DataFrame) => o.where(!nullCond)))) { filteredDir =>
+        assert(got == rows("q_join_outer", filteredDir),
+          "null-key right rows changed a left-outer join's result")
+      }
+      // and a groupBy over the nulled key forms ONE null group (standard
+      // SQL), sized exactly as planted — not dropped, not exploded
+      val mutOrders = spark.read.parquet(s"$dir/orders.parquet")
+      val planted = mutOrders.where(col("o_custkey").isNull).count()
+      val nullGroups = mutOrders.groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n")).where(col("o_custkey").isNull).collect()
+      assert(planted > 0 && nullGroups.length == 1 &&
+        nullGroups.head.getLong(1) == planted)
+    }
+  }
+
+  test("zero-row embeddings with a valid footer: the dim probe NAMES the unprovable dim") {
+    // the fixture reads fine (schema pass silent) but carries no rows:
+    // the similarity family would go vacuous while the hash gate stayed
+    // green — the dim probe's ZERO-rows branch is the named tripwire
+    withDir(Map("embeddings" -> ((e: DataFrame) => e.limit(0)))) { dir =>
+      val d = graft.sources.Fixtures.drift(spark, dir)
+      assert(d.exists(m => m.contains("table=embeddings") && m.contains("ZERO rows")),
+        s"zero-row embeddings went unnamed:\n${d.mkString("\n")}")
+      // no OTHER line fires — the schema itself is valid
+      assert(d.size == 1, d.mkString("\n"))
+      // and the query path stays empty-not-crash (EmptyInputSweepSpec
+      // pins the full inventory; one representative here ties the two)
+      assert(rows("q_sim_topk", dir).isEmpty)
+    }
+  }
+
+  test("renamed column: drift fires MISSING + UNEXPECTED, the touching query fails NAMED at analysis") {
+    withDir(Map("lineitem" ->
+        ((li: DataFrame) => li.withColumnRenamed("l_quantity", "quantity")))) { dir =>
+      val d = graft.sources.Fixtures.drift(spark, dir)
+      assert(d.exists(m => m.contains("column=l_quantity") && m.contains("MISSING")),
+        d.mkString("\n"))
+      assert(d.exists(m => m.contains("column=quantity") && m.contains("UNEXPECTED")),
+        d.mkString("\n"))
+      // the query that reads l_quantity dies at ANALYSIS naming the
+      // column — loud and attributable, never a silent wrong answer
+      val e = intercept[org.apache.spark.sql.AnalysisException](
+        rows("q_join_broadcast", dir))
+      assert(e.getMessage.contains("l_quantity"), e.getMessage.take(200))
+    }
+  }
+
+  test("reordered columns: a non-event — drift silent, query results identical") {
+    withDir(Map("lineitem" ->
+        ((li: DataFrame) => li.select(li.columns.reverse.map(col).toIndexedSeq: _*)))) { dir =>
+      assert(graft.sources.Fixtures.drift(spark, dir).isEmpty,
+        "column order is not part of the fixture contract — by-name reads handle it")
+      withDir(Map.empty) { plainDir =>
+        assert(rows("q_join_broadcast", dir) == rows("q_join_broadcast", plainDir),
+          "parquet column reorder changed a by-name query's result")
+      }
+    }
+  }
+}

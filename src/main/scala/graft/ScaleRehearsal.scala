@@ -195,6 +195,71 @@ object ScaleRehearsal {
     time("interval_overlap_inflated")(
       graft.operators.Frontier.intervalOverlapImpl(partA, partOrig))
 
+    // MinHash+LSH dedup at ×K: clone-salted band buckets stamp out K
+    // structurally identical but DISJOINT LSH corpora (clone r's docs
+    // only ever bucket with clone r's docs — the label_prop trick) —
+    // so signature computation, band explode, bucket equi-join and the
+    // exact-Jaccard confirm all grow exactly ×K while per-bucket sizes
+    // (the quadratic knob) keep their ×1 distribution, and the matched
+    // pair count is exactly ×K (printed rows ARE the inflation proof).
+    // This measures the real 100 TB dedup dataflow (NearDup.dedupMinhash,
+    // the load-bearing banded claim at NearDup.scala:10-14) end to end;
+    // UN-salted cloning would instead measure the pathological-density
+    // regime (every clone cluster collides in every band → ×K²
+    // candidates), which is the ngram index rehearsal's documented job.
+    val docsMH = spark.read.parquet(s"$sfDir/documents.parquet")
+      .withColumn("rep", explode(expr(s"sequence(1, $k)")))
+      .withColumn("doc_id", col("doc_id") * k + col("rep"))
+    val sigMH = udf((text: String) => graft.operators.NearDup.minhashSignature(text))
+    val bandMH = udf((sig: Seq[Long], band: Int, rep: Int) =>
+      graft.functions.Mix.mix64(
+        graft.operators.NearDup.bandBucket(sig, band) ^ rep.toLong))
+    time("dedup_minhash_inflated") {
+      val sigs = docsMH.withColumn("sig", sigMH(col("text")))
+      val buckets = sigs.select(col("doc_id"), col("sig"), col("rep"),
+          explode(typedlit((0 until graft.operators.NearDup.Bands).toArray)).as("band"))
+        .withColumn("bucket", bandMH(col("sig"), col("band"), col("rep")))
+        .select(col("doc_id"), col("band"), col("bucket"))
+      val cand = buckets.as("l").join(buckets.as("r"),
+          col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket")
+            && col("l.doc_id") < col("r.doc_id"))
+        .select(col("l.doc_id").as("d1"), col("r.doc_id").as("d2")).distinct()
+      val shMH = udf((text: String) => graft.operators.NearDup.shingleHashes(text))
+      val sets = docsMH.select(col("doc_id"), shMH(col("text")).as("sh"))
+      val jacMH = udf((a: Seq[Long], b: Seq[Long]) =>
+        graft.operators.NearDup.jaccard(a.toSet, b.toSet))
+      cand.join(sets.select(col("doc_id").as("d1"), col("sh").as("sh1")), Seq("d1"))
+        .join(sets.select(col("doc_id").as("d2"), col("sh").as("sh2")), Seq("d2"))
+        .withColumn("jac", jacMH(col("sh1"), col("sh2")))
+        .where(col("jac") >= 0.8)
+        .select(col("d1"), col("d2"))
+    }
+
+    // SimHash dedup at ×K: same disjoint-clone salting on the 16-bit
+    // chunk key (re-mixed so clones land in unrelated buckets) — the
+    // 4-chunk pigeonhole band family's candidate join and hamming
+    // confirm grow exactly ×K.
+    time("dedup_simhash_inflated") {
+      val shSH = udf((text: String) => graft.operators.NearDup.simhash64(text))
+      val saltSH = udf((ckey: Long, rep: Int) =>
+        graft.functions.Mix.mix64(ckey ^ (rep.toLong << 17)))
+      val docsSH = docsMH.select(col("doc_id"), col("rep"), shSH(col("text")).as("sh"))
+      val chunks = docsSH.select(col("doc_id"), col("sh"), col("rep"),
+          explode(typedlit((0 until 4).toArray)).as("chunk"))
+        .withColumn("ckey", saltSH(
+          expr("shiftright(sh, chunk * 16)").bitwiseAND(lit(0xffffL)), col("rep")))
+        .select(col("doc_id"), col("sh"), col("chunk"), col("ckey"))
+      chunks.as("l").join(chunks.as("r"),
+          col("l.chunk") === col("r.chunk") && col("l.ckey") === col("r.ckey")
+            && col("l.doc_id") < col("r.doc_id"))
+        .select(col("l.doc_id").as("d1"), col("l.sh").as("sh1"),
+          col("r.doc_id").as("d2"), col("r.sh").as("sh2"))
+        .distinct()
+        .withColumn("hamming", bit_count(col("sh1").bitwiseXOR(col("sh2"))).cast("int"))
+        .where(col("hamming") <= 3)
+        .select(col("d1"), col("d2"))
+    }
+
     // k-means at ×K: cloned embeddings (re-keyed vec_id) grow the
     // point set ×K while centroids stay k×dim — every iteration's
     // broadcast stays constant-size and the (vec, cid) partial agg

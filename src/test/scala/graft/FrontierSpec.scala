@@ -319,6 +319,38 @@ class FrontierSpec extends SparkSpec {
       s"interval overlap planned a nested loop:\n$plan")
   }
 
+  test("interval overlap plan shape: four pruned brand-filtered scans, two bin equi-joins") {
+    // The 3.5 s bench heavy's efficiency claim, pinned to the plan
+    // instead of assumed (VERDICT r16 item 4). Discovered truth while
+    // writing this: there is NO exchange reuse to pin — the two passes
+    // derive a/b through STRUCTURALLY DIFFERENT subtrees (explode-bins
+    // vs start-bin), so ReusedExchange can never apply; what actually
+    // keeps the operator cheap is (a) each of the four derivations
+    // collapsing to its own brand-filtered, column-PRUNED part scan
+    // (≤3 columns each, predicate pushed to the footer), (b) both
+    // passes joining as EQUI joins on the bin key (the range predicate
+    // rides as a residual), and (c) one shuffle total for the final
+    // count aggregate. A widened projection (dead pruning) or a
+    // dropped bin key (nested-loop fallback) breaks exactly these
+    // asserts — both mutants recorded in BASELINE.md r17.
+    val plan = q("q_join_interval_overlap").queryExecution.executedPlan.toString
+    assert("FileScan parquet".r.findAllIn(plan).size == 4,
+      s"expected exactly 4 brand-slice scans (2 per side, no hidden rescans):\n$plan")
+    for (b <- Seq("Brand#1", "Brand#2"))
+      assert(s"StringStartsWith\\(p_brand,$b\\)".r.findAllIn(plan).size == 2,
+        s"brand prefix filter for $b not pushed on both of its scans:\n$plan")
+    // every part scan reads ≤3 columns (brand + price ± size) — a
+    // 100 TB part table scanned unpruned would read ~2× the bytes
+    val schemas = "ReadSchema: struct<([^>]*)>".r.findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(schemas.size == 4 && schemas.forall(_.split(",").length <= 3),
+      s"an interval-overlap scan lost column pruning:\n${schemas.mkString("\n")}")
+    val binJoins = "(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \\[bin#"
+      .r.findAllIn(plan).size
+    assert(binJoins == 2,
+      s"expected 2 equi joins on the bin key, got $binJoins:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("bitmap two-level: per-day registers OR-merged equal the direct exact count") {
     val regs = udaf(new graft.functions.BitmapRegisters)
     val uni = udaf(new graft.functions.BitmapUnion)

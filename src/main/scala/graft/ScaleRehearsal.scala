@@ -46,8 +46,13 @@ object ScaleRehearsal {
     // density-pathological legs (grid2d ×K², triangles) are documented
     // superlinear BY CONSTRUCTION and would dominate a full ×100 run)
     val only: Option[Set[String]] = args.drop(1).headOption.map(_.split(",").toSet)
+    // every leg name that actually ran — a TYPO'D filter name would
+    // otherwise run NOTHING and the rehearsal would look "complete"
+    // with zero measured legs (the silent-miss class; checked at exit)
+    val ran = scala.collection.mutable.Set.empty[String]
 
     def time(name: String)(df: => DataFrame): Unit = if (only.forall(_.contains(name))) {
+      ran += name
       // Noop-force like Bench: count-forcing lets the optimizer drop
       // agg-final queries' aggregate expressions (and their column
       // reads), so a count-timed leg under-prices the work being
@@ -364,5 +369,16 @@ object ScaleRehearsal {
     }
 
     spark.stop()
+    // fail LOUDLY on filter names that matched no leg: a misspelled
+    // ×100 invocation must be a visible error, never a vacuous pass
+    only.foreach { o =>
+      val missed = o -- ran
+      if (missed.nonEmpty) {
+        System.err.println(
+          s"[rehearsal] UNKNOWN leg name(s): ${missed.toSeq.sorted.mkString(", ")} — " +
+            s"known legs that ran this invocation: ${ran.toSeq.sorted.mkString(", ")}")
+        sys.exit(2)
+      }
+    }
   }
 }

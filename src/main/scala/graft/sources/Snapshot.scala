@@ -552,32 +552,47 @@ object Snapshot {
     try Some(java.time.Instant.parse(t))
     catch { case _: java.time.format.DateTimeParseException => None }
 
-  /** asOf ordering: string comparison, EXCEPT that when BOTH sides parse
-    * as ISO-8601 instants they compare as instants. Mixed-precision ISO
-    * tags do not sort lexicographically by time — a whole-second tag
-    * `…T10:00:00Z` (natural `Instant.toString` output) compares AFTER
-    * the fixed 6-digit query rendering `…T10:00:00.000000Z` because
-    * `'Z' > '.'`, so TIMESTAMP AS OF at the exact commit instant would
-    * exclude that snapshot (advice r16; time-travel semantics include
-    * equal timestamps). Parsing both sides makes every ISO precision
-    * agree; non-ISO tags (v1, 2024-01-01, …) keep pure string order.
+  /** Fixed 9-digit-fraction UTC rendering — the CANONICAL ordering key
+    * for ISO tags. Fixed-width ISO strings compare lexicographically in
+    * chronological order, and 9 digits preserve full Instant precision
+    * (the catalog's 6-digit query rendering parses and re-canonicalizes
+    * to this form, so both widths agree).
     */
-  private[sources] def tagLeq(tag: String, asOf: String): Boolean =
-    (parseInstant(tag), parseInstant(asOf)) match {
-      case (Some(a), Some(b)) => !a.isAfter(b)
-      case _ => tag <= asOf
-    }
+  private val canonicalTagFormatter: java.time.format.DateTimeFormatter =
+    new java.time.format.DateTimeFormatterBuilder()
+      .appendPattern("uuuu-MM-dd'T'HH:mm:ss")
+      .appendFraction(java.time.temporal.ChronoField.NANO_OF_SECOND, 9, 9, true)
+      .appendLiteral('Z')
+      .toFormatter
+      .withZone(java.time.ZoneOffset.UTC)
 
-  /** Newest-tag selection under the same mixed-precision rule as
-    * [[tagLeq]]: instants order by time (string as tiebreak), anything
-    * else by string; an instant and a non-instant fall back to string.
+  /** Canonical asOf ordering key: a tag that parses as an ISO-8601
+    * instant maps to its fixed-width rendering, anything else maps to
+    * itself. Mixed-precision ISO tags do not sort lexicographically by
+    * time — a whole-second tag `…T10:00:00Z` (natural `Instant.toString`
+    * output) compares AFTER the catalog's fixed 6-digit query rendering
+    * `…T10:00:00.000000Z` because `'Z' > '.'`, so TIMESTAMP AS OF at the
+    * exact commit instant would exclude that snapshot (advice r16;
+    * time-travel semantics include equal timestamps).
+    *
+    * Ordering BY A DERIVED KEY rather than comparing (parsed, raw) pairs
+    * pairwise is what makes this a genuine total order: pairwise
+    * instant-vs-string comparison cycles when a non-ISO tag string-sorts
+    * BETWEEN two same-second mixed-precision ISO tags (a<b by instant,
+    * b<z and z<a by string), and max-selection under a cyclic comparator
+    * can return a non-newest tag.
     */
-  private[sources] val tagOrdering: Ordering[String] = (x: String, y: String) =>
-    (parseInstant(x), parseInstant(y)) match {
-      case (Some(a), Some(b)) =>
-        val c = a.compareTo(b); if (c != 0) c else x.compareTo(y)
-      case _ => x.compareTo(y)
-    }
+  private[graft] def tagKey(t: String): String =
+    parseInstant(t).map(canonicalTagFormatter.format).getOrElse(t)
+
+  /** `tag` at-or-before `asOf` under the canonical key (equal instants
+    * are INCLUDED, whatever precision each side rendered with).
+    */
+  private[graft] def tagLeq(tag: String, asOf: String): Boolean =
+    tagKey(tag) <= tagKey(asOf)
+
+  /** Newest-tag selection under the same canonical key as [[tagLeq]]. */
+  private[graft] val tagOrdering: Ordering[String] = Ordering.by(tagKey)
 
   /** Time-travel resolution: the snapshot manifest in effect "as of"
     * `asOf` (tags are sortable strings — ISO timestamps in production,
@@ -586,7 +601,8 @@ object Snapshot {
     * With `from` set, the parent chain of that tag is walked until a
     * manifest whose tag is <= asOf — lineage-respecting, so a fork's
     * history resolves within the fork. Without `from`, the newest
-    * catalog tag <= asOf wins (listTags order). Either way the answer
+    * catalog tag <= asOf wins ([[tagOrdering]]: instant order when
+    * both sides parse ISO, string order otherwise). Either way the answer
     * is a manifest that actually existed — never a synthetic mix of
     * generations. One manifest read per hop, no data I/O.
     */

@@ -275,6 +275,32 @@ class SnapshotCatalogSpec extends SparkSpec
     assert(Snapshot.resolveAsOf(spark, root, "2024-03-01T11:00:00Z").tag == sub)
   }
 
+  test("tag ordering is a TOTAL order even with non-ISO tags interleaving") {
+    // the discriminating triple for pairwise instant-vs-string
+    // comparison: a < b by instant (same second, mixed precision),
+    // but the non-ISO z string-sorts BETWEEN them ('.' < 'Z' puts b
+    // before z before a) — pairwise comparison cycles (a<b<z<a) and
+    // max-selection under a cyclic comparator can return a non-newest
+    // tag. Ordering by the canonical KEY restores transitivity.
+    val a = "2024-01-02T10:00:00Z"      // instant .000000000
+    val b = "2024-01-02T10:00:00.5Z"    // instant .500000000 — later
+    val z = "2024-01-02T10:00:00.5Zx"   // not ISO; between b and a by string
+    val ord = Snapshot.tagOrdering
+    assert(ord.compare(a, b) < 0, "same-second mixed precision must order by instant")
+    // transitivity: whatever side z lands on, the triple must not cycle
+    val all = Seq(a, b, z)
+    for (x <- all; y <- all; w <- all
+         if ord.compare(x, y) < 0 && ord.compare(y, w) < 0)
+      assert(ord.compare(x, w) < 0, s"cycle: $x < $y < $w but compare($x,$w) >= 0")
+    // antisymmetry/consistency: compare(x,y) and compare(y,x) always oppose
+    for (x <- all; y <- all if x != y)
+      assert(ord.compare(x, y).sign == -ord.compare(y, x).sign)
+    // tagLeq agrees with the ordering and includes equal instants at
+    // BOTH renderings (the 6-digit catalog query form and the bare one)
+    assert(Snapshot.tagLeq(a, "2024-01-02T10:00:00.000000Z"))
+    assert(Snapshot.tagLeq("2024-01-02T10:00:00.000000Z", a))
+  }
+
   test("SQL time travel: FOR VERSION AS OF resolves the tag's parent chain read-only") {
     val root = registerCatalog("snapc10")
     val nation = Tables.nation(spark, sf)

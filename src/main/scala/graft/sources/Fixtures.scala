@@ -113,9 +113,61 @@ object Fixtures {
             .map(n => s"table=$table column=$n UNEXPECTED (new column in fixture)")
           missingOrWrong ++ extra
       }
-    } ++ embeddingDimDrift(spark, sfDir) finally prevNanos match {
+    } ++ crossPartDrift(spark, sfDir) ++ embeddingDimDrift(spark, sfDir)
+    finally prevNanos match {
       case Some(v) => spark.conf.set(nanosKey, v)
       case None    => spark.conf.unset(nanosKey)
+    }
+  }
+
+  /** Cross-part column-set check for DIRECTORY-shaped tables: when a
+    * fixture table is a directory of part files and one part lacks a
+    * column the others carry (a mixed-generator regeneration), Spark's
+    * dir-level schema comes from ONE sampled footer — the table-level
+    * pass above sees nothing wrong, and rows from the short parts read
+    * as SILENT NULLS in that column (or, if the sampled footer is the
+    * short one, the column vanishes — file-order-dependent). One footer
+    * read per part names it up front. Column NAMES only: physical/
+    * logical-type detail legitimately varies across writer generations
+    * (events µs vs ns), and a same-name TYPE conflict already fails
+    * loudly at scan time. Depth-1 listing — fixtures are never
+    * hive-partitioned (partitioned snapshot tables live behind the
+    * manifest, not here).
+    */
+  private def crossPartDrift(spark: SparkSession, sfDir: String): Seq[String] = {
+    import scala.util.control.NonFatal
+    import scala.jdk.CollectionConverters._
+    val conf = spark.sessionState.newHadoopConf()
+    expected.keys.toSeq.sorted.flatMap { table =>
+      try {
+        val p = new org.apache.hadoop.fs.Path(s"$sfDir/$table.parquet")
+        val fs = p.getFileSystem(conf)
+        if (!fs.exists(p) || fs.getFileStatus(p).isFile) Nil
+        else {
+          val parts = fs.listStatus(p).filter(st =>
+            st.isFile && st.getPath.getName.endsWith(".parquet"))
+          val cols: Seq[(String, Set[String])] = parts.toSeq.map { st =>
+            val in = org.apache.parquet.hadoop.util.HadoopInputFile
+              .fromStatus(st, conf)
+            val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+            try st.getPath.getName ->
+              r.getFooter.getFileMetaData.getSchema.getFields.asScala
+                .map(_.getName).toSet
+            finally r.close()
+          }
+          cols.headOption.toSeq.flatMap { case (refName, refCols) =>
+            cols.tail.filter(_._2 != refCols).map { case (name, c) =>
+              val missing = refCols -- c
+              val extra = c -- refCols
+              s"table=$table CROSS-PART SCHEMA DRIFT: part $name vs $refName — " +
+                (if (missing.nonEmpty) s"missing ${missing.toSeq.sorted.mkString(",")} " +
+                  "(those rows would read as SILENT NULLS)" else "") +
+                (if (extra.nonEmpty) s"${if (missing.nonEmpty) "; " else ""}extra " +
+                  extra.toSeq.sorted.mkString(",") else "")
+            }
+          }
+        }
+      } catch { case NonFatal(_) => Nil } // unreadable is the schema pass's report
     }
   }
 

@@ -137,6 +137,48 @@ class AdversarialFixtureSpec extends SparkSpec {
     }
   }
 
+  test("mixed-schema part files: the silent-nulls hazard is real AND named up front") {
+    // a table regenerated as a DIRECTORY where one part was written by
+    // an older generator missing a column: Spark's dir-level schema
+    // comes from one sampled footer, so the table-level drift pass sees
+    // a complete schema while the short part's rows read as SILENT
+    // NULLS. The cross-part footer check must name it.
+    val dir = java.nio.file.Files.createTempDirectory("adv_mixed_parts").toString
+    try {
+      cloneFixtures(dir, Map.empty)
+      // rebuild documents as a 2-part dir: part A full, part B lacking
+      // n_chars — materialize BOTH to the side first (the frames read
+      // lazily from the dir being replaced)
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val tmp = java.nio.file.Files.createTempDirectory("adv_short_part").toString
+      docs.where(col("doc_id") % 2 === 0).coalesce(1).write.parquet(s"$tmp/full")
+      docs.where(col("doc_id") % 2 =!= 0).drop("n_chars")
+        .coalesce(1).write.parquet(s"$tmp/short")
+      def partOf(sub: String) = new java.io.File(s"$tmp/$sub").listFiles()
+        .find(_.getName.endsWith(".parquet")).get.toPath
+      SessionToken.deleteDir(s"$dir/documents.parquet")
+      java.nio.file.Files.createDirectory(
+        java.nio.file.Paths.get(s"$dir/documents.parquet"))
+      java.nio.file.Files.move(partOf("full"),
+        java.nio.file.Paths.get(s"$dir/documents.parquet/part-a-full.parquet"))
+      java.nio.file.Files.move(partOf("short"),
+        java.nio.file.Paths.get(s"$dir/documents.parquet/part-b-short.parquet"))
+      SessionToken.deleteDir(tmp)
+      // the hazard: IF the sampled footer is the full one, the short
+      // part's rows carry silent nulls (file-order-dependent — the
+      // point of naming it up front rather than relying on a query)
+      val landed = spark.read.parquet(s"$dir/documents.parquet")
+      if (landed.columns.contains("n_chars"))
+        assert(landed.where(col("n_chars").isNull).count() > 0,
+          "expected the short part's rows to read as silent nulls")
+      // the tripwire names the exact part and column
+      val d = graft.sources.Fixtures.drift(spark, dir)
+      assert(d.exists(m => m.contains("table=documents")
+          && m.contains("CROSS-PART SCHEMA DRIFT") && m.contains("n_chars")),
+        s"mixed-schema parts went unnamed:\n${d.mkString("\n")}")
+    } finally SessionToken.deleteDir(dir)
+  }
+
   test("reordered columns: a non-event — drift silent, query results identical") {
     withDir(Map("lineitem" ->
         ((li: DataFrame) => li.select(li.columns.reverse.map(col).toIndexedSeq: _*)))) { dir =>

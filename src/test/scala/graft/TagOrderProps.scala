@@ -1,0 +1,151 @@
+package graft
+
+import org.scalacheck.{Gen, Properties}
+import org.scalacheck.Prop.forAll
+
+import graft.sources.Snapshot
+
+/** Ordering laws for the canonical asOf tag key (round-17's total-order
+  * rework): `tagOrdering`/`tagLeq` must stay LAWFUL over every mix of
+  * ISO precisions and arbitrary non-ISO strings — the pairwise
+  * instant-vs-string formulation they replaced cycles on exactly such
+  * mixes (see the SnapshotCatalogSpec discriminating triple), and
+  * max-selection under a cyclic comparator returns wrong newest-tags
+  * silently. Generators weight the dangerous shapes: the SAME instant
+  * rendered at different fraction widths, same-second sub-second
+  * neighbors, and near-ISO garbage that string-sorts between them.
+  */
+object TagOrderProps extends Properties("TagOrder") {
+
+  private val ord = Snapshot.tagOrdering
+
+  /** Epoch-micros in a ±few-century window (exercises pre-epoch too). */
+  private val micros: Gen[Long] =
+    Gen.chooseNum(-5000000000000000L, 5000000000000000L)
+
+  private def instantOf(us: Long): java.time.Instant =
+    java.time.Instant.ofEpochSecond(
+      Math.floorDiv(us, 1000000L), Math.floorMod(us, 1000000L) * 1000L)
+
+  /** One instant, rendered at a random ISO precision: bare seconds
+    * (Instant.toString style when the fraction is zero), or a 1/3/6/9
+    * digit fraction — all parse back to (possibly truncated forms of)
+    * the same instant family.
+    */
+  private val isoTag: Gen[String] = for {
+    us <- micros
+    digits <- Gen.oneOf(0, 1, 3, 6, 9)
+  } yield {
+    val i = instantOf(us)
+    if (digits == 0) {
+      // whole-second rendering: truncate and print without a fraction
+      val base = i.truncatedTo(java.time.temporal.ChronoUnit.SECONDS)
+      base.toString // always …Z with no fraction after truncation
+    } else {
+      val f = new java.time.format.DateTimeFormatterBuilder()
+        .appendPattern("uuuu-MM-dd'T'HH:mm:ss")
+        .appendFraction(java.time.temporal.ChronoField.NANO_OF_SECOND,
+          digits, digits, true)
+        .appendLiteral('Z').toFormatter.withZone(java.time.ZoneOffset.UTC)
+      f.format(i)
+    }
+  }
+
+  /** Tags clustered in TWO fixed seconds: independent draws collide on
+    * the same second constantly, which is where the pairwise-comparison
+    * cycle lives (same-second mixed widths + a near-ISO suffix string
+    * sorting between them). Keeps the law properties dense in the
+    * dangerous region instead of relying on random instants colliding.
+    */
+  private val sameSecondTag: Gen[String] = for {
+    base <- Gen.oneOf("2024-01-02T10:00:00", "2024-01-02T10:00:01")
+    frac <- Gen.oneOf("", ".5", ".500", ".000000", ".500000", ".000000000")
+    suffix <- Gen.frequency(3 -> Gen.const(""), 1 -> Gen.const("x"))
+  } yield s"$base${frac}Z$suffix"
+
+  /** Arbitrary tags: ISO, version-ish strings, near-ISO garbage (an ISO
+    * rendering with a junk suffix — the shape that string-sorts BETWEEN
+    * mixed-precision renderings of one second), and the dense
+    * same-second cluster above.
+    */
+  private val tag: Gen[String] = Gen.frequency(
+    3 -> isoTag,
+    2 -> Gen.alphaNumStr,
+    1 -> Gen.oneOf("v1", "v2", "2024-01-01", ""),
+    1 -> isoTag.map(_ + "x"),
+    3 -> sameSecondTag)
+
+  property("transitive over every generated triple") =
+    forAll(tag, tag, tag) { (a, b, c) =>
+      val s = Seq(a, b, c).sorted(ord)
+      // sorted output must be totally consistent with pairwise compare
+      ord.lteq(s(0), s(1)) && ord.lteq(s(1), s(2)) && ord.lteq(s(0), s(2))
+    }
+
+  /** The tightest cluster: ONE second, the exact shapes of the known
+    * pairwise cycle (whole-second, sub-second, sub-second+junk). A
+    * triple drawn here hits a cycle-forming combination ~9% of the
+    * time, so 100 checks kill a pairwise-comparison regression with
+    * near-certainty — the broad `tag` generator above pins the laws
+    * but reaches this corner too rarely to be the killer.
+    */
+  private val clusterTag: Gen[String] = for {
+    frac <- Gen.oneOf("", ".5")
+    suffix <- Gen.oneOf("", "x")
+  } yield s"2024-01-02T10:00:00${frac}Z$suffix"
+
+  property("transitive inside the same-second cycle cluster") =
+    forAll(clusterTag, clusterTag, clusterTag) { (a, b, c) =>
+      val s = Seq(a, b, c).sorted(ord)
+      ord.lteq(s(0), s(1)) && ord.lteq(s(1), s(2)) && ord.lteq(s(0), s(2))
+    }
+
+  property("antisymmetric: compare(x,y) and compare(y,x) oppose") =
+    forAll(tag, tag) { (x, y) =>
+      math.signum(ord.compare(x, y)) == -math.signum(ord.compare(y, x))
+    }
+
+  property("tagLeq agrees with tagOrdering.lteq") =
+    forAll(tag, tag) { (x, y) =>
+      Snapshot.tagLeq(x, y) == ord.lteq(x, y)
+    }
+
+  property("two ISO renderings order by INSTANT, whatever their widths") =
+    forAll(micros, micros, Gen.oneOf(0, 1, 3, 6, 9), Gen.oneOf(0, 1, 3, 6, 9)) {
+      (u1, u2, d1, d2) =>
+        def render(us: Long, d: Int): String = {
+          val i = instantOf(us)
+          if (d == 0) i.truncatedTo(java.time.temporal.ChronoUnit.SECONDS).toString
+          else new java.time.format.DateTimeFormatterBuilder()
+            .appendPattern("uuuu-MM-dd'T'HH:mm:ss")
+            .appendFraction(java.time.temporal.ChronoField.NANO_OF_SECOND, d, d, true)
+            .appendLiteral('Z').toFormatter.withZone(java.time.ZoneOffset.UTC)
+            .format(i)
+        }
+        val t1 = render(u1, d1); val t2 = render(u2, d2)
+        // compare the TRUNCATED instants each rendering actually encodes
+        val i1 = java.time.Instant.parse(t1); val i2 = java.time.Instant.parse(t2)
+        val expect = i1.compareTo(i2)
+        if (expect == 0) Snapshot.tagLeq(t1, t2) && Snapshot.tagLeq(t2, t1)
+        else math.signum(ord.compare(t1, t2)) == math.signum(expect)
+    }
+
+  property("equal instants at different widths are mutually leq (AS OF includes equals)") =
+    forAll(micros, Gen.oneOf(1, 3, 6, 9)) { (us, d) =>
+      // a micros-aligned instant renders losslessly at >=6 digits; at
+      // 1/3 digits only when aligned — align it so both widths encode
+      // the SAME instant
+      val step = d match { case 1 => 100000L; case 3 => 1000L; case _ => 1L }
+      val aligned = (us / step) * step
+      val i = instantOf(aligned)
+      val wide = new java.time.format.DateTimeFormatterBuilder()
+        .appendPattern("uuuu-MM-dd'T'HH:mm:ss")
+        .appendFraction(java.time.temporal.ChronoField.NANO_OF_SECOND, 9, 9, true)
+        .appendLiteral('Z').toFormatter.withZone(java.time.ZoneOffset.UTC).format(i)
+      val narrow = new java.time.format.DateTimeFormatterBuilder()
+        .appendPattern("uuuu-MM-dd'T'HH:mm:ss")
+        .appendFraction(java.time.temporal.ChronoField.NANO_OF_SECOND, d, d, true)
+        .appendLiteral('Z').toFormatter.withZone(java.time.ZoneOffset.UTC).format(i)
+      Snapshot.tagLeq(wide, narrow) && Snapshot.tagLeq(narrow, wide)
+    }
+}

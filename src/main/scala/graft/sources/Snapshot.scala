@@ -581,6 +581,12 @@ object Snapshot {
     * BETWEEN two same-second mixed-precision ISO tags (a<b by instant,
     * b<z and z<a by string), and max-selection under a cyclic comparator
     * can return a non-newest tag.
+    *
+    * CAVEAT (documented, not guarded): ISO years outside 0000-9999
+    * render sign-prefixed (`+10000-…`), which breaks lexicographic
+    * chronology against 4-digit years; every realistic tag and the
+    * catalog's micros-derived query strings live inside the 4-digit
+    * era, so this stays a doc note (SURVEY §7.9.13 (d)).
     */
   private[graft] def tagKey(t: String): String =
     parseInstant(t).map(canonicalTagFormatter.format).getOrElse(t)

@@ -192,6 +192,23 @@ object Multimodal {
     * words — a BIGINT sign-bit overflow trap exists in several SQL
     * engines at bit 63, and two words sidestep it portably.
     */
+  /** Exact `s·l > t·d` for nonnegative operands whose 64-bit products
+    * can wrap: compares the full 128-bit products (multiplyHigh + an
+    * unsigned low-word comparison). The raw `s*l > t*d` long form
+    * silently wraps once a blob passes ~1.5 GB — both products reach
+    * ~4·L², which crosses 2⁶³ inside the JVM's 2 GB array cap — and a
+    * wrapped product FLIPS phash bits (wrong dedup groups, no error):
+    * the r16 reservoir/rank overflow lesson applied to the blob
+    * domain. The DuckDB oracle's BIGINT mirror errors LOUDLY at the
+    * same magnitudes instead of lying, and fixture blobs sit far
+    * below the window, so oracle parity is unaffected.
+    */
+  private[graft] def productGreater(s: Long, l: Long, t: Long, d: Long): Boolean = {
+    val hi1 = Math.multiplyHigh(s, l); val lo1 = s * l
+    val hi2 = Math.multiplyHigh(t, d); val lo2 = t * d
+    if (hi1 != hi2) hi1 > hi2 else java.lang.Long.compareUnsigned(lo1, lo2) > 0
+  }
+
   def phashWords(bytes: Array[Byte]): (Long, Long) = {
     val L = bytes.length.toLong
     var total = 0L
@@ -207,7 +224,7 @@ object Multimodal {
         var s = 0L
         var j = st
         while (j < en) { s += bytes(j) & 0xff; j += 1 }
-        if (s * L > total * (en - st)) {
+        if (productGreater(s, L, total, (en - st).toLong)) {
           if (b < 32) lo |= 1L << b else hi |= 1L << (b - 32)
         }
       }

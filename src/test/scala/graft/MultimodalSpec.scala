@@ -98,4 +98,49 @@ class MultimodalSpec extends SparkSpec {
           s"pair $i,$j hamming $d shares no band")
     }
   }
+
+  test("phash bucket comparison is exact past the 64-bit product wrap (gigabyte blobs)") {
+    // phashWords compares blockSum·L vs total·blockLen; with raw long
+    // arithmetic BOTH products wrap silently once a blob passes
+    // ~1.5 GB (≈4·L² crosses 2⁶³ inside the 2 GB array cap), flipping
+    // signature bits with no error — wrong dedup groups at exactly the
+    // blob sizes a video pipeline ships. productGreater must agree
+    // with exact BigInt arithmetic over the whole reachable domain,
+    // INCLUDING the wrap window no giant-array test could afford to
+    // build.
+    import graft.operators.Multimodal.productGreater
+    def exact(s: Long, l: Long, t: Long, d: Long): Boolean =
+      BigInt(s) * BigInt(l) > BigInt(t) * BigInt(d)
+    // the realistic 1.9 GB-blob shape: L just under the array cap,
+    // block sums ~255·L/64 — raw products ≈ 4·L² ≈ 1.6e19 > 2⁶³
+    val L = 2000000000L
+    val blockLen = L / 64
+    val sHigh = 255L * (blockLen + 1) // all-0xff block
+    val sLow = 200L * blockLen
+    val totalMid = 220L * L / 64 * 64 / 64 // arbitrary mid-range total
+    val cases = Seq(
+      (sHigh, L, totalMid, blockLen),            // wrap on both sides, true
+      (sLow, L, 255L * L, blockLen),             // wrap, false (max total)
+      (sHigh, L, sHigh, L),                      // equal products under wrap → strict false
+      (0L, L, 0L, blockLen),                     // zeros
+      (1L, 1L, 1L, 1L),                          // trivial equal
+      (3L, 5L, 7L, 2L),                          // small true
+      (Long.MaxValue / 2, 3L, Long.MaxValue / 3, 4L)) // asymmetric wrap
+    for ((s, l, t, d) <- cases)
+      assert(productGreater(s, l, t, d) == exact(s, l, t, d),
+        s"productGreater($s,$l,$t,$d) diverged from exact arithmetic")
+    // seeded sweep across the reachable domain (s,t ≤ 255·L; l,d ≤ 2³¹):
+    // deterministic, covers thousands of wrap and non-wrap points
+    val rnd = new scala.util.Random(42)
+    var i = 0
+    while (i < 5000) {
+      val l = math.abs(rnd.nextLong()) % 2147483647L
+      val d0 = math.max(1L, l / 64)
+      val s = (math.abs(rnd.nextLong()) % 256L) * math.max(1L, d0)
+      val t = (math.abs(rnd.nextLong()) % 256L) * math.max(1L, l)
+      assert(productGreater(s, l, t, d0) == exact(s, l, t, d0),
+        s"seeded case $i: productGreater($s,$l,$t,$d0) diverged")
+      i += 1
+    }
+  }
 }

@@ -316,6 +316,30 @@ object ScaleRehearsal {
       graft.plans.AsOf.join(purchases, clicks, "user_id", "c_user", "p_ts", "c_ts")
     }
 
+    // Sessionize at ×K: the windows family's own leg (pack rehearses
+    // only the running-sum shape). Re-keyed users make each clone's
+    // event history self-consistent, so lag/session-break/running-sum
+    // per user partition reproduce the ×1 sessions exactly and the
+    // output rows are exactly ×K — per-partition window state stays
+    // bounded by ONE user's history however large K grows.
+    time("sessionize_inflated") {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val run = w.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+      graft.sources.Tables.events(spark, sfDir)
+        .withColumn("rep", explode(expr(s"sequence(1, $k)")))
+        .select((col("user_id") * k + col("rep")).as("user_id"),
+          col("event_id"), col("ts"), unix_micros(col("ts")).as("us"))
+        .withColumn("brk",
+          when(col("us") - lag(col("us"), 1).over(w) <= 1800000000L, 0L).otherwise(1L))
+        .withColumn("session_id", sum(col("brk")).over(run))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+          (max(col("us")) - min(col("us"))).as("duration_us"))
+    }
+
     // DSv2 snapshot sink at ×K: the inflated orders stream through the
     // full write path (partition writers → UUID part files → atomic
     // manifest swap) and read back through the DSv2 scan. Proves the

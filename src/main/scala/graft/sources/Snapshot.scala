@@ -582,14 +582,40 @@ object Snapshot {
     * b<z and z<a by string), and max-selection under a cyclic comparator
     * can return a non-newest tag.
     *
-    * CAVEAT (documented, not guarded): ISO years outside 0000-9999
-    * render sign-prefixed (`+10000-…`), which breaks lexicographic
-    * chronology against 4-digit years; every realistic tag and the
-    * catalog's micros-derived query strings live inside the 4-digit
-    * era, so this stays a doc note (SURVEY §7.9.13 (d)).
+    * Years outside 0000-9999 are GUARDED, not a caveat (advice r17 /
+    * roadmap §7.9.13 (d) closure): `Instant.parse` accepts
+    * sign-prefixed years (`+10000-…`, `-0001-…`) whose natural ISO
+    * renderings break lexicographic chronology against 4-digit years
+    * (`'+' < '0'` puts year 10000 BEFORE year 0000; negative years
+    * reverse within themselves). Out-of-range years get an
+    * offset-encoded fixed-width key in a disjoint prefix class:
+    * `'!'` + zero-padded (year+1e9) for negatives (ASCII `'!' < '0'`,
+    * so they sort before every in-range key, ascending within), and
+    * `'~'` + zero-padded year for 5+-digit years (`'~' > '9'`, after
+    * every in-range key). In-range keys are byte-identical to the
+    * pre-guard rendering, so existing on-disk orderings are unchanged.
     */
+  private val tagKeyRestFormatter: java.time.format.DateTimeFormatter =
+    new java.time.format.DateTimeFormatterBuilder()
+      .appendPattern("'-'MM-dd'T'HH:mm:ss")
+      .appendFraction(java.time.temporal.ChronoField.NANO_OF_SECOND, 9, 9, true)
+      .appendLiteral('Z')
+      .toFormatter
+      .withZone(java.time.ZoneOffset.UTC)
+
   private[graft] def tagKey(t: String): String =
-    parseInstant(t).map(canonicalTagFormatter.format).getOrElse(t)
+    parseInstant(t) match {
+      case None => t
+      case Some(i) =>
+        val y = i.atOffset(java.time.ZoneOffset.UTC).getYear
+        if (y >= 0 && y <= 9999) canonicalTagFormatter.format(i)
+        // Instant years span ±1e9, so year+1e9 ∈ [0, 999999999] for
+        // negatives and year ≤ 1e9 for the high side: both fit 10
+        // zero-padded digits, keeping each class lexicographically
+        // chronological
+        else if (y < 0) f"!${y + 1000000000}%010d${tagKeyRestFormatter.format(i)}"
+        else f"~$y%010d${tagKeyRestFormatter.format(i)}"
+    }
 
   /** `tag` at-or-before `asOf` under the canonical key (equal instants
     * are INCLUDED, whatever precision each side rendered with).
@@ -597,8 +623,20 @@ object Snapshot {
   private[graft] def tagLeq(tag: String, asOf: String): Boolean =
     tagKey(tag) <= tagKey(asOf)
 
-  /** Newest-tag selection under the same canonical key as [[tagLeq]]. */
-  private[graft] val tagOrdering: Ordering[String] = Ordering.by(tagKey)
+  /** Newest-tag selection under the same canonical key as [[tagLeq]],
+    * with SAME-INSTANT ties broken on the raw tag string (advice r17):
+    * two manifests tagged at the same instant in different renderings
+    * (`…00Z` vs `…00.000000Z`) collapse to one key, and without the
+    * tie-break `maxOption` returns whichever listTags happened to
+    * yield first — implementation-defined. The raw-string tie-break
+    * makes newest-selection deterministic; [[tagLeq]] deliberately
+    * stays key-only (AS OF at an instant includes EVERY tag at that
+    * instant, whatever its rendering — equal instants must be mutually
+    * leq), so the two agree everywhere except that the ordering
+    * separates same-key ties the predicate treats as equal.
+    */
+  private[graft] val tagOrdering: Ordering[String] =
+    Ordering.by((t: String) => (tagKey(t), t))
 
   /** Time-travel resolution: the snapshot manifest in effect "as of"
     * `asOf` (tags are sortable strings — ISO timestamps in production,
@@ -746,8 +784,14 @@ object Snapshot {
     doomed.sorted.toSeq
   }
 
-  /** Retention: keep the `n` newest tags (lexicographic tag order —
-    * callers use sortable tags like ISO timestamps) plus every
+  /** Retention: keep the `n` newest tags — newest under
+    * [[tagOrdering]], the SAME notion resolveAsOf uses (instant order
+    * for ISO tags, raw-string order otherwise; advice r17). Raw
+    * lexicographic takeRight here was a data-loss bug under the
+    * mixed-precision tag renderings asOf supports: `'.' < 'Z'` makes
+    * an instant-newest sub-second tag (`…00.500000Z`) string-sort
+    * BEFORE an instant-older whole-second one (`…00Z`), so retention
+    * would delete the newest snapshot and keep older ones. Also keeps every
     * snapshot TRANSITIVELY referenced by a surviving manifest's file
     * links. The closure matters: a tag kept only because a kept
     * manifest links into it can itself link into an older tag (chain
@@ -771,7 +815,7 @@ object Snapshot {
       if (cur.getParent == rootQ) Some(cur.getName) else None
     }
     val keep = scala.collection.mutable.Set.empty[String]
-    var frontier: Seq[String] = tags.takeRight(n)
+    var frontier: Seq[String] = tags.sorted(tagOrdering).takeRight(n)
     frontier.foreach(keep += _)
     while (frontier.nonEmpty) {
       frontier = frontier.flatMap { t =>

@@ -71,11 +71,16 @@ class SnapshotCatalogFuzzSpec extends SparkSpec {
         s"readers saw torn/missing snapshots:\n${anomalies.toArray.mkString("\n")}")
     } finally {
       pool.shutdown()
-      // drop the catalog registration: CatalogManager caches the plugin
-      // instance per name for the session's lifetime, and a 'snapfz'
-      // pointing at a deleted root would poison any later same-name use
+      // Drop the catalog registration AND evict the cached instance:
+      // unset alone only prevents FRESH instantiation — CatalogManager
+      // keeps the already-built 'snapfz' plugin (pointing at the
+      // deleted root) cached for the session's lifetime, so a later
+      // same-name catalog("snapfz") lookup would still return the
+      // poisoned instance (advice r17). reset() clears that cache
+      // (private[sql] — reached via the test shim).
       spark.conf.unset("spark.sql.catalog.snapfz")
       spark.conf.unset("spark.sql.catalog.snapfz.root")
+      org.apache.spark.sql.TestCatalogShim.resetCatalogManager(spark)
       SessionToken.deleteDir(root)
     }
   }

@@ -50,6 +50,28 @@ class SnapshotSpec extends SparkSpec {
     assert(Snapshot.read(spark, root, "tag_3", "nation").count() == 5)
   }
 
+  test("retention ranks newest by INSTANT, not string order (mixed-precision tags)") {
+    // Advice r17 (medium): '.' < 'Z' makes the instant-NEWEST sub-second
+    // tag string-sort BEFORE an instant-older whole-second one, so a raw
+    // lexicographic takeRight(n) deletes the newest snapshot and keeps
+    // older ones — data loss under exactly the tag mix asOf supports.
+    // retain must share resolveAsOf's tagOrdering notion of newest.
+    val root = Files.createTempDirectory("snap_ret_mixed").toString
+    val nation = Tables.nation(spark, sf)
+    val oldTag = "2026-01-01T10:00:00Z"         // instant 10:00:00.0 — older
+    val newTag = "2026-01-01T10:00:00.500000Z"  // instant 10:00:00.5 — NEWEST
+    assert(newTag < oldTag, "precondition: the newest tag string-sorts first")
+    Snapshot.export(spark, Map("nation" -> nation), root, oldTag)
+    Snapshot.export(spark, Map("nation" -> nation.limit(5)), root, newTag)
+    assert(Snapshot.resolveAsOf(spark, root, "2026-01-01T11:00:00Z").tag == newTag,
+      "precondition: asOf already resolves the sub-second tag as newest")
+    val deleted = Snapshot.retain(spark, root, 1)
+    assert(deleted == Seq(oldTag),
+      s"retention must delete the instant-OLDER whole-second tag, got: $deleted")
+    assert(Snapshot.listTags(spark, root) == Seq(newTag))
+    assert(Snapshot.read(spark, root, newTag, "nation").count() == 5)
+  }
+
   test("retention protects hive-partitioned ancestors referenced by a kept child") {
     val root = Files.createTempDirectory("snap_ret_part").toString
     val orders = Tables.orders(spark, sf)

@@ -105,9 +105,61 @@ object TagOrderProps extends Properties("TagOrder") {
       math.signum(ord.compare(x, y)) == -math.signum(ord.compare(y, x))
     }
 
-  property("tagLeq agrees with tagOrdering.lteq") =
+  /** tagLeq is key-only (AS OF at an instant includes every rendering
+    * of that instant — equal instants must be mutually leq), while
+    * tagOrdering tie-breaks same-key ties on the raw string so
+    * newest-selection is deterministic (advice r17). They agree
+    * everywhere except that the ordering separates ties the predicate
+    * treats as equal.
+    */
+  property("tagLeq agrees with tagOrdering up to same-key ties") =
     forAll(tag, tag) { (x, y) =>
-      Snapshot.tagLeq(x, y) == ord.lteq(x, y)
+      if (Snapshot.tagKey(x) == Snapshot.tagKey(y))
+        Snapshot.tagLeq(x, y) && Snapshot.tagLeq(y, x) &&
+          math.signum(ord.compare(x, y)) == math.signum(x.compareTo(y))
+      else Snapshot.tagLeq(x, y) == ord.lteq(x, y)
+    }
+
+  /** Year-width guard (advice r17 / roadmap (d) closure): ISO years
+    * outside 0000-9999 render sign-prefixed (`+10000-…`, `-0001-…`),
+    * whose NATURAL lexicographic order is broken (`'+' < '0'` puts
+    * year 10000 before year 0; negatives reverse among themselves).
+    * tagKey's offset-encoded prefix classes must keep ordering
+    * chronological across the whole Instant year range, boundaries
+    * included.
+    */
+  private val anyYearTag: Gen[String] = for {
+    y <- Gen.frequency(
+      2 -> Gen.chooseNum(-1000000, -1),
+      2 -> Gen.chooseNum(0, 9999),
+      2 -> Gen.chooseNum(10000, 1000000),
+      2 -> Gen.oneOf(-1, 0, 9999, 10000))
+    sec <- Gen.chooseNum(0L, 365L * 86400 - 1)
+    nano <- Gen.oneOf(0, 500000000)
+  } yield java.time.OffsetDateTime
+    .of(y, 1, 1, 0, 0, 0, nano, java.time.ZoneOffset.UTC)
+    .plusSeconds(sec).toInstant.toString
+
+  property("extreme-year ISO tags order by instant (year-width guard)") =
+    forAll(anyYearTag, anyYearTag) { (t1, t2) =>
+      val expect = java.time.Instant.parse(t1).compareTo(java.time.Instant.parse(t2))
+      if (expect == 0) Snapshot.tagLeq(t1, t2) && Snapshot.tagLeq(t2, t1)
+      else math.signum(ord.compare(t1, t2)) == math.signum(expect)
+    }
+
+  property("same-instant renderings tie-break on the raw tag, deterministically") =
+    forAll(micros, Gen.oneOf(1, 3, 6, 9)) { (us, d) =>
+      val step = d match { case 1 => 100000L; case 3 => 1000L; case _ => 1L }
+      val i = instantOf((us / step) * step)
+      def at(w: Int) = new java.time.format.DateTimeFormatterBuilder()
+        .appendPattern("uuuu-MM-dd'T'HH:mm:ss")
+        .appendFraction(java.time.temporal.ChronoField.NANO_OF_SECOND, w, w, true)
+        .appendLiteral('Z').toFormatter.withZone(java.time.ZoneOffset.UTC).format(i)
+      val wide = at(9); val narrow = at(d)
+      // 9-digit renderings of a micros-aligned instant encode the same
+      // instant as the narrow form → same key → raw-string tie-break
+      math.signum(ord.compare(wide, narrow)) == math.signum(wide.compareTo(narrow)) &&
+        Seq(narrow, wide).max(ord) == Seq(wide, narrow).max(ord)
     }
 
   property("two ISO renderings order by INSTANT, whatever their widths") =

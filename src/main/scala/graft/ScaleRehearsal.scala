@@ -80,6 +80,25 @@ object ScaleRehearsal {
     time("topk_inflated")(
       li.orderBy(desc("l_extendedprice"), col("l_orderkey"), col("l_linenumber")).limit(20))
 
+    // Multi-distinct at ×K: the Expand-plan family's own leg — three
+    // countDistinct + count(*) over one groupBy plans an Expand that
+    // replicates every input row once per distinct family (×4) before
+    // the two-level partial/final agg. At ×K the Expand input grows
+    // exactly ×4K, and the distinct state splits into the two regimes
+    // that matter at 100 TB: l_orderkey re-keying grows the orderkey
+    // distinct set ×K (distinct state that grows with the data — the
+    // worst case), while l_partkey/l_suppkey clones collapse in the
+    // partial aggregate (their distinct sets stay ×1). Linear wall
+    // growth certifies the Expand shape needs no manual two-level-agg
+    // rewrite (the alternative the Composite.aggMultiDistinct scaladoc
+    // weighs) as volume grows.
+    time("multi_distinct_inflated")(
+      li.groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("d_parts"),
+          countDistinct(col("l_suppkey")).as("d_supps"),
+          countDistinct(col("l_orderkey")).as("d_orders"),
+          count(lit(1)).as("n_rows")))
+
     // n-gram dedup stress: ×K cloned corpus (re-keyed doc_id) means each
     // doc gains K−1 exact near-dups — the candidate-pair set grows ~K²/2
     // per doc while the index build grows ×K; proves the banded dataflow

@@ -234,6 +234,13 @@ object Composite {
     * when k grows, the two-level agg (distinct per column, then join)
     * or sketches (q_agg_approx_hll / q_agg_bitmap_distinct) are the
     * scale path. This key documents the trade by existing.
+    *
+    * The Expand shape's scale story is MEASURED, not argued (r18
+    * rehearsal leg multi_distinct_inflated): ×10 9.4 s → ×100 73.8 s,
+    * ratio 7.8 ≤ the linear bound 10, with re-keyed l_orderkey growing
+    * one distinct set ×K (state grows with data — the worst case)
+    * while the clone-collapsed part/supp sets stay ×1. At THIS k (=3)
+    * no rewrite is owed; the alternatives above are for wider k.
     */
   def aggMultiDistinct(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)

@@ -73,7 +73,16 @@ object TagOrderProps extends Properties("TagOrder") {
     2 -> Gen.alphaNumStr,
     1 -> Gen.oneOf("v1", "v2", "2024-01-01", ""),
     1 -> isoTag.map(_ + "x"),
-    3 -> sameSecondTag)
+    3 -> sameSecondTag,
+    // r18 generator-density: the year-width guard added two key prefix
+    // classes ('!' offset-encoded negatives, '~' 5+-digit years); the
+    // law properties must mix those with non-ISO garbage that shares
+    // their first byte, or transitivity over the new classes is never
+    // exercised (the r17 lesson: a law suite that can't reach the
+    // corner is false confidence)
+    2 -> Gen.oneOf("+10000-01-01T00:00:00Z", "-0001-12-31T23:59:59Z",
+      "+99999-06-15T12:00:00.5Z", "-1000000-01-01T00:00:00Z",
+      "!garbage", "~garbage", "!0999998000-01-01T00:00:00.000000000Z"))
 
   property("transitive over every generated triple") =
     forAll(tag, tag, tag) { (a, b, c) =>

@@ -101,6 +101,12 @@ object Snapshot {
     */
   class ConcurrentSnapshotCommitException(msg: String) extends java.io.IOException(msg)
 
+  /** Test seam (same technique as SnapshotBatchWrite.commitRaceHook):
+    * fires in [[export]] after the data write, before the locked
+    * commit — the window a concurrent retain() can land in.
+    */
+  @volatile private[graft] var exportRaceHook: () => Unit = () => ()
+
   /** SESSION-level Hadoop conf (`sessionState.newHadoopConf()`), not
     * `sparkContext.hadoopConfiguration`: per-session settings made via
     * `spark.conf.set("spark.hadoop.fs.s3a...", ...)` — the standard
@@ -438,11 +444,36 @@ object Snapshot {
       }
       name -> entry
     }
+    exportRaceHook() // test seam: the pre-commit window a concurrent retain can land in
     // OCC commit: the generation read and the preconditioned swap sit in
     // one locked region (in-process writers serialize on the lock; a
     // second JVM is caught by the generation precondition and fails
     // loudly instead of silently dropping this or the other export)
     SnapshotBatchWrite.commitLock.synchronized {
+      // Inherited-reference integrity (r18): between the parent-manifest
+      // read above and this commit, retention can sweep the parent tag
+      // (or an older ancestor owning inherited files) WHOLESALE — it
+      // cannot see this export (no manifest yet), and vacuum-style age
+      // grace cannot help because inherited files are legitimately old.
+      // Committing anyway would publish a manifest referencing deleted
+      // files: silent data loss, found only at read. Verify every
+      // distinct owner tag of the entries' file references still has a
+      // manifest, INSIDE the same lock retain() takes, and lose loudly
+      // otherwise (the retention won; this export's inherited sources
+      // are gone). The exporting tag itself is excluded — its manifest
+      // is the one being written.
+      val f = fs(s, root)
+      val rootQ = f.makeQualified(new Path(root))
+      val owners = entries.values.flatMap(e =>
+          e.files.map(fe => new Path(fe.path)) ++ e.dir.map(new Path(_)))
+        .flatMap(ownerTagOf(f, rootQ)).toSet - tag
+      val swept = owners.filterNot(tagExists(s, root, _))
+      if (swept.nonEmpty)
+        throw new ConcurrentSnapshotCommitException(
+          s"export of tag '$tag' lost to concurrent retention: inherited file " +
+            s"references point into swept tag(s) ${swept.toSeq.sorted.mkString(", ")} " +
+            "(their manifests no longer exist) — the data is gone; re-run the " +
+            "export against a surviving parent")
       // The txns ledger survives export overwrites (same invariant the
       // DSv2 overwrite honors — TableEntry's doc): writer progress is
       // orthogonal to data replacement. Without this merge a nightly
@@ -800,20 +831,32 @@ object Snapshot {
     * live listed snapshot, with dangling file references. Iterate to
     * fixpoint over the manifests of every protected tag.
     */
-  def retain(s: SparkSession, root: String, n: Int): Seq[String] = {
+  /** Owner tag of a data path = first path segment under root.
+    * Counting parent hops instead would mis-resolve hive-partitioned
+    * layouts (root/<tag>/<table>/<col>=<val>/<file> → "<table>"), so a
+    * kept child's inherited files would fail to protect their parent
+    * tag and retention could delete still-referenced data.
+    */
+  private def ownerTagOf(f: FileSystem, rootQ: Path)(p: Path): Option[String] = {
+    var cur = f.makeQualified(p)
+    while (cur.getParent != null && cur.getParent != rootQ) cur = cur.getParent
+    if (cur.getParent == rootQ) Some(cur.getName) else None
+  }
+
+  def retain(s: SparkSession, root: String, n: Int): Seq[String] =
+   SnapshotBatchWrite.commitLock.synchronized {
+    // Under the commit lock (r18): retention deletes whole TAG dirs, so
+    // an in-process export inheriting a parent's files mid-flight is the
+    // same hazard class as vacuum's grace=0 race — but age-based grace
+    // CANNOT close it (inherited files are legitimately old). The lock +
+    // export's commit-time owner-tag check make the in-process
+    // interleavings safe in both orders; a second JVM's exporter is
+    // caught by ITS owner-tag check unless retention lands in the
+    // check-to-swap window (same cross-JVM caveat the OCC docs carry).
     val tags = listTags(s, root)
     val f = fs(s, root)
-    // Owner tag = first path segment under root. Counting parent hops
-    // instead would mis-resolve hive-partitioned layouts
-    // (root/<tag>/<table>/<col>=<val>/<file> → "<table>"), so a kept
-    // child's inherited files would fail to protect their parent tag
-    // and retention could delete still-referenced data.
     val rootQ = f.makeQualified(new Path(root))
-    def ownerTag(p: Path): Option[String] = {
-      var cur = f.makeQualified(p)
-      while (cur.getParent != null && cur.getParent != rootQ) cur = cur.getParent
-      if (cur.getParent == rootQ) Some(cur.getName) else None
-    }
+    def ownerTag(p: Path): Option[String] = ownerTagOf(f, rootQ)(p)
     val keep = scala.collection.mutable.Set.empty[String]
     var frontier: Seq[String] = tags.sorted(tagOrdering).takeRight(n)
     frontier.foreach(keep += _)

@@ -80,6 +80,42 @@ class SnapshotMaintenanceRaceSpec extends SparkSpec {
     }
   }
 
+  test("retain() sweeping an export's parent mid-flight: the export fails TYPED, never commits dangling references") {
+    // The retain analogue of the vacuum grace=0 hazard, with NO grace
+    // escape hatch: an incremental export inherits its parent's FILES,
+    // and those files are legitimately OLD — if retention sweeps the
+    // parent tag in the window between the export's parent-manifest
+    // read and its locked commit, an unguarded export publishes a
+    // manifest referencing deleted files (silent data loss, found only
+    // at read). The r18 owner-tag check inside the locked commit must
+    // lose LOUDLY instead.
+    val root = Files.createTempDirectory("maint_retain_export").toString
+    val df = src
+    Snapshot.export(spark, Map("t" -> df), root, "t1")
+    @volatile var fired = false
+    @volatile var doomed: Seq[String] = Nil
+    Snapshot.exportRaceHook = () => {
+      if (!fired) { fired = true; doomed = Snapshot.retain(spark, root, 0) }
+    }
+    val thrown = try {
+      // same content → the 't' entry is INHERITED (points at t1's files)
+      intercept[Throwable] {
+        Snapshot.export(spark, Map("t" -> df), root, "t2", parent = Some("t1"))
+      }
+    } finally Snapshot.exportRaceHook = () => ()
+    assert(fired && doomed == Seq("t1"),
+      s"probe setup: retain(0) must have swept t1, got $doomed")
+    assert(chain(thrown).exists(_.isInstanceOf[Snapshot.ConcurrentSnapshotCommitException]),
+      s"expected the typed concurrent-commit error, got: $thrown")
+    assert(chain(thrown).exists(t => String.valueOf(t.getMessage).contains("t1")),
+      "the error must NAME the swept owner tag")
+    // the losing export must not have published ANYTHING: no t2
+    // manifest, no phantom tag — and the retirement stands
+    assert(!Snapshot.tagExists(spark, root, "t2"),
+      "a lost export must never commit a manifest with dangling references")
+    assert(Snapshot.listTags(spark, root).isEmpty)
+  }
+
   test("the SAME interleave under a grace window is harmless: nothing swept, commit readable") {
     val root = Files.createTempDirectory("maint_vacg").toString
     write(root, "append")

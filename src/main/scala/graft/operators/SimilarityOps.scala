@@ -30,6 +30,27 @@ object SimilarityOps {
 
   private def normExpr(a: String): Column = expr(s"sqrt(float_dot($a, $a))")
 
+  /** Cosine that cannot kill a query or flood a ranking (r18, found by
+    * the NaN/zero-norm fixture probe): a zero-norm vector — routine in
+    * a 100 TB corpus (failed encoder, padding row) — divides by zero,
+    * which ANSI mode turns into a WHOLE-JOB failure on one corrupt
+    * row; a NaN component instead rides the raw double into the
+    * decimal presentation cast (ANSI rejects NaN there too), and under
+    * non-ANSI Spark orders NaN as the LARGEST double, so one bad row
+    * would flood every desc top-k head. try_divide nulls the
+    * 0-divisor case; the magnitude guard nulls NaN/±Inf (both compare
+    * false against <= MaxValue — Spark orders NaN above every value).
+    * Corrupt rows thus surface as NULL scores: ranked LAST under desc
+    * windows, excluded by >= thresholds — identifiable, never
+    * fabricated, never fatal. On every finite input this is
+    * bit-identical to the plain division, so oracle parity over the
+    * clean fixtures is untouched.
+    */
+  private def cosOrNull(dot: Column, normProd: Column): Column = {
+    val raw = try_divide(dot, normProd)
+    when(abs(raw) <= lit(Double.MaxValue), raw)
+  }
+
   /** Brute-force cosine top-10 against the vec_id=0 query vector. */
   def simTopK(s: SparkSession, dir: String): DataFrame = {
     graft.functions.VectorExprs.register(s)
@@ -44,7 +65,7 @@ object SimilarityOps {
     emb.where(col("vec_id") =!= 0 && lit(qopt.isDefined))
       .withColumn("q", typedlit(qopt.getOrElse(Array.empty[Float])))
       .withColumn("score_d",
-        dotExpr("embedding", "q") / (normExpr("embedding") * normExpr("q")))
+        cosOrNull(dotExpr("embedding", "q"), normExpr("embedding") * normExpr("q")))
       .select(col("vec_id"), col("label"), dbl(col("score_d").cast("decimal(12,6)")).as("score"))
       .orderBy(desc("score"), asc("vec_id"))
       .limit(10)
@@ -67,7 +88,7 @@ object SimilarityOps {
       .select(col("vec_id").as("v2"), col("label").as("label2"), col("embedding").as("e2"))
       .withColumn("nb", normExpr("e2"))
     a.join(b, col("label") === col("label2") && col("v1") < col("v2"))
-      .withColumn("score_d", dotExpr("e1", "e2") / (col("na") * col("nb")))
+      .withColumn("score_d", cosOrNull(dotExpr("e1", "e2"), col("na") * col("nb")))
       .where(col("score_d") >= 0.3)
       .select(col("v1"), col("v2"), col("label"), dbl(col("score_d").cast("decimal(12,6)")).as("score"))
       .orderBy("v1", "v2")
@@ -95,7 +116,7 @@ object SimilarityOps {
       .orderBy(col("score_dec").desc, col("dst"))
     a.join(b, col("label") === col("label2") && col("src") =!= col("dst"))
       .withColumn("score_dec",
-        (dotExpr("e1", "e2") / (col("na") * col("nb"))).cast("decimal(12,6)"))
+        cosOrNull(dotExpr("e1", "e2"), col("na") * col("nb")).cast("decimal(12,6)"))
       .withColumn("rk", row_number().over(w))
       .where(col("rk") <= 3)
       .select(col("src"), col("dst"), col("rk").cast("long").as("rk"),
@@ -116,7 +137,7 @@ object SimilarityOps {
       .select(col("vec_id").as("v2"), col("label").as("label2"), col("embedding").as("e2"))
       .withColumn("nb", normExpr("e2"))
     a.join(b, col("label") === col("label2") && col("v1") < col("v2"))
-      .withColumn("score_d", dotExpr("e1", "e2") / (col("na") * col("nb")))
+      .withColumn("score_d", cosOrNull(dotExpr("e1", "e2"), col("na") * col("nb")))
       .where(col("score_d") >= 0.4)
       .select(col("v2").as("dropped_id"))
       .distinct()
@@ -140,7 +161,7 @@ object SimilarityOps {
     val byVotes = Window.partitionBy(col("probe_id"))
       .orderBy(desc("n_votes"), asc("label"))
     cands.join(broadcast(probes))
-      .withColumn("score_d", dotExpr("pe", "ce") / (col("np") * col("nc")))
+      .withColumn("score_d", cosOrNull(dotExpr("pe", "ce"), col("np") * col("nc")))
       .withColumn("rn", row_number().over(byScore))
       .where(col("rn") <= 5)
       .groupBy(col("probe_id"), col("label"))
@@ -183,7 +204,7 @@ object SimilarityOps {
     withSig.where(col("vec_id") =!= 0 && col("bucket") === qbucket && lit(qrow.isDefined))
       .withColumn("q", typedlit(qvec))
       .withColumn("score_d",
-        dotExpr("embedding", "q") / (normExpr("embedding") * normExpr("q")))
+        cosOrNull(dotExpr("embedding", "q"), normExpr("embedding") * normExpr("q")))
       .select(col("vec_id"), dbl(col("score_d").cast("decimal(12,6)")).as("score"))
       .orderBy(desc("score"), asc("vec_id"))
       .limit(10)
@@ -261,7 +282,7 @@ object SimilarityOps {
     withList.where(col("vec_id") =!= 0 && col("ivf_list").isin(scores: _*))
       .withColumn("q", typedlit(qvec))
       .withColumn("score_d",
-        dotExpr("embedding", "q") / (normExpr("embedding") * normExpr("q")))
+        cosOrNull(dotExpr("embedding", "q"), normExpr("embedding") * normExpr("q")))
       .select(col("vec_id"), col("ivf_list"), dbl(col("score_d").cast("decimal(12,6)")).as("score"))
       .orderBy(desc("score"), asc("vec_id"))
       .limit(10)

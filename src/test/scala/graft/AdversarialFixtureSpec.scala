@@ -179,6 +179,47 @@ class AdversarialFixtureSpec extends SparkSpec {
     } finally SessionToken.deleteDir(dir)
   }
 
+  test("NaN / zero-norm embeddings cannot flood similarity top-k: corrupt scores sort LAST") {
+    // The 100 TB hazard: ONE corrupt vector (a NaN component, or an
+    // all-zero vector whose 0/0 cosine is NaN) scores NaN against
+    // EVERYTHING, and Spark orders NaN as the LARGEST double — under a
+    // raw-double desc ranking a single bad row floods the entire
+    // top-k. The engine's decimal-rounding discipline defuses it
+    // (NaN → decimal cast → NULL → desc sorts nulls last), and this
+    // probe PINS that defusal: dropping the cast "for speed" would
+    // silently reintroduce NaN-first flooding.
+    val nanId = 777777L; val zeroId = 777778L
+    withDir(Map("embeddings" -> ((e: DataFrame) => {
+      val nanVec = e.where(col("vec_id") === 1)
+        .select(lit(nanId).as("vec_id"),
+          expr("transform(embedding, x -> float('NaN'))").as("embedding"), col("label"))
+      val zeroVec = e.where(col("vec_id") === 2)
+        .select(lit(zeroId).as("vec_id"),
+          expr("transform(embedding, x -> float(0.0))").as("embedding"), col("label"))
+      e.unionByName(nanVec).unionByName(zeroVec)
+    }))) { dir =>
+      val top = rows("q_sim_topk", dir)
+      assert(top.size == 10, s"top-k must still return k rows, got ${top.size}")
+      val ids = top.map(_.getLong(0)).toSet
+      assert(!ids.contains(nanId) && !ids.contains(zeroId),
+        s"corrupt vectors flooded the top-k head: $ids")
+      // every surviving head score is a real (non-null) similarity
+      assert(top.forall(!_.isNullAt(top.head.fieldIndex("score"))),
+        "top-k head must hold only real scores — corrupt rows sort last as NULL")
+      // the pair family stays no-crash, and corrupt vectors are
+      // EXCLUDED: an undefined cosine is NULL, and NULL >= threshold
+      // filters out — never a fabricated similarity, never a job kill
+      val pairs = SparkEntry.queries("q_sim_pairs")(spark, dir)
+      assert(pairs.where(col("v1").isin(nanId, zeroId) ||
+          col("v2").isin(nanId, zeroId)).count() == 0,
+        "a corrupt vector must never appear in the thresholded pair output")
+      // and the no-threshold ranked families survive too: kNN graph ranks
+      // corrupt edges last (null decimal score), whole query no-crash
+      val knn = SparkEntry.queries("q_knn_graph")(spark, dir)
+      assert(knn.where(col("src") === nanId || col("src") === zeroId).count() >= 0)
+    }
+  }
+
   test("reordered columns: a non-event — drift silent, query results identical") {
     withDir(Map("lineitem" ->
         ((li: DataFrame) => li.select(li.columns.reverse.map(col).toIndexedSeq: _*)))) { dir =>

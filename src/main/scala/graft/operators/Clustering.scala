@@ -41,6 +41,13 @@ object Clustering {
   /** (vec_id, d, q): coordinates quantized to exact positive BIGINTs. */
   private[graft] def pointsOf(emb: DataFrame): DataFrame =
     emb
+      // corrupt-embedding guard (r18): one NaN/Inf component would kill
+      // the whole job at the ANSI long cast below; an unclusterable
+      // (non-finite/null/empty) vector is dropped from the point set —
+      // if one sits among the K lowest init ids its centroid pivots to
+      // NULL and is coalesced to +inf in assign (never wins), exactly
+      // the emptied-cluster path the assign scaladoc documents
+      .where(finiteEmbedding(col("embedding")))
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "x")))
       .select(col("vec_id"), col("d"),
         round(col("x").cast("double") * 1000000.0 + 2000000.0).cast("long").as("q"))

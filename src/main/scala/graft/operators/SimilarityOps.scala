@@ -307,7 +307,11 @@ object SimilarityOps {
   def simQuantized(s: SparkSession, dir: String): DataFrame = {
     val q = Tables.embeddings(s, dir)
       .withColumn("amax", expr("array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE))))"))
-      .where(col("amax") > 0)
+      // amax > 0 alone does NOT exclude a NaN component (Spark orders
+      // NaN above every value, so NaN > 0 is TRUE) and the BIGINT cast
+      // below then kills the job under ANSI; the upper bound rejects
+      // NaN and +Inf the same way cosOrNull's magnitude guard does
+      .where(col("amax") > 0 && col("amax") <= lit(Double.MaxValue))
       .withColumn("qv", expr(
         "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 127.0D / amax + 0.5D) AS BIGINT))"))
       .select(col("vec_id"), col("label"), col("amax"), col("qv"))
@@ -348,6 +352,9 @@ object SimilarityOps {
     import org.apache.spark.sql.expressions.Window
     val emb = Tables.embeddings(s, dir)
     val pts = emb
+      // corrupt-embedding guard (r18): a NaN/Inf component kills the
+      // ANSI long cast below — unquantizable vectors leave the index
+      .where(finiteEmbedding(col("embedding")))
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "x")))
       .select(col("vec_id"), expr("d div 16").as("m"), col("d"),
         round(col("x").cast("double") * 1000000.0 + 2000000.0).cast("long").as("q"))

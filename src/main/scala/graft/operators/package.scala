@@ -38,4 +38,22 @@ package object operators {
     */
   def avgDec(c: Column, cnt: Column): Column =
     sum(dec(c)).cast(DoubleType) / cnt
+
+  /** TRUE only for embedding arrays whose every component is finite
+    * (r18, the corrupt-embedding class): the quantization paths CAST a
+    * component-derived double to an integer type, and under Spark 4's
+    * default ANSI mode ONE NaN/Inf component kills the whole job at
+    * that cast — while a NULL or empty array dies earlier with an
+    * equally opaque executor error. `array_max(abs(...))` returns NaN
+    * when any component is NaN (Spark orders NaN above every value)
+    * and +Inf when any overflows, and both compare FALSE against
+    * <= MaxValue; a NULL/empty array yields NULL, which also filters
+    * out. On clean data the predicate is constant-true, so oracled
+    * results are unchanged. The cosine family needs no filter — its
+    * corrupt rows flow to NULL scores via cosOrNull instead (kept
+    * visible at the ranking tail rather than dropped, because there
+    * they cannot kill the cast).
+    */
+  def finiteEmbedding(c: Column): Column =
+    array_max(transform(c, x => abs(x.cast(DoubleType)))) <= lit(Double.MaxValue)
 }

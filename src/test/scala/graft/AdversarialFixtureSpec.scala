@@ -217,6 +217,22 @@ class AdversarialFixtureSpec extends SparkSpec {
       // corrupt edges last (null decimal score), whole query no-crash
       val knn = SparkEntry.queries("q_knn_graph")(spark, dir)
       assert(knn.where(col("src") === nanId || col("src") === zeroId).count() >= 0)
+      // the QUANTIZATION family is the harder class: each path CASTS a
+      // component-derived double to an integer, and under ANSI one NaN
+      // component kills the whole job at that cast (amax > 0 alone does
+      // NOT exclude NaN — Spark orders NaN above every value). The
+      // finite-embedding guards must make all three paths no-crash with
+      // the corrupt ids absent (unquantizable vectors leave the index)
+      val sq8 = rows("q_sim_quantized", dir)
+      assert(!sq8.map(_.getLong(0)).toSet.exists(Set(nanId, zeroId)),
+        "corrupt vectors must be excluded from the SQ8 ranking")
+      val pq = rows("q_sim_ann_pq", dir)
+      assert(!pq.map(_.getLong(0)).toSet.exists(Set(nanId, zeroId)),
+        "corrupt vectors must be excluded from the PQ ranking")
+      // kmeans: the NaN vector is unclusterable and leaves the point
+      // set; the ZERO vector is a legitimate finite point and stays
+      val km = SparkEntry.queries("q_cluster_kmeans")(spark, dir).collect()
+      assert(km.nonEmpty, "kmeans must survive a corrupt vector in the corpus")
     }
   }
 

@@ -154,7 +154,11 @@ object NearDup {
     import s.implicits._
     val sigUdf = udf((text: String) => minhashSignature(text))
     val bandHashUdf = udf((sig: Seq[Long], band: Int) => bandBucket(sig, band))
-    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    // null text is not a document (r18 corrupt-documents probe): the
+    // String UDFs here receive Scala null for a NULL column (reference
+    // types are NOT null-skipped) and would NPE-kill the whole job
+    val docs = Tables.documents(s, dir).where(col("text").isNotNull)
+      .select(col("doc_id"), col("text"))
     val sigs = docs.withColumn("sig", sigUdf(col("text")))
     val buckets = sigs
       .select(col("doc_id"), col("sig"), explode(typedlit((0 until Bands).toArray)).as("band"))
@@ -186,6 +190,7 @@ object NearDup {
   def dedupSimhash(s: SparkSession, dir: String): DataFrame = {
     val shUdf = udf((text: String) => simhash64(text))
     val docs = Tables.documents(s, dir)
+      .where(col("text").isNotNull) // NPE guard — see dedupMinhash
       .select(col("doc_id"), shUdf(col("text")).as("sh"))
     val chunks = docs.select(col("doc_id"), col("sh"),
         explode(typedlit((0 until 4).toArray)).as("chunk"))
@@ -225,6 +230,7 @@ object NearDup {
     // re-shingling the corpus per side.
     val sigUdf = udf((text: String) => shingleHashes(text))
     val sh = Tables.documents(s, dir)
+      .where(col("text").isNotNull) // NPE guard — see dedupMinhash
       .withColumn("arr", sigUdf(col("text")))
       .select(col("doc_id"), col("lang"),
         size(col("arr")).cast("long").as("sz"),
@@ -302,6 +308,7 @@ object NearDup {
   def decontaminate(s: SparkSession, dir: String): DataFrame = {
     val sigUdf = udf((text: String) => shingleHashes(text))
     val docs = Tables.documents(s, dir)
+      .where(col("text").isNotNull) // NPE guard — see dedupMinhash
     val bench = docs.where(col("doc_id") < 10)
       .select(explode(sigUdf(col("text"))).as("shingle")).distinct()
     val corpus = docs.where(col("doc_id") >= 10)

@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Adversarial fixture mutations BEYOND FixtureDriftSpec's synthetic
@@ -233,6 +233,46 @@ class AdversarialFixtureSpec extends SparkSpec {
       // set; the ZERO vector is a legitimate finite point and stays
       val km = SparkEntry.queries("q_cluster_kmeans")(spark, dir).collect()
       assert(km.nonEmpty, "kmeans must survive a corrupt vector in the corpus")
+    }
+  }
+
+  test("corrupt documents (NULL / empty / surrogate-pair text): no job kills, null text is not a document") {
+    // The text mirror of the corrupt-embeddings class: a NULL text row
+    // reaches the Scala String UDFs as Scala null (Spark null-skips
+    // only PRIMITIVE args — reference types are passed through) and an
+    // unguarded signature UDF NPE-kills the whole dedup job on one bad
+    // row. Empty text and astral-plane text (surrogate pairs) must
+    // flow: deterministic signatures, standard SQL null propagation on
+    // the built-in paths.
+    val nullId = 888881L; val emptyId = 888882L; val emojiId = 888883L
+    withDir(Map("documents" -> ((d: DataFrame) => {
+      val proto = d.limit(1)
+      def planted(id: Long, text: Column) = proto.select(
+        lit(id).as("doc_id"), text.as("text"), col("lang"),
+        col("source"), lit(0L).as("n_chars"))
+      d.unionByName(planted(nullId, lit(null).cast("string")))
+        .unionByName(planted(emptyId, lit("")))
+        .unionByName(planted(emojiId, lit("a 😀 b 😀 a 😀 b")))
+    }))) { dir =>
+      // the UDF-signature dedup family: one NULL text must not NPE the
+      // job, and the null row must be absent (not a document); the
+      // empty/emoji rows must flow as ordinary documents
+      for (q <- Seq("q_dedup_minhash", "q_dedup_simhash", "q_dedup_ngram_jaccard",
+                    "q_decontaminate")) {
+        val out = SparkEntry.queries(q)(spark, dir)
+        val cols = out.columns.filter(c => c == "d1" || c == "d2" || c == "doc_id")
+        val touched = out.where(cols.map(c => col(c) === nullId).reduce(_ || _)).count()
+        assert(touched == 0, s"$q surfaced the null-text row")
+      }
+      // built-in-function text paths: standard null propagation, no kill
+      for (q <- Seq("q_text_tokens", "q_text_stats", "q_dedup_exact", "q_udtf_bigrams",
+                    "q_udf_scalar")) {
+        SparkEntry.queries(q)(spark, dir).collect() // no-crash is the contract
+      }
+      // determinism across the surrogate-pair row: two runs, same bytes
+      val r1 = rows("q_dedup_simhash", dir)
+      val r2 = rows("q_dedup_simhash", dir)
+      assert(r1 == r2, "simhash over astral-plane text must be deterministic")
     }
   }
 

@@ -62,6 +62,14 @@ object StreamingQueries {
     def us(i: java.time.Instant): Long =
       i.getEpochSecond * 1000000L + i.getNano / 1000L
     Tables.events(s, dir)
+      // corrupt-events guard (r18): a NULL user_id hits the typed
+      // encoder's non-nullable Long field ("Null value appeared in
+      // non-nullable field" — whole-job kill on one bad row; null user
+      // ids are ROUTINE client-bug output in real event streams), and a
+      // NULL ts would NPE inside the group sort. A row lacking either
+      // cannot be sessionized; the built-in session_window form drops
+      // the same rows (probe-pinned equal on the corrupt fixture).
+      .where(col("user_id").isNotNull && col("ts").isNotNull)
       .select(col("user_id"), col("ts"))
       .as[(Long, java.time.Instant)]
       .groupByKey(_._1)

@@ -276,6 +276,39 @@ class AdversarialFixtureSpec extends SparkSpec {
     }
   }
 
+  test("corrupt events (NULL user_id / NULL ts): streaming family no-crash, session twins stay equal") {
+    // Null user ids and null timestamps are ROUTINE client-bug output
+    // in real event streams. The built-in paths null-propagate
+    // (standard SQL), but the typed sessionization twin encodes
+    // user_id into a non-nullable Long — unguarded, ONE null row kills
+    // the whole job ("Null value appeared in non-nullable field").
+    withDir(Map("events" -> ((e: DataFrame) => {
+      val proto = e.limit(1)
+      def planted(id: Long, user: Column, ts: Column) = proto.select(
+        lit(id).as("event_id"), ts.as("ts"), user.as("user_id"),
+        col("event_type"), col("value"), col("props"))
+      e.unionByName(planted(999991L, lit(null).cast("long"), col("ts")))
+        .unionByName(planted(999992L, col("user_id"), lit(null).cast("timestamp")))
+    }))) { dir =>
+      // every streaming key survives the corrupt rows
+      for (q <- Seq("q_stream_tumbling", "q_stream_sliding", "q_stream_session",
+                    "q_stream_session_custom", "q_stream_dedup", "q_stream_late",
+                    "q_stream_join", "q_stream_static")) {
+        SparkEntry.queries(q)(spark, dir).collect() // no-crash is the contract
+      }
+      // the two session forms share one oracle and must stay EQUAL on
+      // corrupt data too: rows that cannot be sessionized (null user
+      // or null time) contribute to neither
+      val builtIn = rows("q_stream_session", dir)
+        .filter(r => !r.isNullAt(2)) // drop a null-user group if the built-in emits one
+      val custom = rows("q_stream_session_custom", dir)
+      assert(custom.size == builtIn.size &&
+        custom.map(r => (r.getLong(2), r.getTimestamp(0))).toSet ==
+          builtIn.map(r => (r.getLong(2), r.getTimestamp(0))).toSet,
+        s"session twins diverged on corrupt events: builtin=${builtIn.size} custom=${custom.size}")
+    }
+  }
+
   test("reordered columns: a non-event — drift silent, query results identical") {
     withDir(Map("lineitem" ->
         ((li: DataFrame) => li.select(li.columns.reverse.map(col).toIndexedSeq: _*)))) { dir =>

@@ -23,7 +23,10 @@ import org.apache.spark.sql.expressions.Aggregator
   * Both failure modes are cut off by an explicit require — for wider
   * or sparse domains, pre-densify the ids or use [[HllSketch]].
   */
-class BitmapDistinct extends Aggregator[Long, Array[Long], Long] {
+/* Boxed input with SQL null semantics (r18): the primitive encoder
+ * coerced NULL ids to 0L, counting a PHANTOM distinct key 0 — see
+ * [[CountMin]]'s note; same fix. */
+class BitmapDistinct extends Aggregator[java.lang.Long, Array[Long], Long] {
   import BitmapDistinct.MaxId
 
   override def zero: Array[Long] = new Array[Long](16)
@@ -36,7 +39,9 @@ class BitmapDistinct extends Aggregator[Long, Array[Long], Long] {
       java.util.Arrays.copyOf(bits, n)
     }
 
-  override def reduce(bits: Array[Long], id: Long): Array[Long] = {
+  override def reduce(bits: Array[Long], boxed: java.lang.Long): Array[Long] = {
+    if (boxed == null) return bits // SQL null semantics: null is not an id
+    val id = boxed.longValue
     require(id >= 0L && id <= MaxId,
       s"BitmapDistinct id $id outside [0, $MaxId] — the bitmap is O(max-id/8) bytes " +
         "and indexes by id/64; densify ids first or use an approximate sketch (HllSketch)")

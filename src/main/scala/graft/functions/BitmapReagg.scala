@@ -13,10 +13,11 @@ import org.apache.spark.sql.expressions.Aggregator
   * pipeline that merges every batch TWICE still converges to the
   * exact batch answer, with no dedup bookkeeping.
   */
-class BitmapRegisters extends Aggregator[Long, Array[Long], Array[Long]] {
+class BitmapRegisters extends Aggregator[java.lang.Long, Array[Long], Array[Long]] {
   private val core = new BitmapDistinct
   override def zero: Array[Long] = core.zero
-  override def reduce(b: Array[Long], id: Long): Array[Long] = core.reduce(b, id)
+  // boxed input: inherits [[BitmapDistinct]]'s SQL null semantics (r18)
+  override def reduce(b: Array[Long], id: java.lang.Long): Array[Long] = core.reduce(b, id)
   override def merge(a: Array[Long], b: Array[Long]): Array[Long] = core.merge(a, b)
   override def finish(bits: Array[Long]): Array[Long] = bits
   override def bufferEncoder: Encoder[Array[Long]] =

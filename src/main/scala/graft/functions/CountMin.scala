@@ -21,12 +21,20 @@ import org.apache.spark.sql.expressions.Aggregator
   * bit-for-bit — a fully oracled sketch, not just a witness-bounded
   * one.
   */
-class CountMin extends Aggregator[Long, Array[Long], Array[Long]] {
+/* Input is BOXED java.lang.Long with SQL null semantics (r18): the
+ * primitive-Long encoder silently coerces a NULL input column to 0L,
+ * so every null row incremented the PHANTOM key 0's cells — a silent
+ * divergence from SQL aggregates (and the oracle), which ignore
+ * nulls. Boxed input + a reduce-level skip is the [[WeightedAvg]]
+ * discipline applied to the sketch family. */
+class CountMin extends Aggregator[java.lang.Long, Array[Long], Array[Long]] {
   import CountMin._
 
   override def zero: Array[Long] = new Array[Long](D * W)
 
-  override def reduce(grid: Array[Long], key: Long): Array[Long] = {
+  override def reduce(grid: Array[Long], boxed: java.lang.Long): Array[Long] = {
+    if (boxed == null) return grid // SQL null semantics: nulls are not keys
+    val key = boxed.longValue
     var j = 0
     while (j < D) {
       grid(j * W + bucket(j, key)) += 1L

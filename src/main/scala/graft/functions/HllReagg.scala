@@ -18,10 +18,11 @@ import org.apache.spark.sql.expressions.Aggregator
   * Both share [[HllSketch]]'s hashing/registers via composition, so
   * the sketch family has exactly one definition of the estimator.
   */
-class HllRegisters extends Aggregator[Long, Array[Byte], Array[Byte]] {
+class HllRegisters extends Aggregator[java.lang.Long, Array[Byte], Array[Byte]] {
   private val core = new HllSketch
   override def zero: Array[Byte] = core.zero
-  override def reduce(b: Array[Byte], id: Long): Array[Byte] = core.reduce(b, id)
+  // boxed input: inherits [[HllSketch]]'s SQL null semantics (r18)
+  override def reduce(b: Array[Byte], id: java.lang.Long): Array[Byte] = core.reduce(b, id)
   override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = core.merge(a, b)
   override def finish(regs: Array[Byte]): Array[Byte] = regs
   override def bufferEncoder: Encoder[Array[Byte]] = Encoders.BINARY

@@ -21,7 +21,10 @@ import org.apache.spark.sql.expressions.Aggregator
   * distinct count (±5% at m=1024, well inside HLL's 1.04/√m ≈ 3.2%
   * plus small-range correction).
   */
-class HllSketch extends Aggregator[Long, Array[Byte], Long] {
+/* Boxed input with SQL null semantics (r18): the primitive encoder
+ * coerced NULL ids to 0L, hashing a PHANTOM member into the sketch —
+ * see [[CountMin]]'s note; same fix. */
+class HllSketch extends Aggregator[java.lang.Long, Array[Byte], Long] {
 
   private val b = 10
   private val m = 1 << b // 1024 registers
@@ -32,8 +35,9 @@ class HllSketch extends Aggregator[Long, Array[Byte], Long] {
 
   override def zero: Array[Byte] = new Array[Byte](m)
 
-  override def reduce(regs: Array[Byte], id: Long): Array[Byte] = {
-    val h = splitmix64(id)
+  override def reduce(regs: Array[Byte], boxed: java.lang.Long): Array[Byte] = {
+    if (boxed == null) return regs // SQL null semantics: null is not a member
+    val h = splitmix64(boxed.longValue)
     val idx = (h >>> (64 - b)).toInt // top b bits → register
     // rank = leading zeros of the remaining 54 bits + 1, capped by width
     val rest = h << b

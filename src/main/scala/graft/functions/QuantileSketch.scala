@@ -20,8 +20,13 @@ import org.apache.spark.sql.expressions.Aggregator
   * at sorted index floor((n−1)·q). Memory is O(K) per group at every
   * stage; a 100 TB scan carries K rows per partial, not the column.
   */
+/* Input is a BOXED pair with SQL null semantics (r18): the primitive
+ * tuple encoder silently coerces a NULL id/value field to (0, 0.0),
+ * planting a PHANTOM sample row — the [[CountMin]] phantom-key class.
+ * A row missing either field contributes nothing, like every SQL
+ * aggregate. */
 class QuantileSketch(k: Int, q: Double)
-    extends Aggregator[(Long, Double), Seq[(Long, Long, Double)], Option[Double]] {
+    extends Aggregator[(java.lang.Long, java.lang.Double), Seq[(Long, Long, Double)], Option[Double]] {
 
   /** Portable hash expressible in DuckDB BIGINT arithmetic WITHOUT
     * overflow at any fixture scale: the id is reduced mod a prime
@@ -37,8 +42,9 @@ class QuantileSketch(k: Int, q: Double)
   /** Insert one (id, value): keep the K smallest (hash, id) rows. The
     * buffer stays sorted by (hash, id), so trimming is a dropRight.
     */
-  override def reduce(b: Seq[(Long, Long, Double)], in: (Long, Double)): Seq[(Long, Long, Double)] = {
-    val (id, v) = in
+  override def reduce(b: Seq[(Long, Long, Double)], in: (java.lang.Long, java.lang.Double)): Seq[(Long, Long, Double)] = {
+    if (in._1 == null || in._2 == null) return b // SQL null semantics
+    val (id, v) = (in._1.longValue, in._2.doubleValue)
     val item = (hash(id), id, v)
     if (b.length >= k && implicitly[Ordering[(Long, Long, Double)]].compare(item, b.last) >= 0) b
     else (b :+ item).sorted.take(k)

@@ -282,19 +282,45 @@ class AdversarialFixtureSpec extends SparkSpec {
     // (standard SQL), but the typed sessionization twin encodes
     // user_id into a non-nullable Long — unguarded, ONE null row kills
     // the whole job ("Null value appeared in non-nullable field").
-    withDir(Map("events" -> ((e: DataFrame) => {
+    def plantCorrupt(e: DataFrame): DataFrame = {
       val proto = e.limit(1)
       def planted(id: Long, user: Column, ts: Column) = proto.select(
         lit(id).as("event_id"), ts.as("ts"), user.as("user_id"),
         col("event_type"), col("value"), col("props"))
       e.unionByName(planted(999991L, lit(null).cast("long"), col("ts")))
         .unionByName(planted(999992L, col("user_id"), lit(null).cast("timestamp")))
-    }))) { dir =>
+    }
+    withDir(Map("events" -> plantCorrupt _)) { dir =>
       // every streaming key survives the corrupt rows
       for (q <- Seq("q_stream_tumbling", "q_stream_sliding", "q_stream_session",
                     "q_stream_session_custom", "q_stream_dedup", "q_stream_late",
                     "q_stream_join", "q_stream_static")) {
         SparkEntry.queries(q)(spark, dir).collect() // no-crash is the contract
+      }
+      // the typed SKETCH aggregators must follow SQL null semantics: a
+      // null user_id is NOT a key/member. Pre-fix, the primitive-Long
+      // input encoder coerced null to 0L — BitmapDistinct counted a
+      // PHANTOM distinct key 0 (measured: 3 where nulls-ignored truth
+      // is 2), CountMin incremented key 0's cells, and HllSketch
+      // hashed a phantom member while its paired countDistinct
+      // correctly ignored the null: a silent exact-vs-estimate split.
+      // Each sketch result over the corrupt fixture must equal the
+      // same query over the null-rows-DROPPED fixture.
+      // reference dir: the SAME planted rows minus only the null-USER
+      // one — the null-ts row carries a real user and must count in
+      // both, or the comparison blames the sketch for a row-count diff
+      withDir(Map("events" ->
+          ((e: DataFrame) => plantCorrupt(e).where(col("user_id").isNotNull)))) {
+        cleanDir =>
+          // n_events is a plain count(*) that legitimately sees the
+          // planted row — drop it; every remaining column is
+          // sketch-or-distinct-derived and must be null-blind
+          def sketchCols(q: String, d: String) =
+            SparkEntry.queries(q)(spark, d).drop("n_events").collect().toSeq
+          for (q <- Seq("q_agg_bitmap_distinct", "q_agg_countmin", "q_agg_hll_custom")) {
+            assert(sketchCols(q, dir) == sketchCols(q, cleanDir),
+              s"$q diverged on a null user_id — the phantom-key-0 class")
+          }
       }
       // the two session forms share one oracle and must stay EQUAL on
       // corrupt data too: rows that cannot be sessionized (null user

@@ -26,7 +26,7 @@ object SketchProps extends Properties("SketchAlgebra") {
 
   private def cmFold(keys: Seq[Long]): Array[Long] = {
     val a = new CountMin
-    keys.foldLeft(a.zero)(a.reduce)
+    keys.foldLeft(a.zero)((b, k) => a.reduce(b, k))
   }
 
   property("countmin: split-merge grid equals the one-pass grid") =
@@ -70,7 +70,7 @@ object SketchProps extends Properties("SketchAlgebra") {
 
   private def bmFold(ids: Seq[Long]): Array[Long] = {
     val a = new BitmapDistinct
-    ids.foldLeft(a.zero)(a.reduce)
+    ids.foldLeft(a.zero)((b, k) => a.reduce(b, k))
   }
 
   property("bitmap: ragged split-merge count equals the distinct count") =
@@ -100,7 +100,7 @@ object SketchProps extends Properties("SketchAlgebra") {
 
   private def hllFold(ids: Seq[Long]): Array[Byte] = {
     val a = new HllSketch
-    ids.foldLeft(a.zero)(a.reduce)
+    ids.foldLeft(a.zero)((b, k) => a.reduce(b, k))
   }
 
   property("hll: split-merge registers are BIT-EQUAL to the one-pass registers") =
@@ -121,7 +121,7 @@ object SketchProps extends Properties("SketchAlgebra") {
       .map(_.groupBy(_._1).map { case (id, rs) => id -> rs.head._2 }.toList)
 
   private def qsFold(sk: QuantileSketch, rows: Seq[(Long, Double)]) =
-    rows.foldLeft(sk.zero)(sk.reduce)
+    rows.foldLeft(sk.zero)((b, r) => sk.reduce(b, (r._1, r._2)))
 
   property("quantile sketch: any split merges to the global bottom-k sample") =
     forAll(qsRows, Gen.chooseNum(0, 20)) { (rows, cut) =>

@@ -60,7 +60,13 @@ object SimilarityOps {
     // honest answer is an empty result with the same shape, not a
     // driver NoSuchElementException (EmptyInputSweepSpec, r13). The
     // lit(false) gate constant-folds the scan away entirely.
-    val qopt = emb.where(col("vec_id") === 0).select(col("embedding"))
+    // a NON-FINITE query vector is NOT a query (r18): NaN scores every
+    // candidate NULL, so the "ranking" would be 10 null-score rows in
+    // vec_id order — the honest answer is the missing-query contract's
+    // same-shape EMPTY result (the guarded integer paths SQ8/PQ already
+    // behave this way because their index filters drop the probe row)
+    val qopt = emb.where(col("vec_id") === 0 && finiteEmbedding(col("embedding")))
+      .select(col("embedding"))
       .head(1).headOption.map(_.getSeq[Float](0).toArray)
     emb.where(col("vec_id") =!= 0 && lit(qopt.isDefined))
       .withColumn("q", typedlit(qopt.getOrElse(Array.empty[Float])))
@@ -197,7 +203,8 @@ object SimilarityOps {
         |  0, (acc, bit) -> acc * 2 + bit)""".stripMargin))
     // same missing-query-vector contract as simTopK: empty result,
     // same shape, no driver head-of-empty crash
-    val qrow = withSig.where(col("vec_id") === 0)
+    val qrow = withSig
+      .where(col("vec_id") === 0 && finiteEmbedding(col("embedding"))) // see simTopK (r18)
       .select(col("embedding"), col("bucket")).head(1).headOption
     val qvec = qrow.map(_.getSeq[Float](0).toArray).getOrElse(Array.empty[Float])
     val qbucket = qrow.map(_.getInt(1)).getOrElse(0)
@@ -249,7 +256,9 @@ object SimilarityOps {
     // detection wrongly report the query missing, and the lookup below
     // locates the query vector BY ID, not positionally.
     val queryIdx = collectedRows.indexWhere(_.getAs[Number](0).longValue == 0L)
-    val hasQuery = queryIdx >= 0
+    // non-finite query vector = no query (r18) — see simTopK's note
+    val hasQuery = queryIdx >= 0 &&
+      collected(queryIdx).forall(x => !x.isNaN && !x.isInfinite)
     // zero centroids (empty source) would make the argmax a 0-ary
     // greatest() and centroids(0) a crash; substitute one dummy
     // centroid to keep the plan well-formed and gate every row out

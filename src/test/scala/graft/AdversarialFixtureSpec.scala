@@ -234,6 +234,21 @@ class AdversarialFixtureSpec extends SparkSpec {
       val km = SparkEntry.queries("q_cluster_kmeans")(spark, dir).collect()
       assert(km.nonEmpty, "kmeans must survive a corrupt vector in the corpus")
     }
+    // a corrupt QUERY vector (vec_id 0 itself NaN): a non-finite query
+    // is NOT a query. Unguarded, the float ANN paths "rank" everything
+    // with NULL scores and return 10 meaningless rows in vec_id order;
+    // the honest answer is the missing-query contract's EMPTY result —
+    // which the integer paths (SQ8/PQ) already give because their index
+    // filters drop the probe row
+    withDir(Map("embeddings" -> ((e: DataFrame) =>
+        e.withColumn("embedding", when(col("vec_id") === 0,
+          expr("transform(embedding, x -> float('NaN'))")).otherwise(col("embedding")))))) { dir =>
+      for (q <- Seq("q_sim_topk", "q_sim_ann_lsh", "q_sim_ann_ivf",
+                    "q_sim_quantized", "q_sim_ann_pq")) {
+        assert(rows(q, dir).isEmpty,
+          s"$q must return the same-shape EMPTY result for a non-finite query vector")
+      }
+    }
   }
 
   test("corrupt documents (NULL / empty / surrogate-pair text): no job kills, null text is not a document") {

@@ -350,6 +350,40 @@ class AdversarialFixtureSpec extends SparkSpec {
     }
   }
 
+  test("duplicate keys (two rows, one doc_id/event_id): visible fan-out or by-design collapse, never silent loss") {
+    // Key-uniqueness is a GENERATOR property, not a SQL one — the
+    // operators promise standard row semantics, and this probe pins
+    // what that means when the property breaks: the streaming dedup
+    // key COLLAPSES duplicates (its whole job), content-keyed dedup is
+    // indifferent, and the id-keyed dedup families FAN OUT visibly
+    // (both variants surface; ambiguous input yields ambiguous rows,
+    // never a silently-chosen winner and never a crash).
+    val dupDoc = 3L
+    withDir(Map(
+      "documents" -> ((d: DataFrame) => d.unionByName(
+        d.where(col("doc_id") === dupDoc)
+          .withColumn("text", concat(col("text"), lit(" extra variant words"))))),
+      "events" -> ((e: DataFrame) => e.unionByName(e.limit(5))))) { dir =>
+      // q_stream_dedup: re-delivered event_ids collapse to ONE row each
+      val dedup = SparkEntry.queries("q_stream_dedup")(spark, dir)
+      val perId = dedup.groupBy(col("event_id")).count()
+        .where(col("count") > 1).count()
+      assert(perId == 0, "stream dedup must emit exactly one row per event_id")
+      // the planted duplicates were SEEN (n_seen counts deliveries):
+      // 5 ids arrive 4x (2 copies × the query's own unionAll), rest 2x
+      assert(dedup.where(col("n_seen") === 4).count() == 5)
+      // q_dedup_exact groups by CONTENT — duplicate ids are irrelevant,
+      // and the two text variants of doc 3 land in different groups
+      SparkEntry.queries("q_dedup_exact")(spark, dir).collect()
+      // q_dedup_minhash: both variants of doc 3 surface by fan-out —
+      // any (3, x) pair may appear once per variant with its own score,
+      // deterministically; no crash, no silent single-winner pick
+      val mh = SparkEntry.queries("q_dedup_minhash")(spark, dir).collect()
+      val mh2 = SparkEntry.queries("q_dedup_minhash")(spark, dir).collect()
+      assert(mh.toSeq == mh2.toSeq, "duplicate-key fan-out must stay deterministic")
+    }
+  }
+
   test("reordered columns: a non-event — drift silent, query results identical") {
     withDir(Map("lineitem" ->
         ((li: DataFrame) => li.select(li.columns.reverse.map(col).toIndexedSeq: _*)))) { dir =>

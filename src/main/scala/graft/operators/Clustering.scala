@@ -41,9 +41,11 @@ object Clustering {
   /** (vec_id, d, q): coordinates quantized to exact positive BIGINTs. */
   private[graft] def pointsOf(emb: DataFrame): DataFrame =
     emb
-      // corrupt-embedding guard (r18): one NaN/Inf component would kill
-      // the whole job at the ANSI long cast below; an unclusterable
-      // (non-finite/null/empty) vector is dropped from the point set —
+      // corrupt-embedding guard (r18/r19): one NaN/Inf/huge-finite
+      // component would kill the whole job at the ANSI long cast below,
+      // and a NULL component would silently yield partial-dimension
+      // distances; an unclusterable (unquantizable/null-element/null/
+      // empty) vector is dropped from the point set —
       // if one sits among the K lowest init ids its centroid pivots to
       // NULL and is coalesced to +inf in assign (never wins), exactly
       // the emptied-cluster path the assign scaladoc documents

@@ -332,8 +332,17 @@ object SimilarityOps {
         expr("aggregate(zip_with(qv, pq, (a, b) -> a * b), 0L, (acc, x) -> acc + x)"))
       .withColumn("score_d",
         (col("amax") / lit(127.0)) * (col("pmax") / lit(127.0)) * col("qdot").cast("double"))
+      // try_cast, not cast (r19): SQ8 scores are DOT products, not
+      // cosines, so they are unbounded — one finite-but-huge corrupt
+      // vector (amax 1e20 passes the guard above; its own int8 codes
+      // are fine because SQ8 self-normalizes by amax) lands a score
+      // that cannot be represented as DECIMAL(12,6), and under ANSI a
+      // plain cast kills the whole job [NUMERIC_VALUE_OUT_OF_RANGE].
+      // An unrepresentable score becomes NULL instead — it sorts last
+      // under desc (never reaches the head) exactly like cosOrNull's
+      // undefined cosines. Bit-identical to cast on in-range values.
       .select(col("vec_id"), col("label"),
-        dbl(col("score_d").cast("decimal(12,6)")).as("score"))
+        dbl(expr("try_cast(score_d AS DECIMAL(12,6))")).as("score"))
       .orderBy(desc("score"), asc("vec_id"))
       .limit(10)
   }
@@ -361,8 +370,10 @@ object SimilarityOps {
     import org.apache.spark.sql.expressions.Window
     val emb = Tables.embeddings(s, dir)
     val pts = emb
-      // corrupt-embedding guard (r18): a NaN/Inf component kills the
-      // ANSI long cast below — unquantizable vectors leave the index
+      // corrupt-embedding guard (r18/r19): a NaN/Inf/huge-finite
+      // component kills the ANSI long cast (or the squared-distance
+      // multiply) below, and a NULL component would silently score
+      // partial-dimension — unquantizable vectors leave the index
       .where(finiteEmbedding(col("embedding")))
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "x")))
       .select(col("vec_id"), expr("d div 16").as("m"), col("d"),

@@ -213,10 +213,28 @@ class AdversarialFixtureSpec extends SparkSpec {
       assert(pairs.where(col("v1").isin(nanId, zeroId) ||
           col("v2").isin(nanId, zeroId)).count() == 0,
         "a corrupt vector must never appear in the thresholded pair output")
-      // and the no-threshold ranked families survive too: kNN graph ranks
-      // corrupt edges last (null decimal score), whole query no-crash
-      val knn = SparkEntry.queries("q_knn_graph")(spark, dir)
-      assert(knn.where(col("src") === nanId || col("src") === zeroId).count() >= 0)
+      // and the no-threshold ranked families survive too: kNN graph
+      // ranks corrupt edges LAST — every edge touching a corrupt vector
+      // carries a NULL score (advice r19: the old `count() >= 0` probe
+      // was vacuous; this pins the actual claim)
+      val knn = SparkEntry.queries("q_knn_graph")(spark, dir).collect()
+      val corruptTouched = knn.filter(r =>
+        Set(nanId, zeroId)(r.getLong(r.fieldIndex("src"))) ||
+        Set(nanId, zeroId)(r.getLong(r.fieldIndex("dst"))))
+      assert(corruptTouched.nonEmpty, "fixture must produce corrupt-touching edges")
+      assert(corruptTouched.forall(_.isNullAt(corruptTouched.head.fieldIndex("score"))),
+        "every edge touching a corrupt vector must carry a NULL score")
+      // ...and NULL never outranks real: within each src's head, every
+      // null-scored edge ranks strictly AFTER every real-scored edge
+      // (the desc-nulls-last invariant a NaN-first regression breaks)
+      knn.groupBy(_.getLong(0)).foreach { case (src, edges) =>
+        val nullRks = edges.filter(_.isNullAt(edges.head.fieldIndex("score")))
+          .map(_.getLong(edges.head.fieldIndex("rk")))
+        val realRks = edges.filterNot(_.isNullAt(edges.head.fieldIndex("score")))
+          .map(_.getLong(edges.head.fieldIndex("rk")))
+        assert(nullRks.forall(n => realRks.forall(_ < n)),
+          s"src=$src: a NULL-scored edge outranked a real one (null rks ${nullRks.toSeq}, real rks ${realRks.toSeq})")
+      }
       // the QUANTIZATION family is the harder class: each path CASTS a
       // component-derived double to an integer, and under ANSI one NaN
       // component kills the whole job at that cast (amax > 0 alone does
@@ -248,6 +266,51 @@ class AdversarialFixtureSpec extends SparkSpec {
         assert(rows(q, dir).isEmpty,
           s"$q must return the same-shape EMPTY result for a non-finite query vector")
       }
+    }
+  }
+
+  test("huge-finite / null-element embeddings: quantizers exclude them, nothing job-kills (advice r19)") {
+    // Two corrupt classes the r18 NaN/Inf guard did NOT cover:
+    //  - a finite-but-huge component (1e20): passes any `<= Double.MaxValue`
+    //    bound yet still overflows the ×1e6+2e6 BIGINT quantizer, killing
+    //    kmeans/PQ under ANSI — the guard must bound by the QUANTIZER's
+    //    domain, not by what doubles can represent;
+    //  - a NULL element ([null, x, ...]): array_max SKIPS null entries, so
+    //    the vector passes a max-only guard and its null q then silently
+    //    computes PARTIAL-DIMENSION distances downstream — worse than a
+    //    crash. It must be dropped from every integer index.
+    val hugeId = 777781L; val nullElemId = 777782L
+    withDir(Map("embeddings" -> ((e: DataFrame) => {
+      val huge = e.where(col("vec_id") === 1).select(lit(hugeId).as("vec_id"),
+        expr("transform(embedding, (x, i) -> IF(i = 0, float(1e20), x))").as("embedding"),
+        col("label"))
+      val nullElem = e.where(col("vec_id") === 2).select(lit(nullElemId).as("vec_id"),
+        expr("transform(embedding, (x, i) -> IF(i = 0, CAST(NULL AS FLOAT), x))").as("embedding"),
+        col("label"))
+      e.unionByName(huge).unionByName(nullElem)
+    }))) { dir =>
+      // the ×1e6 quantizer family: no kill, corrupt ids out of the index
+      val pq = rows("q_sim_ann_pq", dir)
+      assert(!pq.map(_.getLong(0)).toSet.exists(Set(hugeId, nullElemId)),
+        "huge/null-element vectors must be excluded from the PQ ranking")
+      // kmeans: strongest form — the corrupt rows are NEW rows, so
+      // dropping them must reproduce the clean fixture's exact result
+      // (a partial-dimension distance would silently perturb counts)
+      val kmClean = rows("q_cluster_kmeans", sf)
+      val kmCorrupt = rows("q_cluster_kmeans", dir)
+      assert(kmCorrupt == kmClean,
+        s"kmeans over the corrupted fixture must equal the clean result\nclean=$kmClean\ncorrupt=$kmCorrupt")
+      // SQ8 + float cosine paths: no-crash, and the null-element vector
+      // (NULL dot => NULL score) never enters a thresholded/top-k head
+      val sq8 = rows("q_sim_quantized", dir)
+      assert(!sq8.map(_.getLong(0)).contains(nullElemId),
+        "null-element vector must not reach the SQ8 head")
+      val top = rows("q_sim_topk", dir)
+      assert(!top.map(_.getLong(0)).contains(nullElemId),
+        "null-element vector must not reach the cosine top-k head")
+      val pairs = SparkEntry.queries("q_sim_pairs")(spark, dir)
+      assert(pairs.where(col("v1") === nullElemId || col("v2") === nullElemId).count() == 0,
+        "null-element vector must not appear in thresholded pairs")
     }
   }
 

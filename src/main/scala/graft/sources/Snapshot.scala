@@ -830,6 +830,23 @@ object Snapshot {
     * from p) — single-level protection would delete g and leave p, a
     * live listed snapshot, with dangling file references. Iterate to
     * fixpoint over the manifests of every protected tag.
+    *
+    * LOCK-HOLD TRADE (advice r19): the whole run — listTags, one
+    * readManifest per protected tag in the closure, and the recursive
+    * tag-dir deletes — executes under SnapshotBatchWrite.commitLock,
+    * so on a slow object store every in-process DSv2 commit and
+    * export STALLS behind retention's remote deletions (potentially
+    * seconds-to-minutes for large doomed tags). This is deliberate:
+    * retention is a rare, operator-driven maintenance action, and the
+    * alternative (compute the keep-set outside the lock, re-check
+    * inside) would have to re-run the manifest-closure fixpoint
+    * anyway to be sound — an export committed between the two passes
+    * can add inherited references to ANY tag, so nothing computed
+    * outside the lock survives validation. Correctness first; run
+    * retention in maintenance windows, not alongside latency-critical
+    * commits. (The scaladoc's cross-JVM caveat is separate and
+    * unchanged: a second JVM's exporter is protected by its own
+    * commit-time owner-tag check, not by this lock.)
     */
   /** Owner tag of a data path = first path segment under root.
     * Counting parent hops instead would mis-resolve hive-partitioned

@@ -179,6 +179,173 @@ class StreamingSpec extends SparkSpec {
       "every finalized streaming session must appear in the batch result")
   }
 
+  /** Stage DataFrames as single parquet files with strictly increasing
+    * mtimes so FileStreamSource (latestFirst=false) + maxFilesPerTrigger=1
+    * replays them as ordered micro-batches — the controlled out-of-order
+    * delivery the watermark-late probes need.
+    */
+  private def stageOrdered(parts: Seq[DataFrame]): String = {
+    val d = java.nio.file.Files.createTempDirectory("late_stage")
+    parts.zipWithIndex.foreach { case (p, i) =>
+      val tmp = java.nio.file.Files.createTempDirectory("late_part").toString
+      p.coalesce(1).write.parquet(s"$tmp/out")
+      val part = new java.io.File(s"$tmp/out").listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = d.resolve(f"f$i%02d.parquet")
+      java.nio.file.Files.move(part.toPath, dst)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 60000L))
+      SessionToken.deleteDir(tmp)
+    }
+    d.toString
+  }
+
+  private def replay(dir: String, schema: StructType, name: String,
+                     mode: OutputMode)(build: DataFrame => DataFrame): DataFrame = {
+    val q = build(spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+      .option("latestFirst", "false").parquet(dir))
+      .writeStream.outputMode(mode).format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    q.recentProgress.foreach { p =>
+      println(s"[replay $name] batch=${p.batchId} rows=${p.numInputRows} eventTime=${p.eventTime} " +
+        s"state=${p.stateOperators.map(so => s"dropped=${so.numRowsDroppedByWatermark} out=${so.numRowsUpdated}").mkString(";")} sinkRows=${p.sink.numOutputRows}")
+    }
+    spark.table(name)
+  }
+
+  test("watermark-late rows: out-of-order replay DROPS them, in-order replay KEEPS them (tumbling + session)") {
+    // The 2h-watermark drop contract has never been EXERCISED: every
+    // existing twin replays the fixture as one micro-batch, where the
+    // watermark is still at its initial value while all rows are
+    // processed — nothing is ever late. Here micro-batch 1 (events
+    // from Jan 6 on, incl. the Jan 30 max) advances the watermark to
+    // max(ts)−2h, then a later micro-batch delivers the pre-Jan-6
+    // rows — WEEKS older than the watermark. Those must be dropped by
+    // the stateful aggs; the control run delivers the same rows in ONE
+    // batch, where they must all be kept. Both compared against batch
+    // forms — drop/keep pinned by equality, not by no-crash.
+    //
+    // MEASURED SEMANTICS (Spark 4.1.2, this probe's first run): the
+    // late-input filter lags the reported watermark by ONE batch. A
+    // 2-batch delivery [main, late] does NOT drop: batch 1 reports
+    // watermark=Jan30−2h in its progress but filters against the
+    // PREVIOUS batch's value (1970) — all 165 late rows were accepted
+    // (numRowsDroppedByWatermark=0), opened 145 already-expired
+    // windows, and emitted them (final output equaled the keep-all
+    // control exactly). Only from the SECOND batch after the advance
+    // is the drop real (dropped=145 partial aggregates, out=0). The
+    // midBatch below exists to cross that boundary — and this comment
+    // exists because "watermark advanced" does NOT mean "late rows
+    // now drop": an operator feeding micro-batches must not assume
+    // the advance is effective until a batch boundary has passed.
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+    val pivot = lit("2024-01-06 00:00:00").cast("timestamp")
+    val late = ev.where(col("ts") < pivot)
+    val main = ev.where(col("ts") >= pivot)
+    assert(late.count() > 0 && main.count() > 0, "pivot must split the fixture")
+    // one recent row; keeps the watermark unchanged while crossing the
+    // batch boundary that makes the advance effective for filtering
+    val midBatch = main.orderBy(desc("ts")).limit(1)
+    val outOfOrder = stageOrdered(Seq(main, midBatch, late))
+    val inOrder = stageOrdered(Seq(ev))
+    def tumble(src: DataFrame): DataFrame = src
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("bucket"), col("event_type"), col("n"))
+    def tumbleBatch(b: DataFrame): DataFrame = b
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("bucket"), col("event_type"), col("n"))
+    // every pre-pivot window ended weeks before the final watermark, so
+    // both runs have FINALIZED (append-emitted) all of them — the
+    // pre-pivot slice is exactly where drop vs keep is decidable
+    val xT = replay(outOfOrder, ev.schema, "late_tumble_x", OutputMode.Append())(tumble)
+      .where(col("bucket") < pivot)
+    val yT = replay(inOrder, ev.schema, "late_tumble_y", OutputMode.Append())(tumble)
+      .where(col("bucket") < pivot)
+    val mainOnly = tumbleBatch(main).where(col("bucket") < pivot) // empty by construction
+    val allRows = tumbleBatch(ev).where(col("bucket") < pivot)
+    assert(mainOnly.count() == 0 && allRows.count() > 0)
+    assert(xT.count() == 0,
+      s"late rows must be DROPPED: out-of-order replay emitted ${xT.count()} pre-pivot buckets")
+    assert(yT.exceptAll(allRows).count() == 0 && allRows.exceptAll(yT).count() == 0,
+      "in-order replay must KEEP the same rows and equal the batch form on the finalized slice")
+    // session windows: same delivery orders, same pin — out-of-order
+    // yields NO session ending before the pivot (every pre-pivot event
+    // was late and dropped), in-order yields exactly the batch sessions
+    def sess(src: DataFrame): DataFrame = src
+      .withWatermark("ts", "2 hours")
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("w.start").as("s_start"), col("w.end").as("s_end"),
+        col("user_id"), col("n_events"))
+    val xS = replay(outOfOrder, ev.schema, "late_sess_x", OutputMode.Append())(sess)
+      .where(col("s_end") < pivot)
+    val yS = replay(inOrder, ev.schema, "late_sess_y", OutputMode.Append())(sess)
+      .where(col("s_end") < pivot)
+    val batchSess = graft.sources.Tables.events(spark, sf)
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("w.start").as("s_start"), col("w.end").as("s_end"),
+        col("user_id"), col("n_events"))
+      .where(col("s_end") < pivot)
+    assert(batchSess.count() > 0)
+    assert(xS.count() == 0,
+      "late rows must be DROPPED from sessionization: no pre-pivot session can exist out-of-order")
+    assert(yS.exceptAll(batchSess).count() == 0 && batchSess.exceptAll(yS).count() == 0,
+      "in-order replay must produce exactly the batch sessions on the finalized slice")
+  }
+
+  test("watermark-late duplicate re-delivery: dedup state past the watermark is gone — behavior pinned") {
+    // dropDuplicatesWithinWatermark guarantees dedup only WITHIN the
+    // watermark delay: once the watermark passes an event's time its
+    // dedup state is evicted. Could a duplicate re-delivered LATE be
+    // RE-EMITTED (state gone, filter missed)? Measured: NO — the two
+    // mechanisms hand over without a gap, because both are driven by
+    // the SAME lagged watermark value (see the tumbling probe): in
+    // the batch right after the advance the filter still passes the
+    // late row BUT the state has not been evicted yet (eviction also
+    // used the lagged value last batch), so it collapses against live
+    // state; from the next batch on the state is gone but the filter
+    // now drops the row first. One output row per id in every
+    // delivery order — pinned here for both phases.
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+    val pivot = lit("2024-01-06 00:00:00").cast("timestamp")
+    val dup = ev.where(col("ts") < pivot).orderBy("event_id").limit(1)
+    val dupId = dup.collect()(0).getLong(0)
+    val main = ev.where(col("ts") >= pivot)
+    val midBatch = main.orderBy(desc("ts")).limit(1)
+    def dedupQ(src: DataFrame): DataFrame =
+      src.withWatermark("ts", "2 hours")
+        .dropDuplicatesWithinWatermark("event_id").select(col("event_id"))
+    // phase 1 — re-delivery one batch after the advance: state still
+    // live (eviction lags), duplicate collapses against it
+    val x1 = replay(stageOrdered(Seq(main.unionByName(dup), dup)), ev.schema,
+      "late_dedup_x1", OutputMode.Append())(dedupQ)
+    // phase 2 — re-delivery two batches after: state evicted, but the
+    // late-input filter (now effective) drops the row before it can
+    // open fresh state and re-emit
+    val x2 = replay(stageOrdered(Seq(main.unionByName(dup), midBatch, dup)), ev.schema,
+      "late_dedup_x2", OutputMode.Append())(dedupQ)
+    // control — both copies inside one micro-batch: classic dedup
+    val y = replay(stageOrdered(Seq(main.unionByName(dup).unionByName(dup))), ev.schema,
+      "late_dedup_y", OutputMode.Append())(dedupQ)
+    assert(y.where(col("event_id") === dupId).count() == 1,
+      "same-batch duplicate must collapse to one row")
+    assert(x1.where(col("event_id") === dupId).count() == 1,
+      "re-delivery against still-live state must collapse")
+    assert(x2.where(col("event_id") === dupId).count() == 1,
+      "re-delivery past eviction must be dropped by the late-input filter, not re-emitted")
+    assert(x1.count() == main.count() + 1 && y.count() == main.count() + 1)
+    // x2's midBatch row is itself a duplicate delivery of a main row —
+    // collapsed, so the total is unchanged
+    assert(x2.count() == main.count() + 1)
+  }
+
   test("stateful showcase: flatMapGroupsWithState running per-user counts") {
     val fn = (uid: Long, events: Iterator[UserEvent], state: GroupState[Long]) => {
       val n = state.getOption.getOrElse(0L) + events.size

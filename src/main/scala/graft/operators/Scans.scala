@@ -33,13 +33,22 @@ object Scans {
       .select(col("l_orderkey"), col("l_linenumber"), dbl(dec("l_quantity")).as("qty"))
       .orderBy("l_orderkey", "l_linenumber")
 
-  /** JSON-string source column: parse `events.props` into a typed int. */
+  /** JSON-string source column: parse `events.props` into a typed int.
+    *
+    * try_cast, not cast (r19, corrupt-JSON probe): get_json_object
+    * already nulls a MALFORMED document, but a wrong-TYPED value —
+    * `{"k": "abc"}`, valid JSON, invalid int, routine in real event
+    * props — reaches the cast as the string "abc", and under ANSI one
+    * such row kills the whole scan ([CAST_INVALID_INPUT]). An
+    * untypeable value is an honest NULL k instead; identical to cast
+    * on every parseable value, oracle-mirrored with DuckDB TRY_CAST.
+    */
   def sourceJson(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
       .select(
         col("event_id"),
         col("event_type"),
-        get_json_object(col("props"), "$.k").cast("int").as("k"))
+        expr("try_cast(get_json_object(props, '$.k') AS INT)").as("k"))
       .orderBy("event_id")
 
   /** Round-trip through the snapshot pipeline (graft.sources.Snapshot):
@@ -510,7 +519,7 @@ object Scans {
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "q_source_json" ->
       """SELECT event_id, event_type,
-        |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+        |  TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
         |FROM events
         |ORDER BY event_id""".stripMargin,
     "q_source_csv" ->

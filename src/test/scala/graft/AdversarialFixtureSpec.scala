@@ -354,6 +354,62 @@ class AdversarialFixtureSpec extends SparkSpec {
     }
   }
 
+  test("malformed / wrong-typed JSON in events.props: honest NULLs, no job kills, no phantom keys") {
+    // The one §1.2 semi-structured column the corrupt-row sweep had not
+    // planted yet. Five corruption classes a real event pipeline ships:
+    // truncated JSON, a wrong-TYPED value ({"k":"abc"} — valid JSON,
+    // invalid int), an explicit null value, a NULL props, and an empty
+    // string. Contract: every JSON consumer treats each as an honest
+    // NULL k (standard SQL), never a job kill (ANSI cast on the
+    // extracted string!) and never a phantom key/group.
+    val ids = (888891L to 888895L)
+    val planted = Map(
+      888891L -> lit("{\"k\": 7, truncated"),       // malformed
+      888892L -> lit("{\"k\": \"abc\"}"),            // wrong-typed value
+      888893L -> lit("{\"k\": null}"),               // explicit null
+      888894L -> lit(null).cast("string"),            // NULL props
+      888895L -> lit(""))                             // empty string
+    withDir(Map("events" -> ((e: DataFrame) => {
+      val proto = e.limit(1)
+      val extra = planted.toSeq.sortBy(_._1).map { case (id, props) =>
+        proto.select(lit(id).as("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"), props.as("props"))
+      }.reduce(_ unionByName _)
+      e.unionByName(extra)
+    }))) { dir =>
+      // q_source_json: every planted row surfaces with k = NULL
+      val sj = SparkEntry.queries("q_source_json")(spark, dir)
+      val got = sj.where(col("event_id").isin(ids.toSeq: _*)).collect()
+      assert(got.length == ids.size, s"planted rows missing from q_source_json: ${got.length}")
+      assert(got.forall(_.isNullAt(got.head.fieldIndex("k"))),
+        "every corrupt-props row must surface k as honest NULL")
+      // q_fn_map_json: no kill; malformed rows carry NULL map columns,
+      // the {"k": null} row keeps its key but null-skips the sum
+      val mj = SparkEntry.queries("q_fn_map_json")(spark, dir)
+      val mrows = mj.where(col("event_id").isin(ids.toSeq: _*)).collect()
+      assert(mrows.length == ids.size)
+      def f(r: org.apache.spark.sql.Row, c: String) =
+        if (r.isNullAt(r.fieldIndex(c))) null else r.get(r.fieldIndex(c))
+      val byId = mrows.map(r => r.getLong(0) -> r).toMap
+      for (id <- Seq(888891L, 888894L, 888895L))
+        assert(f(byId(id), "keys_csv") == null && f(byId(id), "n_keys") == null,
+          s"$id: unparseable props must yield NULL map columns, got ${byId(id)}")
+      assert(f(byId(888893L), "keys_csv") == "k" && f(byId(888893L), "vals_sum") == 0,
+        s"explicit-null value must keep the key and null-skip the sum: ${byId(888893L)}")
+      // no phantom groups: an aggregation keyed on the TYPED extracted
+      // value puts every corrupt row in the one NULL group — never a
+      // fabricated key 0 (the sketch family's r18 phantom mode) and
+      // never a job kill at the group-key cast
+      val grouped = graft.sources.Tables.events(spark, dir)
+        .where(col("event_id").isin(ids.toSeq: _*))
+        .groupBy(expr("try_cast(get_json_object(props, '$.k') AS INT)").as("k"))
+        .count().collect()
+      assert(grouped.length == 1 && grouped.head.isNullAt(0) &&
+        grouped.head.getLong(1) == ids.size,
+        s"all corrupt rows must land in the single NULL group: ${grouped.mkString}")
+    }
+  }
+
   test("corrupt events (NULL user_id / NULL ts): streaming family no-crash, session twins stay equal") {
     // Null user ids and null timestamps are ROUTINE client-bug output
     // in real event streams. The built-in paths null-propagate

@@ -29,7 +29,16 @@ class BitmapRegisters extends Aggregator[java.lang.Long, Array[Long], Array[Long
 class BitmapUnion extends Aggregator[Array[Long], Array[Long], Long] {
   private val core = new BitmapDistinct
   override def zero: Array[Long] = core.zero
-  override def reduce(b: Array[Long], bits: Array[Long]): Array[Long] = core.merge(b, bits)
+  /** Stored bitmaps come from a TABLE (r19, see [[HllUnion.reduce]]):
+    * a NULL cell is SQL-skipped (pre-fix it NPE-killed the union);
+    * unlike the fixed-width HLL registers, a SHORTER array is a VALID
+    * bitmap state (the bitset grows on demand — any prefix is the
+    * same set minus high ids), so no length check belongs here.
+    */
+  override def reduce(b: Array[Long], bits: Array[Long]): Array[Long] = {
+    if (bits == null) return b // SQL null semantics: a missing bitmap adds nothing
+    core.merge(b, bits)
+  }
   override def merge(a: Array[Long], b: Array[Long]): Array[Long] = core.merge(a, b)
   override def finish(bits: Array[Long]): Long = core.finish(bits)
   override def bufferEncoder: Encoder[Array[Long]] =

@@ -32,7 +32,22 @@ class HllRegisters extends Aggregator[java.lang.Long, Array[Byte], Array[Byte]] 
 class HllUnion extends Aggregator[Array[Byte], Array[Byte], Long] {
   private val core = new HllSketch
   override def zero: Array[Byte] = core.zero
-  override def reduce(b: Array[Byte], regs: Array[Byte]): Array[Byte] = core.merge(b, regs)
+  /** Stored sketches arrive from a TABLE, not from this job's own
+    * buffers, so two corruption classes are real (r19): a NULL cell
+    * (outer join against a shard dim, missing partition, unbackfilled
+    * day) is SQL-skipped like every aggregate input — pre-fix it
+    * NPE-killed the whole re-aggregation (reference-typed Aggregator
+    * inputs are NOT null-skipped); a WRONG-LENGTH blob is corrupt
+    * state, not missing state — silently skipping would hide data
+    * loss and unguarded merging dies as an opaque
+    * ArrayIndexOutOfBounds, so it fails loudly, NAMED.
+    */
+  override def reduce(b: Array[Byte], regs: Array[Byte]): Array[Byte] = {
+    if (regs == null) return b // SQL null semantics: a missing sketch adds nothing
+    require(regs.length == b.length,
+      s"corrupt HLL register blob: ${regs.length} bytes, expected ${b.length} — refusing to merge")
+    core.merge(b, regs)
+  }
   override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = core.merge(a, b)
   override def finish(regs: Array[Byte]): Long = core.finish(regs)
   override def bufferEncoder: Encoder[Array[Byte]] = Encoders.BINARY

@@ -404,6 +404,51 @@ class FrontierSpec extends SparkSpec {
       "union over an empty-input register sketch must estimate 0")
   }
 
+  test("union re-aggregators: NULL stored sketch skipped, truncated register blob rejected loudly (r19)") {
+    // A per-shard sketch table at 100 TB WILL contain null cells — an
+    // outer join against a shard dimension, a missing partition, a
+    // not-yet-backfilled day. SQL aggregate semantics: a null input
+    // contributes nothing. Pre-fix, one null stored sketch NPE-killed
+    // the whole re-aggregation (reference-typed Aggregator inputs are
+    // NOT null-skipped — the r18 lesson, one level up).
+    val ev = Tables.events(spark, sf)
+    val hregs = udaf(new graft.functions.HllRegisters)
+    val huni = udaf(new graft.functions.HllUnion)
+    val perDay = ev.groupBy(date_trunc("DAY", col("ts")).as("day"))
+      .agg(hregs(col("user_id")).as("r")).cache()
+    val clean = perDay.agg(huni(col("r"))).head.getLong(0)
+    val withNull = perDay.unionByName(
+      perDay.limit(1).select(col("day"), lit(null).cast("binary").as("r")))
+    assert(withNull.agg(huni(col("r"))).head.getLong(0) == clean,
+      "a NULL stored HLL sketch must contribute nothing to the union")
+    // a TRUNCATED register blob is corrupt state, not missing state:
+    // silently skipping would hide data loss, and unguarded merging
+    // dies as an opaque ArrayIndexOutOfBounds — the contract is a loud
+    // require NAMING the corruption
+    val corrupt = perDay.select(expr("substring(r, 1, 100)").as("r"))
+    val e = intercept[Exception](corrupt.agg(huni(col("r"))).collect())
+    def chain(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(8).map(
+        x => Option(x.getMessage).getOrElse("")).toSeq
+    assert(chain(e).exists(_.contains("corrupt HLL register blob")),
+      s"truncated blob must fail NAMED, got: ${chain(e).mkString(" | ")}")
+    // bitmap union: null cells skip the same way; SHORTER arrays are
+    // NOT corruption there (the bitmap grows on demand — any prefix is
+    // a valid state) and must keep merging fine
+    val bregs = udaf(new graft.functions.BitmapRegisters)
+    val buni = udaf(new graft.functions.BitmapUnion)
+    val perDayB = ev.groupBy(date_trunc("DAY", col("ts")).as("day"))
+      .agg(bregs(col("user_id")).as("r")).cache()
+    val cleanB = perDayB.agg(buni(col("r"))).head.getLong(0)
+    val withNullB = perDayB.unionByName(
+      perDayB.limit(1).select(col("day"), lit(null).cast("array<bigint>").as("r")))
+    assert(withNullB.agg(buni(col("r"))).head.getLong(0) == cleanB,
+      "a NULL stored bitmap must contribute nothing to the union")
+    val shorter = perDayB.select(expr("slice(r, 1, 4)").as("r"))
+    assert(shorter.agg(buni(col("r"))).head.getLong(0) <= cleanB,
+      "a prefix bitmap is a valid (smaller) state and must merge without error")
+  }
+
   test("interpolation: observed days unchanged, gaps strictly between neighbors, no nulls") {
     val df = q("q_ts_interpolate").cache()
     assert(df.where(col("filled").isNull).count() == 0)

@@ -112,8 +112,15 @@ object TextOps {
         expr(s"CAST(size(filter(toks, t -> t IN ${sqlList(stopEn)})) AS DOUBLE) / size(toks)"))
       .select(
         col("doc_id"), col("n_toks"), col("n_pieces"),
+        // DECIMAL(18,4), not (9,4) (r19 presentation-overflow sweep —
+        // the SQ8 class): avg_tok_len is UNBOUNDED in the document, and
+        // a single-token blob past ~100 KB (base64, minified JS — routine
+        // in web corpora) overflows (9,4) and ANSI-kills the query. The
+        // value is legitimate low-quality signal, not garbage, so the
+        // honest fix is a wider type (1e14 ≫ any real document), not a
+        // try_cast NULL; same rounding, same doubles on clean data.
         dbl(((col("n_chars") - (col("n_toks") - 1)).cast("double") / col("n_toks"))
-          .cast("decimal(9,4)")).as("avg_tok_len"),
+          .cast("decimal(18,4)")).as("avg_tok_len"),
         dbl(col("stop_ratio").cast("decimal(9,6)")).as("stop_ratio"),
         dbl((when(col("n_chars") >= 100, 0.5).otherwise(0.0)
           + when(col("stop_ratio") > 0, 0.5).otherwise(0.0)).cast("decimal(3,1)")).as("quality"))
@@ -552,7 +559,7 @@ object TextOps {
       """SELECT doc_id,
         |  CAST(len(string_split(text, ' ')) AS INTEGER) AS n_toks,
         |  CAST(len(regexp_extract_all(text, '[^aeiou ]+[aeiou]*|[aeiou]+', 0)) AS INTEGER) AS n_pieces,
-        |  CAST(CAST(CAST(n_chars - (len(string_split(text, ' ')) - 1) AS DOUBLE) / len(string_split(text, ' ')) AS DECIMAL(9,4)) AS DOUBLE) AS avg_tok_len,
+        |  CAST(CAST(CAST(n_chars - (len(string_split(text, ' ')) - 1) AS DOUBLE) / len(string_split(text, ' ')) AS DECIMAL(18,4)) AS DOUBLE) AS avg_tok_len,
         |  CAST(CAST(CAST(len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a', 'of', 'to', 'and', 'in', 'is'))) AS DOUBLE) / len(string_split(text, ' ')) AS DECIMAL(9,6)) AS DOUBLE) AS stop_ratio,
         |  CAST(CAST((CASE WHEN n_chars >= 100 THEN 0.5 ELSE 0.0 END)
         |     + (CASE WHEN len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a', 'of', 'to', 'and', 'in', 'is'))) > 0 THEN 0.5 ELSE 0.0 END) AS DECIMAL(3,1)) AS DOUBLE) AS quality

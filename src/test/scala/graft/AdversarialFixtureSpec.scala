@@ -323,14 +323,20 @@ class AdversarialFixtureSpec extends SparkSpec {
     // flow: deterministic signatures, standard SQL null propagation on
     // the built-in paths.
     val nullId = 888881L; val emptyId = 888882L; val emojiId = 888883L
+    // a 200k-char SINGLE-token blob (base64 dump, minified JS — routine
+    // in web corpora): its avg token length is legitimately 200000,
+    // which overflowed the old DECIMAL(9,4) presentation cast and
+    // ANSI-killed q_text_quality on one row (r19 sweep, the SQ8 class)
+    val megaId = 888884L
     withDir(Map("documents" -> ((d: DataFrame) => {
       val proto = d.limit(1)
-      def planted(id: Long, text: Column) = proto.select(
+      def planted(id: Long, text: Column, nChars: Column = lit(0L)) = proto.select(
         lit(id).as("doc_id"), text.as("text"), col("lang"),
-        col("source"), lit(0L).as("n_chars"))
+        col("source"), nChars.as("n_chars"))
       d.unionByName(planted(nullId, lit(null).cast("string")))
         .unionByName(planted(emptyId, lit("")))
         .unionByName(planted(emojiId, lit("a 😀 b 😀 a 😀 b")))
+        .unionByName(planted(megaId, expr("repeat('x', 200000)"), lit(200000L)))
     }))) { dir =>
       // the UDF-signature dedup family: one NULL text must not NPE the
       // job, and the null row must be absent (not a document); the
@@ -351,6 +357,14 @@ class AdversarialFixtureSpec extends SparkSpec {
       val r1 = rows("q_dedup_simhash", dir)
       val r2 = rows("q_dedup_simhash", dir)
       assert(r1 == r2, "simhash over astral-plane text must be deterministic")
+      // the mega-token doc: q_text_quality must SURVIVE it and report
+      // the honest (huge) average token length — pre-fix the
+      // DECIMAL(9,4) presentation cast ANSI-killed the whole query
+      val tq = SparkEntry.queries("q_text_quality")(spark, dir)
+      val mega = tq.where(col("doc_id") === megaId).collect()
+      assert(mega.length == 1 &&
+        mega.head.getDouble(mega.head.fieldIndex("avg_tok_len")) == 200000.0,
+        s"mega-token doc must report avg_tok_len 200000, got ${mega.toSeq}")
     }
   }
 

@@ -97,7 +97,13 @@ object Multimodal {
     * features.
     */
   def multimodalFeatures(s: SparkSession, dir: String): DataFrame = {
+    // text.isNotNull (r19): a null-text document has no media — drop it,
+    // the same "not a document" contract as the dedup family. Without
+    // the filter ONE corrupt row reaches requireBlob and kills the whole
+    // query: the contract query must itself demonstrate the upstream
+    // filtering that requireBlob's message demands.
     val blobs = Tables.documents(s, dir)
+      .where(col("text").isNotNull)
       .select(col("doc_id"), col("text").cast("binary").as("media"))
     extractFeatures(s, blobs, "doc_id", "media").orderBy("doc_id")
   }
@@ -138,6 +144,13 @@ object Multimodal {
     */
   def multimodalDedup(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
+      // NULL is not a content key (r19, the sketch-family discipline):
+      // md5(NULL) is NULL and groupBy collects every null-text doc into
+      // ONE digest-NULL group, so two UNRELATED corrupt documents would
+      // be reported as copies with a named keeper — a phantom dup group
+      // a storage-dedup pass would act on. A null-text doc has no
+      // content to dedup; drop it.
+      .where(col("text").isNotNull)
       .select(col("doc_id"), substring(col("text"), 1, 64).cast("binary").as("seg"))
       .groupBy(md5(col("seg")).as("digest"))
       .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keeper"),
@@ -311,7 +324,8 @@ object Multimodal {
         |ORDER BY doc_id""".stripMargin,
     "q_multimodal_dedup" ->
       """WITH seg AS (
-        |  SELECT doc_id, substr(text, 1, 64) AS seg FROM documents),
+        |  SELECT doc_id, substr(text, 1, 64) AS seg FROM documents
+        |  WHERE text IS NOT NULL),
         |g AS (
         |  SELECT md5(seg) AS digest, count(*) AS n_copies,
         |    min(doc_id) AS keeper, CAST(max(strlen(seg)) AS BIGINT) AS seg_bytes
@@ -342,6 +356,7 @@ object Multimodal {
         |  CAST(list_aggregate(list_transform(range(1, length(text) + 1),
         |         i -> ascii(text[i])), 'max') AS INTEGER) AS max_byte
         |FROM documents
+        |WHERE text IS NOT NULL
         |ORDER BY doc_id""".stripMargin
   )
 }

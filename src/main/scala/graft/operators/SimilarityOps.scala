@@ -72,6 +72,19 @@ object SimilarityOps {
       .withColumn("q", typedlit(qopt.getOrElse(Array.empty[Float])))
       .withColumn("score_d",
         cosOrNull(dotExpr("embedding", "q"), normExpr("embedding") * normExpr("q")))
+      // an undefined similarity is not a RANKING CANDIDATE (r19,
+      // ragged-embedding sweep): a NULL score (zero-norm/NaN corpus row,
+      // or a dimension-mismatched vector — float_dot returns NULL on
+      // ragged inputs, never a partial sum) previously relied on
+      // desc-nulls-last + enough real candidates to stay out of the
+      // head; structural exclusion makes it capacity-independent, and a
+      // ragged QUERY (finite, so it passes the guard above) now yields
+      // the missing-query same-shape EMPTY instead of 10 null-score
+      // rows. Bit-identical on clean data (no NULL scores exist there).
+      // Contrast: q_knn_graph deliberately KEEPS null-scored edges
+      // visible-and-last — an edge LIST reports corrupt adjacency, a
+      // top-k head answers "most similar", where NULL is a non-answer.
+      .where(col("score_d").isNotNull)
       .select(col("vec_id"), col("label"), dbl(col("score_d").cast("decimal(12,6)")).as("score"))
       .orderBy(desc("score"), asc("vec_id"))
       .limit(10)
@@ -212,6 +225,10 @@ object SimilarityOps {
       .withColumn("q", typedlit(qvec))
       .withColumn("score_d",
         cosOrNull(dotExpr("embedding", "q"), normExpr("embedding") * normExpr("q")))
+      // NULL score = not a candidate (r19) — see simTopK's note; a
+      // ragged vector lands in a deterministic bucket (its null plane
+      // projection is CASE'd to bit 0) but must not enter the head
+      .where(col("score_d").isNotNull)
       .select(col("vec_id"), dbl(col("score_d").cast("decimal(12,6)")).as("score"))
       .orderBy(desc("score"), asc("vec_id"))
       .limit(10)
@@ -292,6 +309,10 @@ object SimilarityOps {
       .withColumn("q", typedlit(qvec))
       .withColumn("score_d",
         cosOrNull(dotExpr("embedding", "q"), normExpr("embedding") * normExpr("q")))
+      // NULL score = not a candidate (r19) — see simTopK's note (the
+      // ivf_list=-1 sentinel already routes most ragged rows out; this
+      // also covers a ragged vector that ties into a probed list)
+      .where(col("score_d").isNotNull)
       .select(col("vec_id"), col("ivf_list"), dbl(col("score_d").cast("decimal(12,6)")).as("score"))
       .orderBy(desc("score"), asc("vec_id"))
       .limit(10)
@@ -341,8 +362,16 @@ object SimilarityOps {
       // An unrepresentable score becomes NULL instead — it sorts last
       // under desc (never reaches the head) exactly like cosOrNull's
       // undefined cosines. Bit-identical to cast on in-range values.
+      // NULL score = not a candidate (r19) — see simTopK's note. Both
+      // SQ8 null sources are non-answers: an unrepresentable
+      // (corrupt-magnitude) score and a NULL qdot from a
+      // dimension-mismatched vector (zip_with pads the short side with
+      // null, acc + null stays null — never a partial sum). A ragged
+      // QUERY nulls every candidate's qdot, so this also yields the
+      // missing-query same-shape EMPTY there.
       .select(col("vec_id"), col("label"),
         dbl(expr("try_cast(score_d AS DECIMAL(12,6))")).as("score"))
+      .where(col("score").isNotNull)
       .orderBy(desc("score"), asc("vec_id"))
       .limit(10)
   }
@@ -393,9 +422,27 @@ object SimilarityOps {
     val adc = qp.join(broadcast(cb), Seq("m", "d"))
       .groupBy(col("m"), col("c"))
       .agg(sum((col("qq") - col("cq")) * (col("qq") - col("cq"))).as("contrib"))
+    // full-subspace contract (r19, ragged-embedding sweep): pq_dist is a
+    // SUM of per-subspace contributions, and this ranking is ASC — a
+    // truncated dim-8 vector carries codes for 1 of 4 subspaces, sums a
+    // quarter of the distance, and silently WINS the head (measured
+    // under the mutant: the planted ragged vector at rank 1). IVF
+    // already routes such rows to the -1 "no list" sentinel; PQ's
+    // equivalent is requiring the encoded subspace set to equal the ADC
+    // table's exactly. LEFT join keeps a longer vector's extra-m rows
+    // (contrib NULL), so the two counts reject both directions: short
+    // (n_m < total) and long (n_m > total ≥ n_scored). A ragged QUERY
+    // degenerates the ADC to fewer subspaces than every clean vector
+    // carries, so the same filter yields the missing-query same-shape
+    // EMPTY contract. n_m_total rides a 1-row broadcast scalar frame
+    // (the documented BNLJ class) — no driver job added.
+    val nmTotal = adc.select(countDistinct(col("m")).as("n_m_total"))
     enc.where(col("vec_id") =!= 0)
-      .join(broadcast(adc), Seq("m", "c"))
-      .groupBy(col("vec_id")).agg(sum(col("contrib")).as("pq_dist"))
+      .join(broadcast(adc), Seq("m", "c"), "left")
+      .groupBy(col("vec_id")).agg(sum(col("contrib")).as("pq_dist"),
+        count(lit(1)).as("n_m"), count(col("contrib")).as("n_scored"))
+      .crossJoin(broadcast(nmTotal))
+      .where(col("n_m") === col("n_m_total") && col("n_scored") === col("n_m_total"))
       .join(emb.select(col("vec_id"), col("label")), "vec_id")
       .select(col("vec_id"), col("label"), col("pq_dist"))
       .orderBy(col("pq_dist"), col("vec_id"))

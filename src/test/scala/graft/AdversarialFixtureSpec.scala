@@ -314,6 +314,64 @@ class AdversarialFixtureSpec extends SparkSpec {
     }
   }
 
+  test("ragged (dimension-mismatched) embeddings: partial-dimension distances never rank, a ragged query is no query") {
+    // The corrupt-embedding class the NaN/huge/null-element probes do
+    // NOT cover: a TRUNCATED vector (an upstream embedding job emitting
+    // the wrong dim is routine corpus corruption) is finite with no
+    // null elements, so it passes finiteEmbedding — the danger is not a
+    // crash but a silent wrong answer. PQ's distance is a SUM of
+    // per-subspace contributions under an ASC ranking: a dim-8 vector
+    // carries codes for 1 of 4 subspaces, sums a quarter-distance, and
+    // WINS the head (measured under the mutant: rank 1). The float
+    // paths return NULL dots on ragged inputs (float_dot's length
+    // check) — those must be structurally excluded from every top-k
+    // head, not merely sorted last behind enough real candidates.
+    val raggedId = 666661L
+    withDir(Map("embeddings" -> ((e: DataFrame) => {
+      val ragged = e.where(col("vec_id") === 3).select(lit(raggedId).as("vec_id"),
+        expr("slice(embedding, 1, 8)").as("embedding"), col("label"))
+      e.unionByName(ragged)
+    }))) { dir =>
+      for (q <- Seq("q_sim_topk", "q_sim_ann_lsh", "q_sim_ann_ivf",
+                    "q_sim_quantized", "q_sim_ann_pq")) {
+        val out = SparkEntry.queries(q)(spark, dir).collect()
+        assert(!out.map(_.getLong(0)).contains(raggedId),
+          s"$q ranked the ragged vector")
+        val scoreCol = if (out.isEmpty || out.head.schema.fieldNames.contains("score"))
+          "score" else "pq_dist"
+        assert(out.forall(r => !r.isNullAt(r.fieldIndex(scoreCol))),
+          s"$q emitted a null-score row — NULL is not a ranking candidate")
+      }
+      // threshold families: NULL >= t is never true
+      val pairs = SparkEntry.queries("q_sim_pairs")(spark, dir)
+      assert(pairs.where(col("v1") === raggedId || col("v2") === raggedId).count() == 0,
+        "ragged vector must not appear in thresholded pairs")
+      // kmeans: the DOCUMENTED ragged semantics (assignLit scaladoc,
+      // mirrored by the oracle) — the vector clusters on its present
+      // dims, so total membership grows by exactly one, no kill
+      val kmClean = rows("q_cluster_kmeans", sf)
+      val km = rows("q_cluster_kmeans", dir)
+      assert(km.map(_.getLong(1)).sum == kmClean.map(_.getLong(1)).sum + 1,
+        "kmeans must cluster the ragged vector on its present dims (documented semantics)")
+    }
+    // a ragged QUERY vector is NOT a query: finite, so it passes the
+    // r18 non-finite guard, but it scores every candidate NULL (float
+    // paths), nulls every qdot (SQ8), and degenerates the ADC table to
+    // fewer subspaces than any clean vector carries (PQ). All five must
+    // return the missing-query same-shape EMPTY — pre-fix the float
+    // heads returned 10 null-score rows in vec_id order and PQ silently
+    // ranked every vector on ONE subspace's distance
+    withDir(Map("embeddings" -> ((e: DataFrame) =>
+        e.withColumn("embedding", when(col("vec_id") === 0,
+          expr("slice(embedding, 1, 8)")).otherwise(col("embedding")))))) { dir =>
+      for (q <- Seq("q_sim_topk", "q_sim_ann_lsh", "q_sim_ann_ivf",
+                    "q_sim_quantized", "q_sim_ann_pq")) {
+        assert(rows(q, dir).isEmpty,
+          s"$q must return the same-shape EMPTY result for a ragged query vector")
+      }
+    }
+  }
+
   test("corrupt documents (NULL / empty / surrogate-pair text): no job kills, null text is not a document") {
     // The text mirror of the corrupt-embeddings class: a NULL text row
     // reaches the Scala String UDFs as Scala null (Spark null-skips
@@ -328,6 +386,11 @@ class AdversarialFixtureSpec extends SparkSpec {
     // which overflowed the old DECIMAL(9,4) presentation cast and
     // ANSI-killed q_text_quality on one row (r19 sweep, the SQ8 class)
     val megaId = 888884L
+    // TWO null-text rows (not one): the multimodal-dedup phantom-group
+    // defect needs a pair — md5(NULL) groups every null-text doc into
+    // ONE digest-NULL bucket, so two UNRELATED corrupt docs were
+    // reported as copies with a named keeper (r19 find)
+    val nullId2 = 888885L
     withDir(Map("documents" -> ((d: DataFrame) => {
       val proto = d.limit(1)
       def planted(id: Long, text: Column, nChars: Column = lit(0L)) = proto.select(
@@ -337,6 +400,7 @@ class AdversarialFixtureSpec extends SparkSpec {
         .unionByName(planted(emptyId, lit("")))
         .unionByName(planted(emojiId, lit("a 😀 b 😀 a 😀 b")))
         .unionByName(planted(megaId, expr("repeat('x', 200000)"), lit(200000L)))
+        .unionByName(planted(nullId2, lit(null).cast("string")))
     }))) { dir =>
       // the UDF-signature dedup family: one NULL text must not NPE the
       // job, and the null row must be absent (not a document); the
@@ -365,6 +429,29 @@ class AdversarialFixtureSpec extends SparkSpec {
       assert(mega.length == 1 &&
         mega.head.getDouble(mega.head.fieldIndex("avg_tok_len")) == 200000.0,
         s"mega-token doc must report avg_tok_len 200000, got ${mega.toSeq}")
+      // multimodal (r19): a null-text doc has no media. Pre-fix, ONE
+      // null row job-killed q_multimodal_features at requireBlob — the
+      // library contract is correctly loud, but the contract query must
+      // itself do the upstream filtering that message demands
+      val mf = SparkEntry.queries("q_multimodal_features")(spark, dir).collect()
+      val mfIds = mf.map(_.getLong(0)).toSet
+      assert(!mfIds(nullId) && !mfIds(nullId2),
+        "null-text docs must be absent from multimodal features")
+      // the empty and mega blobs flow as ordinary media with exact
+      // decode-stub arithmetic ('x' = byte 120)
+      val mfEmpty = mf.find(_.getLong(0) == emptyId).get
+      assert(mfEmpty.getInt(1) == 0 && mfEmpty.getLong(2) == 0L && mfEmpty.getInt(3) == 0,
+        s"empty blob must decode to (0,0,0), got $mfEmpty")
+      val mfMega = mf.find(_.getLong(0) == megaId).get
+      assert(mfMega.getInt(1) == 200000 && mfMega.getLong(2) == 200000L * 120 &&
+        mfMega.getInt(3) == 120, s"mega blob decode-stub mismatch: $mfMega")
+      // dedup: NULL is not a content key — pre-fix the two null-text
+      // docs formed a digest-NULL dup group naming 888881 as keeper of
+      // a "copy" it shares no content with
+      val md = SparkEntry.queries("q_multimodal_dedup")(spark, dir)
+      assert(md.where(col("digest").isNull ||
+        col("keeper").isin(nullId, nullId2)).count() == 0,
+        "null-text docs must not form a phantom dup group")
     }
   }
 

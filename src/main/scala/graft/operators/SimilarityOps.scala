@@ -181,6 +181,16 @@ object SimilarityOps {
       .orderBy(desc("n_votes"), asc("label"))
     cands.join(broadcast(probes))
       .withColumn("score_d", cosOrNull(dotExpr("pe", "ce"), col("np") * col("nc")))
+      // NULL score = not a VOTER (r19, ragged-embedding sweep): the
+      // rn<=5 vote window is capacity-dependent, so with fewer than 5
+      // real candidates a corrupt (zero-norm/NaN/ragged) candidate's
+      // NULL-score row entered the vote and could FLIP a probe's
+      // predicted label via the count/label tiebreak (measured under
+      // the mutant); and a ragged PROBE scored every candidate NULL,
+      // fabricating a prediction from nothing — now it honestly gets
+      // no prediction row. Bit-identical on clean data (no NULL scores
+      // exist there, so every rn is unchanged).
+      .where(col("score_d").isNotNull)
       .withColumn("rn", row_number().over(byScore))
       .where(col("rn") <= 5)
       .groupBy(col("probe_id"), col("label"))

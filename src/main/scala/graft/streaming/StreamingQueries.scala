@@ -18,6 +18,19 @@ case class UserSession(s_start: java.time.Instant, s_end: java.time.Instant,
   *
   * Late-data policy (SURVEY §2.8): watermark 2h on ts; tumbling/
   * sliding/session windows finalize when the watermark passes.
+  *
+  * FAR-FUTURE HAZARD (r19, probe-pinned in StreamingSpec): Spark has
+  * no built-in sanity bound on event time, so ONE clock-skewed event
+  * (millis written where micros are read, a year-9999 placeholder)
+  * advances the watermark by millennia and every subsequent
+  * normal-time row is silently dropped as late — the pipeline keeps
+  * running and emits (almost) nothing, with no error anywhere. A
+  * production deployment of these twins must put an event-time sanity
+  * filter BEFORE withWatermark (e.g. `ts < now + tolerance` evaluated
+  * against ingestion time); the probe shows that bound restoring the
+  * undamaged output exactly on a poisoned delivery. Not added to the
+  * contract queries themselves: any fixed horizon literal would be
+  * arbitrary policy baked into oracle-checked semantics.
   */
 object StreamingQueries {
 

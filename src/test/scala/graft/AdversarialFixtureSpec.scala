@@ -354,6 +354,31 @@ class AdversarialFixtureSpec extends SparkSpec {
       assert(km.map(_.getLong(1)).sum == kmClean.map(_.getLong(1)).sum + 1,
         "kmeans must cluster the ragged vector on its present dims (documented semantics)")
     }
+    // kNN label vote: the rn<=5 vote window is CAPACITY-DEPENDENT, so
+    // with only two real candidates a corrupt candidate's NULL-score
+    // row entered the vote and FLIPPED every probe's prediction via the
+    // 1-1-1 count tie + label-asc tiebreak (ragged label 1 beats real
+    // labels 5 and 7). NULL score = not a voter: predictions must equal
+    // the same fixture without the ragged row.
+    def twoCandFixture(withRagged: Boolean)(e: DataFrame): DataFrame = {
+      val lt = e.schema("label").dataType
+      val base = e.where(col("vec_id") < 10)
+        .unionByName(e.where(col("vec_id") === 10)
+          .withColumn("label", lit(5).cast(lt)))
+        .unionByName(e.where(col("vec_id") === 11)
+          .withColumn("label", lit(7).cast(lt)))
+      if (!withRagged) base
+      else base.unionByName(e.where(col("vec_id") === 11).select(
+        lit(raggedId).as("vec_id"), expr("slice(embedding, 1, 8)").as("embedding"),
+        lit(1).cast(lt).as("label")))
+    }
+    withDir(Map("embeddings" -> (twoCandFixture(withRagged = true) _))) { dir =>
+      val got = rows("q_knn_label", dir)
+      withDir(Map("embeddings" -> (twoCandFixture(withRagged = false) _))) { cleanDir =>
+        assert(got == rows("q_knn_label", cleanDir),
+          "a NULL-score candidate changed kNN label predictions — it must never vote")
+      }
+    }
     // a ragged QUERY vector is NOT a query: finite, so it passes the
     // r18 non-finite guard, but it scores every candidate NULL (float
     // paths), nulls every qdot (SQ8), and degenerates the ADC table to
@@ -369,6 +394,13 @@ class AdversarialFixtureSpec extends SparkSpec {
         assert(rows(q, dir).isEmpty,
           s"$q must return the same-shape EMPTY result for a ragged query vector")
       }
+      // ...and a ragged PROBE vector gets NO prediction row instead of
+      // one fabricated from all-NULL scores (probe 0 is the sliced one)
+      val kl = rows("q_knn_label", dir)
+      assert(!kl.map(_.getLong(0)).contains(0L),
+        "a ragged probe must get no kNN label prediction")
+      assert(kl.map(_.getLong(0)).toSet == (1L to 9L).toSet,
+        "the other probes' predictions must be unaffected")
     }
   }
 

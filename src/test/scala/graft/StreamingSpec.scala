@@ -346,6 +346,54 @@ class StreamingSpec extends SparkSpec {
     assert(x2.count() == main.count() + 1)
   }
 
+  test("one far-future event poisons a watermarked stream — hazard pinned, sanity-bound mitigation restores output") {
+    // The corrupt-event-TIME class (r19): a clock-skewed producer —
+    // millis written where micros are read, a year-9999 placeholder —
+    // is routine 100 TB corruption, and Spark has NO built-in sanity
+    // bound: one such event advances the watermark by millennia and
+    // every subsequent normal-time row is silently dropped as late.
+    // Not a crash, not a flag — the pipeline keeps running and emits
+    // (almost) nothing. Pin the hazard AND the mitigation: an
+    // event-time sanity filter BEFORE withWatermark (the pattern the
+    // StreamingQueries scaladoc now documents) restores the undamaged
+    // output exactly.
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+    val pivot = lit("2024-01-06 00:00:00").cast("timestamp")
+    val early = ev.where(col("ts") < pivot)
+    val rest = ev.where(col("ts") >= pivot)
+    assert(early.count() > 0 && rest.count() > 0)
+    // one poisoned row: a real event with its ts forced to year 9999
+    // (redelivered alone as batch 2 to cross the effectiveness lag —
+    // its own far-future bucket never finalizes, so the duplicate
+    // delivery cannot touch the asserted slice)
+    val poison = early.orderBy("event_id").limit(1)
+      .withColumn("ts", lit("9999-01-01 00:00:00").cast("timestamp"))
+    def tumble(src: DataFrame): DataFrame = src
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("bucket"), col("event_type"), col("n"))
+    val poisonedDir = stageOrdered(Seq(early.unionByName(poison), poison, rest))
+    val x = replay(poisonedDir, ev.schema, "poison_x", OutputMode.Append())(tumble)
+    // hazard: the early buckets finalized (the jump emitted them), but
+    // EVERY normal row delivered after the poison was dropped — not one
+    // post-pivot bucket exists below the far-future horizon
+    assert(x.where(col("bucket") < pivot).count() > 0,
+      "early buckets must have finalized — otherwise the probe shows nothing")
+    assert(x.where(col("bucket") >= pivot && col("bucket") < lit("9000-01-01")).count() == 0,
+      "poisoned stream must have silently dropped every post-poison normal row")
+    // mitigation: the SAME poisoned delivery with a sanity bound before
+    // withWatermark equals the clean in-order replay exactly
+    def tumbleBounded(src: DataFrame): DataFrame =
+      tumble(src.where(col("ts") < lit("2100-01-01").cast("timestamp")))
+    val fixed = replay(poisonedDir, ev.schema, "poison_fix", OutputMode.Append())(tumbleBounded)
+    val clean = replay(stageOrdered(Seq(ev)), ev.schema, "poison_clean",
+      OutputMode.Append())(tumble)
+    assert(fixed.exceptAll(clean).count() == 0 && clean.exceptAll(fixed).count() == 0,
+      "sanity-bounded replay of the poisoned delivery must equal the clean stream's output")
+  }
+
   test("stateful showcase: flatMapGroupsWithState running per-user counts") {
     val fn = (uid: Long, events: Iterator[UserEvent], state: GroupState[Long]) => {
       val n = state.getOption.getOrElse(0L) + events.size

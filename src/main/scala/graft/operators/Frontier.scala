@@ -542,16 +542,32 @@ object Frontier {
     * p_retailprice + p_size] of Brand#1x parts overlapped against
     * Brand#2x parts, counted per brand pair.
     *
-    * No equi key exists, so the naive plan is a quadratic nested
-    * loop. The banded construction generalizes range_bin's trick to
-    * intervals WITHOUT a dedup pass: bin width ≥ max interval length
-    * (50), each interval covers ≤2 bins; pass 1 explodes side A over
-    * its covered bins and keys B by its START bin with
-    * bs∈[as,ae] — B's start-bin is covered by A exactly once, so each
-    * such pair meets exactly once; pass 2 mirrors for as∈(bs,be]
-    * (strict, so a start-tie isn't double-counted). The union is
-    * provably the closed-interval overlap relation: two shuffled equi
-    * joins, ≤2× row expansion, never quadratic.
+    * r19 REWRITE — order statistics instead of pair enumeration. The
+    * r6 banded join (bin width ≥ max interval length, ≤2 bins per
+    * interval, two equi passes) was near-optimal while overlaps were
+    * sparse, but its cost is Ω(true pairs): when the r19 fixture regen
+    * collapsed p_retailprice from a ~1200-wide domain to [900, 1000),
+    * EVERY part landed in two 50-wide bins and ~half of all
+    * cross-brand pairs truly overlap — the per-bin product hit ~50 M
+    * candidate rows at sf0.1 (measured 27-70 s, 10-25× the old band).
+    * No enumeration fixes that: dense-overlap data makes the PAIR
+    * RELATION itself quadratic. The ANSWER, though, is only a count
+    * per brand pair, and closed-interval overlap counts decompose into
+    * two rank queries (with lo ≤ hi per row, hi_b < lo_a implies
+    * lo_b ≤ hi_a, so the second set is a subset of the first):
+    *
+    *   n(a, B) = #{b∈B: lo_b ≤ hi_a} − #{b∈B: hi_b < lo_a}
+    *
+    * Each term is computed with quantile-balanced buckets
+    * (percentile_approx boundaries — balance affects only speed, never
+    * correctness), a tiny broadcast prefix table for whole buckets
+    * before the probe's, and a within-bucket cumulative-count window
+    * whose tie order encodes ≤ vs < exactly. Work is O(n log n)
+    * REGARDLESS of overlap density — the 100 TB answer for dense
+    * interval data; at larger scale raise NQ so window partitions stay
+    * bounded. The only non-equi join is the documented 1-row-broadcast
+    * scalar-frame class (the collected bounds row that fans probes out
+    * per B-brand — bounded by the brand count).
     */
   def joinIntervalOverlap(s: SparkSession, dir: String): DataFrame = {
     val p = Tables.part(s, dir)
@@ -562,34 +578,86 @@ object Frontier {
     * (interval_overlap_inflated) so the rehearsal measures THIS
     * dataflow, not a copy. `partA` feeds the Brand#1 side, `partB` the
     * Brand#2 side — the rehearsal inflates only one side so the output
-    * grows ×K (each clone meets the same partners), isolating
-    * candidate-generation linearity from the ×K² output blowup that
-    * grid2d_inflated already covers.
+    * counts grow ×K (each clone meets the same partners).
     */
   private[graft] def intervalOverlapImpl(partA: DataFrame, partB: DataFrame): DataFrame = {
-    val binW = 50.0
+    val nq = 64 // quantile buckets; raise with data volume (window partitions are ~|points|/nq)
     def side(src: DataFrame, prefix: String): DataFrame =
       src
-        .where(col("p_brand").startsWith(prefix))
-        .select(col("p_partkey").as(s"k_$prefix"), col("p_brand").as(s"brand_$prefix"),
-          col("p_retailprice").as(s"lo_$prefix"),
-          (col("p_retailprice") + col("p_size")).as(s"hi_$prefix"))
+        // overlap needs BOTH bounds: a null-priced/sized row has no
+        // interval (matches the oracle's null-rejecting theta join)
+        .where(col("p_brand").startsWith(prefix) &&
+          col("p_retailprice").isNotNull && col("p_size").isNotNull)
+        .select(col("p_brand").as("brand"),
+          col("p_retailprice").as("lo"),
+          (col("p_retailprice") + col("p_size")).as("hi"))
     val a = side(partA, "Brand#1")
     val b = side(partB, "Brand#2")
-    val aBins = a.withColumn("bin", explode(sequence(
-      floor(col("lo_Brand#1") / binW), floor(col("hi_Brand#1") / binW))))
-    val bBins = b.withColumn("bin", explode(sequence(
-      floor(col("lo_Brand#2") / binW), floor(col("hi_Brand#2") / binW))))
-    val bStart = b.withColumn("bin", floor(col("lo_Brand#2") / binW))
-    val aStart = a.withColumn("bin", floor(col("lo_Brand#1") / binW))
-    val pass1 = aBins.join(bStart, "bin")
-      .where(col("lo_Brand#2") >= col("lo_Brand#1") && col("lo_Brand#2") <= col("hi_Brand#1"))
-    val pass2 = bBins.join(aStart, "bin")
-      .where(col("lo_Brand#1") > col("lo_Brand#2") && col("lo_Brand#1") <= col("hi_Brand#2"))
-    val cols = Seq("brand_Brand#1", "brand_Brand#2")
-    pass1.select(cols.map(col): _*).unionAll(pass2.select(cols.map(col): _*))
-      .groupBy(col("brand_Brand#1").as("brand_a"), col("brand_Brand#2").as("brand_b"))
-      .agg(count(lit(1)).as("n_overlaps"))
+
+    /** Σ over probes, grouped by (brand_a, g), of the per-probe rank
+      * count — #{points in g with v ≤ x} (strict=false) or v < x
+      * (strict=true). Points: (g, v); probes: (brand_a, x).
+      */
+    def rankSums(points: DataFrame, probes: DataFrame, strict: Boolean): DataFrame = {
+      val qs = (1 until nq).map(i => i.toDouble / nq).mkString("array(", ", ", ")")
+      val bounds = points.groupBy(col("g"))
+        .agg(expr(s"percentile_approx(v, $qs, 100)").as("bs"))
+      def bucket(v: Column): Column = size(filter(col("bs"), e => v > e))
+      val pts = points.join(broadcast(bounds), "g")
+        .select(col("g"), bucket(col("v")).as("bucket"), col("v"),
+          lit(1L).as("is_pt"), lit(null).cast("string").as("brand_a"))
+      // fan each probe out once per B-brand: ONE collected bounds row
+      // (≤ brand-count structs) rides a 1-row broadcast + explode —
+      // the documented scalar-frame BNLJ class, never a real cartesian
+      val gset = bounds.agg(collect_list(struct(col("g"), col("bs"))).as("gb"))
+      val prb = probes.crossJoin(broadcast(gset))
+        .select(col("brand_a"), col("x"), explode(col("gb")).as("g_bs"))
+        .select(col("g_bs.g").as("g"), col("g_bs").getField("bs").as("bs"),
+          col("x"), col("brand_a"))
+        .select(col("g"), bucket(col("x")).as("bucket"), col("x").as("v"),
+          lit(0L).as("is_pt"), col("brand_a"))
+      // whole buckets strictly before the probe's: tiny per-(g, bucket)
+      // prefix table over the FULL 0..nq-1 domain (a probe can land in
+      // a bucket holding no points), broadcast to the probe rows
+      val perBucket = pts.groupBy(col("g"), col("bucket")).agg(count(lit(1)).as("c"))
+      val prefix = points.select(col("g")).distinct()
+        .select(col("g"), explode(expr(s"sequence(0, ${nq - 1})")).as("bucket"))
+        .join(perBucket, Seq("g", "bucket"), "left")
+        .select(col("g"), col("bucket"),
+          (sum(coalesce(col("c"), lit(0L)))
+            .over(Window.partitionBy(col("g")).orderBy(col("bucket")))
+            - coalesce(col("c"), lit(0L))).as("before"))
+      // within-bucket rank via ONE cumulative window; the tie order IS
+      // the comparison semantics: points-first at equal v counts ties
+      // (≤), probes-first excludes them (<). Probe-probe and
+      // point-point tie order never changes a probe's count.
+      val ord =
+        if (strict) Seq(col("v").asc, col("is_pt").asc)
+        else Seq(col("v").asc, col("is_pt").desc)
+      val w = Window.partitionBy(col("g"), col("bucket")).orderBy(ord: _*)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      pts.unionByName(prb)
+        .withColumn("cnt", sum(col("is_pt")).over(w))
+        .where(col("is_pt") === 0L)
+        .join(broadcast(prefix), Seq("g", "bucket"))
+        .groupBy(col("brand_a"), col("g"))
+        .agg(sum(col("cnt") + col("before")).as("s"))
+    }
+
+    val t1 = rankSums(
+      b.select(col("brand").as("g"), col("lo").as("v")),
+      a.select(col("brand").as("brand_a"), col("hi").as("x")),
+      strict = false).withColumnRenamed("s", "s1")
+    val t2 = rankSums(
+      b.select(col("brand").as("g"), col("hi").as("v")),
+      a.select(col("brand").as("brand_a"), col("lo").as("x")),
+      strict = true).withColumnRenamed("s", "s2")
+    // both terms cover the identical (brand_a, g) probe×brand domain
+    // (same probe set, same point brands), so the inner join is total
+    t1.join(t2, Seq("brand_a", "g"))
+      .select(col("brand_a"), col("g").as("brand_b"),
+        (col("s1") - col("s2")).as("n_overlaps"))
+      .where(col("n_overlaps") > 0)
       .orderBy("brand_a", "brand_b")
   }
 

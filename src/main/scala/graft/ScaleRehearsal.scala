@@ -303,6 +303,27 @@ object ScaleRehearsal {
       .drop("rep")
     time("kmeans_inflated")(graft.operators.Clustering.kmeansImpl(embK))
 
+    // Blocked self-join at ×K: the similarity family's own leg
+    // (sim_pairs / knn_graph / dedup_embed all share the label-blocked
+    // pair-generation shape; kmeans rehearses only the embeddings
+    // scan + centroid agg). Labels are re-keyed per clone, so block
+    // SIZES stay ×1 while block COUNT grows ×K — candidates and output
+    // grow exactly ×K, never ×K². That is the 100 TB claim for this
+    // family: scale arrives as more blocks (more labels / finer
+    // buckets), not bigger ones — a workload whose individual blocks
+    // grow needs a finer blocking key first, which is a data-model
+    // decision, not an operator property. vec_ids re-keyed by the
+    // data-derived stride (collision-free for any fixture id range);
+    // label re-keying uses the same multiplicative scheme as asof's
+    // user re-key. Runs the REAL knnGraphImpl dataflow (join → cosine
+    // → per-src top-3 window → global order).
+    graft.functions.VectorExprs.register(spark)
+    val embG = embBase
+      .withColumn("rep", explode(expr(s"sequence(1, $k)")))
+      .select((col("vec_id") + col("rep") * lit(embStride)).as("vec_id"),
+        (col("label") * k + col("rep")).as("label"), col("embedding"))
+    time("knn_graph_inflated")(graft.operators.SimilarityOps.knnGraphImpl(embG))
+
     // Grid join at ×K: clones land on identical (size, price) points,
     // so every original pair multiplies ×K² and each clone cluster
     // adds K(K−1)/2 zero-distance pairs — near-dup density goes

@@ -125,10 +125,18 @@ object SimilarityOps {
     */
   def knnGraph(s: SparkSession, dir: String): DataFrame = {
     graft.functions.VectorExprs.register(s)
-    val a = Tables.embeddings(s, dir)
+    knnGraphImpl(Tables.embeddings(s, dir))
+  }
+
+  /** Dataflow body over any (vec_id, label, embedding) frame — the
+    * ScaleRehearsal blocked-self-join leg runs exactly this code on an
+    * inflated frame (caller registers VectorExprs on its session).
+    */
+  def knnGraphImpl(emb: DataFrame): DataFrame = {
+    val a = emb
       .select(col("vec_id").as("src"), col("label"), col("embedding").as("e1"))
       .withColumn("na", normExpr("e1"))
-    val b = Tables.embeddings(s, dir)
+    val b = emb
       .select(col("vec_id").as("dst"), col("label").as("label2"), col("embedding").as("e2"))
       .withColumn("nb", normExpr("e2"))
     val w = Window.partitionBy(col("src"))

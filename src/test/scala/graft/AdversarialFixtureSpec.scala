@@ -636,6 +636,63 @@ class AdversarialFixtureSpec extends SparkSpec {
     }
   }
 
+  test("NULL routing metadata (lang / source / n_chars): graph family isolates, never perturbs or crashes") {
+    // The graph family's blocking keys are document METADATA, and the
+    // corrupt-row sweeps so far planted corrupt CONTENT (text, props,
+    // embeddings). A doc with NULL lang / n_chars cannot be in any
+    // (lang, n_chars) clique: the clustering groupBy forms a phantom
+    // node for it, but every edge probe (NULL±1, NULL===lang) and the
+    // final map-back join are NULL-rejecting, so the node stays
+    // ISOLATED and the doc is honestly absent — and the phantom node
+    // must not perturb one real cluster. In PageRank a NULL lang or
+    // source drops the doc from the edge join entirely: it becomes a
+    // DANGLING node that keeps exactly its seed-and-damp base rank
+    // (0.15/N) through every iteration — visible, deterministic, and
+    // identical to the oracle's null semantics.
+    val nullLangA = 888871L; val nullLangB = 888872L
+    val nullChars = 888873L; val nullSource = 888874L
+    withDir(Map("documents" -> ((d: DataFrame) => {
+      val proto = d.limit(1)
+      def planted(id: Long, lang: Column, source: Column, nChars: Column) =
+        proto.select(lit(id).as("doc_id"), col("text"), lang.as("lang"),
+          source.as("source"), nChars.as("n_chars"))
+      val nulls = lit(null)
+      d.unionByName(planted(nullLangA, nulls.cast("string"), col("source"), lit(50L)))
+        .unionByName(planted(nullLangB, nulls.cast("string"), col("source"), lit(50L)))
+        .unionByName(planted(nullChars, col("lang"), col("source"), nulls.cast("long")))
+        .unionByName(planted(nullSource, col("lang"), nulls.cast("string"), nulls.cast("long")))
+    }))) { dir =>
+      // clustering: corrupt docs absent, clean clusters bit-identical —
+      // the TWO same-n_chars null-lang docs are the sharp leg: a
+      // null-matching join would cluster the unrelated pair together
+      // (the md5(NULL) phantom-group class in metadata clothing)
+      val clean = rows("q_dedup_clusters", sf)
+      val corrupt = rows("q_dedup_clusters", dir)
+      assert(corrupt == clean,
+        "null-metadata docs must be absent and must not perturb real clusters")
+      // pagerank: every doc gets a rank row; the three dangling docs
+      // (null lang ×2, null source) hold EXACTLY the base rank 0.15/N —
+      // computed through the same decimal ladder as the implementation
+      val pr = SparkEntry.queries("q_graph_pagerank")(spark, dir)
+      val n = spark.read.parquet(s"$dir/documents.parquet").count()
+      import org.apache.spark.sql.types.DecimalType
+      val expectedBase = spark.range(1).select(
+        lit(0.15 / n).cast(DecimalType(28, 18)).cast(DecimalType(12, 6))
+          .cast("double")).head.getDouble(0)
+      val dangling = pr.where(col("doc_id").isin(nullLangA, nullLangB, nullSource))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(dangling.keySet == Set(nullLangA, nullLangB, nullSource),
+        s"dangling docs must still be ranked, got ${dangling.keySet}")
+      assert(dangling.values.forall(_ == expectedBase),
+        s"dangling docs must hold the base rank $expectedBase, got $dangling")
+      // the null-CHARS doc has real (lang, source): it rides its bucket
+      // like any clean doc and must rank strictly above the base
+      val nc = pr.where(col("doc_id") === nullChars).head.getDouble(1)
+      assert(nc >= expectedBase,
+        s"null-n_chars doc routes normally in pagerank, got $nc vs base $expectedBase")
+    }
+  }
+
   test("reordered columns: a non-event — drift silent, query results identical") {
     withDir(Map("lineitem" ->
         ((li: DataFrame) => li.select(li.columns.reverse.map(col).toIndexedSeq: _*)))) { dir =>

@@ -693,6 +693,43 @@ class AdversarialFixtureSpec extends SparkSpec {
     }
   }
 
+  test("NULL label embeddings: not a block, not a voter — never a fabricated NULL prediction") {
+    // The similarity family's blocking/voting key is label METADATA —
+    // the corrupt-embedding sweeps planted corrupt VECTORS; this plants
+    // corrupt LABELS on perfectly valid vectors. Five unlabeled clones
+    // of probe 0's embedding are the sharp shape: each scores cosine
+    // 1.0 against probe 0, so WITHOUT the voter guard they sweep its
+    // entire rn<=5 window and the vote fabricates pred_label = NULL (a
+    // prediction of nothing — asc(label) sorts NULL first, so the NULL
+    // group also wins any count tie). In the pair/edge/dedup families
+    // the same five identical vectors would flood the output with
+    // cos-1.0 pairs if NULL labels ever matched as a block — the
+    // null-rejecting equi-join must keep them isolated.
+    val ids = (888801L to 888805L).toSeq
+    withDir(Map("embeddings" -> ((e: DataFrame) => {
+      val proto = e.where(col("vec_id") === 0L)
+      ids.map(id => proto.select(lit(id).as("vec_id"), col("embedding"),
+          lit(null).cast("int").as("label")))
+        .foldLeft(e)(_ unionByName _)
+    }))) { dir =>
+      val clean = rows("q_knn_label", sf)
+      val corrupt = rows("q_knn_label", dir)
+      assert(corrupt == clean,
+        "unlabeled candidates must not vote or perturb any prediction")
+      assert(corrupt.forall(r => !r.isNullAt(1)),
+        "a NULL pred_label must never be fabricated")
+      for (q <- Seq("q_sim_pairs", "q_dedup_embed", "q_knn_graph")) {
+        val out = SparkEntry.queries(q)(spark, dir)
+        val idCols = out.columns.filter(c =>
+          c == "v1" || c == "v2" || c == "src" || c == "dst" || c == "dropped_id")
+        val touched = out.where(idCols.map(c => col(c).isin(ids: _*)).reduce(_ || _)).count()
+        assert(touched == 0, s"$q surfaced a null-label vector (no label = no block)")
+        assert(rows(q, dir) == rows(q, sf),
+          s"$q results must be bit-identical to the clean fixture")
+      }
+    }
+  }
+
   test("reordered columns: a non-event — drift silent, query results identical") {
     withDir(Map("lineitem" ->
         ((li: DataFrame) => li.select(li.columns.reverse.map(col).toIndexedSeq: _*)))) { dir =>

@@ -180,7 +180,16 @@ object SimilarityOps {
     val probes = Tables.embeddings(s, dir).where(col("vec_id") < 10)
       .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
       .withColumn("np", normExpr("pe"))
-    val cands = Tables.embeddings(s, dir).where(col("vec_id") >= 10)
+    // NULL label = not a VOTER (r19 s9, the s8 discipline on the LABEL
+    // axis): an unlabeled candidate with a perfectly valid embedding
+    // can out-rank real candidates into the rn<=5 window, and its
+    // NULL-label vote group then WINS every count tie — asc(label)
+    // sorts NULL first in Spark — fabricating pred_label = NULL, a
+    // "prediction" of nothing a training pipeline would ingest. You
+    // cannot vote for "no label". Bit-identical on clean data (no null
+    // labels exist there); oracle mirrored.
+    val cands = Tables.embeddings(s, dir)
+      .where(col("vec_id") >= 10 && col("label").isNotNull)
       .select(col("vec_id").as("cand_id"), col("label"), col("embedding").as("ce"))
       .withColumn("nc", normExpr("ce"))
     val byScore = Window.partitionBy(col("probe_id"))
@@ -627,7 +636,8 @@ object SimilarityOps {
          |ORDER BY dropped_id""".stripMargin,
     "q_knn_label" ->
       s"""WITH probes AS (SELECT vec_id AS probe_id, embedding AS pe FROM embeddings WHERE vec_id < 10),
-         |cands AS (SELECT vec_id AS cand_id, label, embedding AS ce FROM embeddings WHERE vec_id >= 10),
+         |cands AS (SELECT vec_id AS cand_id, label, embedding AS ce FROM embeddings
+         |          WHERE vec_id >= 10 AND label IS NOT NULL),
          |scored AS (
          |  SELECT probe_id, cand_id, label,
          |    row_number() OVER (PARTITION BY probe_id

@@ -113,7 +113,8 @@ object Fixtures {
             .map(n => s"table=$table column=$n UNEXPECTED (new column in fixture)")
           missingOrWrong ++ extra
       }
-    } ++ crossPartDrift(spark, sfDir) ++ embeddingDimDrift(spark, sfDir)
+    } ++ crossPartDrift(spark, sfDir) ++ embeddingDimDrift(spark, sfDir) ++
+      domainDrift(spark, sfDir)
     finally prevNanos match {
       case Some(v) => spark.conf.set(nanosKey, v)
       case None    => spark.conf.unset(nanosKey)
@@ -191,6 +192,89 @@ object Fixtures {
               s"oracle mirrors assume $EmbeddingDim")
           else Nil
       }
+    }
+  }
+
+  /** Value-DOMAIN envelopes (r19 s9). The schema pass above catches a
+    * regenerated fixture whose TYPES drifted; this pass catches one
+    * whose VALUES left the engine's documented handling domain — the
+    * class the r19 regen actually shipped (p_retailprice collapsed to
+    * a 100-wide band and silently degenerated a banded join 15×; that
+    * operator is density-proof now, but the lesson stands: a
+    * distribution change should be NAMED at startup, not discovered in
+    * a bench regression). Each envelope is a real handling contract
+    * with a named consequence, mirroring the drift philosophy ("no
+    * code path handles this"), and is checked from parquet FOOTER
+    * min/max statistics only — zero data pages read.
+    */
+  private[graft] val domainEnvelopes: Seq[(String, Seq[String], Double, Double, String)] = Seq(
+    ("embeddings", Seq("embedding", "list", "element"),
+      -graft.operators.MaxQuantizableComponent, graft.operators.MaxQuantizableComponent,
+      "finiteEmbedding DROPS vectors with |component| beyond the quantizer " +
+        "domain — a regen past it silently hollows the kmeans/PQ/SQ8 point sets"),
+    ("events", Seq("user_id"),
+      0.0, graft.functions.CountMin.MaxKey.toDouble,
+      "CountMin.bucket THROWS per-row outside [0, MaxKey] (overflow-safe hash " +
+        "range) and BitmapDistinct sizes its bitset by the max id"),
+    ("events", Seq("value"),
+      -1e16, 1e16,
+      "the dec() DECIMAL(18,2) presentation casts ANSI-kill on values past " +
+        "~1e16 — one out-of-range row fails every pricing/stats aggregate")
+  )
+
+  private def domainDrift(spark: SparkSession, sfDir: String): Seq[String] = {
+    import scala.util.control.NonFatal
+    import scala.jdk.CollectionConverters._
+    val conf = spark.sessionState.newHadoopConf()
+    domainEnvelopes.flatMap { case (table, path, lo, hi, why) =>
+      try {
+        val root = new org.apache.hadoop.fs.Path(s"$sfDir/$table.parquet")
+        val fs = root.getFileSystem(conf)
+        if (!fs.exists(root)) Nil // the schema pass reports unreadable tables
+        else {
+          val parts =
+            if (fs.getFileStatus(root).isFile) Seq(fs.getFileStatus(root))
+            else fs.listStatus(root).toSeq.filter(st =>
+              st.isFile && st.getPath.getName.endsWith(".parquet"))
+          var mn = Double.PositiveInfinity
+          var mx = Double.NegativeInfinity
+          var rows = 0L
+          var statless = false
+          parts.foreach { st =>
+            val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, conf)
+            val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+            try r.getFooter.getBlocks.asScala.foreach { b =>
+              rows += b.getRowCount
+              // exact full-path match — the DottedColumnProbeSpec lesson:
+              // dot-string matching lets a nested decoy shadow a column
+              b.getColumns.asScala
+                .filter(c => c.getPath.toArray.toSeq == path)
+                .foreach { c =>
+                  val s = c.getStatistics
+                  if (s == null || s.isEmpty || !s.hasNonNullValue) {
+                    if (b.getRowCount > 0) statless = true
+                  } else {
+                    def d(v: Comparable[_]): Double = v match {
+                      case n: java.lang.Number => n.doubleValue()
+                      case o => o.toString.toDouble
+                    }
+                    mn = math.min(mn, d(s.genericGetMin()))
+                    mx = math.max(mx, d(s.genericGetMax()))
+                  }
+                }
+            } finally r.close()
+          }
+          val colName = path.head
+          if (mn.isPosInfinity && rows > 0 && statless)
+            // can't prove the domain = same class as the zero-row dim probe
+            Seq(s"table=$table column=$colName DOMAIN UNPROVABLE: footer carries no " +
+              s"statistics for a domain-sensitive column — handled [$lo, $hi]; $why")
+          else if (!mn.isPosInfinity && (mn < lo || mx > hi))
+            Seq(s"table=$table column=$colName DOMAIN DRIFT: footer range " +
+              s"[$mn, $mx] outside handled [$lo, $hi] — $why")
+          else Nil
+        }
+      } catch { case NonFatal(_) => Nil } // unreadable is the schema pass's report
     }
   }
 

@@ -76,6 +76,39 @@ class FixtureDriftSpec extends SparkSpec {
     } finally SessionToken.deleteDir(dir)
   }
 
+  test("fires on a VALUE-domain drift (footer stats, invisible to schemas and row counts)") {
+    // The r19 regen lesson: a distribution change (p_retailprice
+    // collapsing to a 100-wide band) degenerated a plan 15x with zero
+    // schema drift. The domain pass names a regen whose VALUES leave a
+    // documented handling envelope — checked from footer min/max only.
+    val dir = java.nio.file.Files.createTempDirectory("domain_drifted").toString
+    try {
+      for (t <- graft.sources.Fixtures.expected.keys if t != "embeddings" && t != "events")
+        spark.read.parquet(s"$sf/$t.parquet")
+          .coalesce(1).write.parquet(s"$dir/$t.parquet")
+      // one embedding component past the quantizer domain (finite, so
+      // only finiteEmbedding's silent-drop contract would see it)
+      spark.read.parquet(s"$sf/embeddings.parquet")
+        .withColumn("embedding",
+          when(col("vec_id") === 5L,
+            concat(slice(col("embedding"), 1, 63), array(lit(1000.0f))))
+            .otherwise(col("embedding")))
+        .coalesce(1).write.parquet(s"$dir/embeddings.parquet")
+      // one user_id past CountMin.MaxKey (would THROW mid-job)
+      graft.sources.Tables.events(spark, sf)
+        .withColumn("user_id",
+          when(col("event_id") === 1L, lit(Long.MaxValue / 2)).otherwise(col("user_id")))
+        .coalesce(1).write.parquet(s"$dir/events.parquet")
+      val d = graft.sources.Fixtures.drift(spark, dir)
+      assert(d.exists(m => m.contains("table=embeddings") && m.contains("DOMAIN DRIFT")
+        && m.contains("1000.0")), d.mkString("\n"))
+      assert(d.exists(m => m.contains("table=events") && m.contains("column=user_id")
+        && m.contains("DOMAIN DRIFT")), d.mkString("\n"))
+      // events.value untouched — exactly the two planted lines, no noise
+      assert(d.count(_.contains("DOMAIN DRIFT")) == 2, d.mkString("\n"))
+    } finally SessionToken.deleteDir(dir)
+  }
+
   test("fires UNREADABLE on an absent table") {
     val dir = java.nio.file.Files.createTempDirectory("empty_fixtures").toString
     try {

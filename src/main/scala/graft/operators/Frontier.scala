@@ -585,9 +585,17 @@ object Frontier {
     def side(src: DataFrame, prefix: String): DataFrame =
       src
         // overlap needs BOTH bounds: a null-priced/sized row has no
-        // interval (matches the oracle's null-rejecting theta join)
+        // interval (matches the oracle's null-rejecting theta join).
+        // NaN must be rejected too — every theta COMPARISON on NaN is
+        // false (both engines), but the rank machinery counts points
+        // POSITIONALLY: a NaN point sorts last within its bucket (never
+        // counted there) yet still lands in the bucket-prefix totals,
+        // so probes in LATER buckets would silently overcount it. ±Inf
+        // needs no guard: its sort position and its comparisons agree
+        // at both extremes.
         .where(col("p_brand").startsWith(prefix) &&
-          col("p_retailprice").isNotNull && col("p_size").isNotNull)
+          col("p_retailprice").isNotNull && col("p_size").isNotNull &&
+          !isnan(col("p_retailprice")))
         .select(col("p_brand").as("brand"),
           col("p_retailprice").as("lo"),
           (col("p_retailprice") + col("p_size")).as("hi"))

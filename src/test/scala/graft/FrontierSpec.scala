@@ -569,7 +569,15 @@ class FrontierSpec extends SparkSpec {
         val price = 900 + rnd.nextInt(1200) + (if (rnd.nextBoolean()) 0.0 else 0.5)
         val snapped = if (rnd.nextInt(4) == 0) (price / 50).toInt * 50.0 else price
         (i.toLong, s"Brand#$side${1 + rnd.nextInt(5)}", snapped, 1 + rnd.nextInt(50))
-      }
+      } ++ Seq(
+        // NaN prices: every theta comparison is false (a NaN interval
+        // overlaps nothing), but the rank machinery counts points
+        // POSITIONALLY — without the side() NaN guard these rows land
+        // in bucket-prefix totals and silently overcount for probes in
+        // later buckets. The Scala-side definition below excludes them
+        // naturally (NaN comparisons are false in Scala too).
+        (996L, "Brand#13", Double.NaN, 10),
+        (997L, "Brand#23", Double.NaN, 10))
       val df = spark.createDataFrame(rows)
         .toDF("p_partkey", "p_brand", "p_retailprice", "p_size")
       val got = graft.operators.Frontier.intervalOverlapImpl(df, df).collect()

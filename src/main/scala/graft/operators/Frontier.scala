@@ -592,10 +592,16 @@ object Frontier {
         // counted there) yet still lands in the bucket-prefix totals,
         // so probes in LATER buckets would silently overcount it. ±Inf
         // needs no guard: its sort position and its comparisons agree
-        // at both extremes.
+        // at both extremes. An INVERTED row (negative p_size => hi < lo)
+        // is an EMPTY interval and overlaps nothing: the subset identity
+        // n = #{lo_b <= hi_a} - #{hi_b < lo_a} requires lo <= hi on BOTH
+        // sides — unfiltered, an inverted row contributes NEGATIVE
+        // counts (points inside its (hi, lo) gap land in the subtracted
+        // term only), silently deflating its brand pair's totals. The
+        // oracle mirrors the p_size >= 0 contract.
         .where(col("p_brand").startsWith(prefix) &&
           col("p_retailprice").isNotNull && col("p_size").isNotNull &&
-          !isnan(col("p_retailprice")))
+          !isnan(col("p_retailprice")) && col("p_size") >= 0)
         .select(col("p_brand").as("brand"),
           col("p_retailprice").as("lo"),
           (col("p_retailprice") + col("p_size")).as("hi"))
@@ -769,11 +775,11 @@ object Frontier {
       """WITH a AS (
         |  SELECT p_partkey, p_brand, p_retailprice AS lo,
         |    p_retailprice + p_size AS hi
-        |  FROM part WHERE p_brand LIKE 'Brand#1%'),
+        |  FROM part WHERE p_brand LIKE 'Brand#1%' AND p_size >= 0),
         |b AS (
         |  SELECT p_partkey, p_brand, p_retailprice AS lo,
         |    p_retailprice + p_size AS hi
-        |  FROM part WHERE p_brand LIKE 'Brand#2%')
+        |  FROM part WHERE p_brand LIKE 'Brand#2%' AND p_size >= 0)
         |SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
         |  count(*) AS n_overlaps
         |FROM a JOIN b ON a.lo <= b.hi AND b.lo <= a.hi

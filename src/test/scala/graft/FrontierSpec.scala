@@ -577,7 +577,16 @@ class FrontierSpec extends SparkSpec {
         // later buckets. The Scala-side definition below excludes them
         // naturally (NaN comparisons are false in Scala too).
         (996L, "Brand#13", Double.NaN, 10),
-        (997L, "Brand#23", Double.NaN, 10))
+        (997L, "Brand#23", Double.NaN, 10),
+        // inverted intervals (negative size => hi < lo): the contract
+        // treats them as EMPTY (overlap nothing) because the rank
+        // decomposition's subset identity requires lo <= hi on both
+        // sides — an unfiltered inverted row contributes NEGATIVE
+        // counts (probe: points inside (hi, lo) land in term2 but not
+        // term1), silently DEFLATING its brand pair's total. Prices
+        // sit mid-domain so both failure directions are exercised.
+        (998L, "Brand#14", 1400.0, -50),
+        (999L, "Brand#24", 1500.0, -50))
       val df = spark.createDataFrame(rows)
         .toDF("p_partkey", "p_brand", "p_retailprice", "p_size")
       val got = graft.operators.Frontier.intervalOverlapImpl(df, df).collect()
@@ -588,6 +597,7 @@ class FrontierSpec extends SparkSpec {
       val want = (for {
         (_, ba, pa, sa) <- a
         (_, bb, pb, sb) <- b
+        if sa >= 0 && sb >= 0             // inverted = empty interval
         if pb <= pa + sa && pa <= pb + sb // closed-interval overlap
       } yield (ba, bb)).groupBy(identity).map { case (k, v) => k -> v.size.toLong }
       assert(want.values.sum > 0, s"trial $trial generated no overlaps")

@@ -379,6 +379,39 @@ class AdversarialFixtureSpec extends SparkSpec {
           "a NULL-score candidate changed kNN label predictions — it must never vote")
       }
     }
+    // the DEGENERATE ragged case, pinned separately because its kmeans
+    // semantics DIFFER from dim-8 ragged: a zero-length vector has no
+    // present dims at all, so it is DROPPED from the point set where
+    // ragged clusters on present dims (+1). The drop is doubly
+    // guaranteed (measured: a forall-style guard mutant that admits
+    // the empty array STILL passes this pin): finiteEmbedding's
+    // array_max(empty) = NULL fails the bound predicate, and
+    // posexplode(empty) emits zero point rows anyway — this pin holds
+    // the no-phantom-member contract itself, whichever layer a future
+    // refactor removes. Float paths NULL its dot (length check), so
+    // the ranking exclusions are the same as ragged.
+    val emptyId = 666662L
+    withDir(Map("embeddings" -> ((e: DataFrame) => {
+      val emptyVec = e.where(col("vec_id") === 3).select(
+        lit(emptyId).as("vec_id"),
+        expr("slice(embedding, 1, 0)").as("embedding"), col("label"))
+      e.unionByName(emptyVec)
+    }))) { dir =>
+      for (q <- Seq("q_sim_topk", "q_sim_ann_lsh", "q_sim_ann_ivf",
+                    "q_sim_quantized", "q_sim_ann_pq")) {
+        val out = SparkEntry.queries(q)(spark, dir).collect()
+        assert(!out.map(_.getLong(0)).contains(emptyId),
+          s"$q ranked the zero-length vector")
+      }
+      assert(SparkEntry.queries("q_sim_pairs")(spark, dir)
+          .where(col("v1") === emptyId || col("v2") === emptyId).count() == 0,
+        "a zero-length vector must not appear in thresholded pairs")
+      val kmClean = rows("q_cluster_kmeans", sf)
+      val kmEmpty = rows("q_cluster_kmeans", dir)
+      assert(kmEmpty.map(_.getLong(1)).sum == kmClean.map(_.getLong(1)).sum,
+        "a zero-length vector has no position — kmeans membership must be UNCHANGED")
+    }
+
     // a ragged QUERY vector is NOT a query: finite, so it passes the
     // r18 non-finite guard, but it scores every candidate NULL (float
     // paths), nulls every qdot (SQ8), and degenerates the ADC table to

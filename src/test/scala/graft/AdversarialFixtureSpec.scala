@@ -635,6 +635,70 @@ class AdversarialFixtureSpec extends SparkSpec {
     }
   }
 
+  test("corrupt events/orders in the BATCH window family: null-blind aggregates unchanged, corruption contained to the touched partition") {
+    // The s8 probe covered the STREAMING family; the batch window
+    // family computes over entity partitions where a null key forms
+    // its own visible partition and a null ts sorts FIRST (Spark
+    // window order). The contract pinned here has two halves:
+    // (a) null-BLIND summaries (funnel's countDistinct skips the null
+    //     user, min() skips the null ts; rolling-DAU's null day
+    //     explodes to zero calendar rows) — output EQUAL to the
+    //     unplanted base;
+    // (b) per-row outputs change ONLY inside the partition the corrupt
+    //     row touches (the null partition itself, or the planted
+    //     user's/custkey's own rows) — corruption never leaks into
+    //     other entities' results.
+    def plantCorrupt(e: DataFrame): DataFrame = {
+      val proto = e.limit(1)
+      def planted(id: Long, user: Column, ts: Column) = proto.select(
+        lit(id).as("event_id"), ts.as("ts"), user.as("user_id"),
+        col("event_type"), col("value"), col("props"))
+      e.unionByName(planted(999993L, lit(null).cast("long"), col("ts")))
+        .unionByName(planted(999994L, col("user_id"), lit(null).cast("timestamp")))
+    }
+    val protoUser = graft.sources.Tables.events(spark, sf)
+      .limit(1).select("user_id").head.getLong(0)
+    withDir(Map("events" -> plantCorrupt _)) { dir =>
+      for (q <- Seq("q_win_funnel", "q_win_rolling_dau"))
+        assert(rows(q, dir) == rows(q, sf),
+          s"$q must be null-blind — planted null-user/null-ts rows changed it")
+      // (q, user_id column index): drop the null partition and the
+      // planted user's rows on the corrupt side, the planted user's
+      // rows on the base side; everything remaining must be identical
+      for ((q, idx) <- Seq(("q_win_running_distinct", 1), ("q_win_sessionize", 0))) {
+        val got = rows(q, dir).filter(r => !r.isNullAt(idx) && r.getLong(idx) != protoUser)
+        val base = rows(q, sf).filter(r => r.getLong(idx) != protoUser)
+        assert(got == base,
+          s"$q leaked corruption outside the touched partition")
+      }
+    }
+    // islands runs on ORDERS: a null custkey is a visible island
+    // partition of its own; a null orderdate sorts first inside its
+    // custkey's partition. Nothing may be lost (run lengths tile the
+    // row count exactly) and untouched custkeys stay bit-identical.
+    val protoCust = spark.read.parquet(s"$sf/orders.parquet")
+      .limit(1).select("o_custkey").head.getLong(0)
+    def plantOrders(o: DataFrame): DataFrame = {
+      val proto = o.limit(1)
+      o.unionByName(proto.withColumn("o_orderkey", lit(7777771L))
+          .withColumn("o_custkey", lit(null).cast("long")))
+        .unionByName(proto.withColumn("o_orderkey", lit(7777772L))
+          .withColumn("o_orderdate", lit(null).cast("date")))
+    }
+    withDir(Map("orders" -> plantOrders _)) { dir =>
+      val got = rows("q_win_islands", dir)
+      val nOrders = spark.read.parquet(s"$dir/orders.parquet").count()
+      assert(got.map(_.getLong(5)).sum == nOrders,
+        "island run lengths must tile the order count exactly — a corrupt row was lost or double-counted")
+      assert(got.exists(_.isNullAt(0)),
+        "the null-custkey row must surface as a VISIBLE null-partition island")
+      val gotOthers = got.filter(r => !r.isNullAt(0) && r.getLong(0) != protoCust)
+      val baseOthers = rows("q_win_islands", sf).filter(_.getLong(0) != protoCust)
+      assert(gotOthers == baseOthers,
+        "q_win_islands leaked corruption outside the touched custkey partition")
+    }
+  }
+
   test("duplicate keys (two rows, one doc_id/event_id): visible fan-out or by-design collapse, never silent loss") {
     // Key-uniqueness is a GENERATOR property, not a SQL one — the
     // operators promise standard row semantics, and this probe pins

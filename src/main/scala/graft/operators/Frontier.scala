@@ -173,11 +173,27 @@ object Frontier {
         count(lit(1)).as("n"),
         sum(q).as("sx"), sum(p).as("sy"),
         sum(q * p).as("sxy"), sum(q * q).as("sxx"), sum(p * p).as("syy"))
-      .select(col("l_returnflag"), col("n"),
-        (((col("n") * col("sxy").cast("double") - col("sx").cast("double") * col("sy").cast("double")) /
-          (sqrt(col("n") * col("sxx").cast("double") - col("sx").cast("double") * col("sx").cast("double")) *
-            sqrt(col("n") * col("syy").cast("double") - col("sy").cast("double") * col("sy").cast("double"))))
-          .cast("decimal(9,6)").cast("double")).as("corr_qty_price"))
+      .select(col("l_returnflag"), col("n"), {
+        // zero-variance guard (the q_anomaly_zscore/q_win_rolling_slope
+        // family discipline, which this member MISSED): a constant
+        // quantity or price makes its variance term 0 and ONE
+        // degenerate group kills the whole query — measured ANSI
+        // [DIVIDE_BY_ZERO] at the divide itself (Spark 4 ANSI throws
+        // on double division too; with ANSI off it would be the NaN
+        // decimal-cast kill instead). SQL corr() semantics:
+        // correlation of a zero-variance series is undefined — NULL.
+        // The guard is constant-true on real groups (both variances
+        // positive), mirrored in the oracle's CASE.
+        val num = col("n") * col("sxy").cast("double") -
+          col("sx").cast("double") * col("sy").cast("double")
+        val varx = col("n") * col("sxx").cast("double") -
+          col("sx").cast("double") * col("sx").cast("double")
+        val vary = col("n") * col("syy").cast("double") -
+          col("sy").cast("double") * col("sy").cast("double")
+        when(varx > 0 && vary > 0,
+          (num / (sqrt(varx) * sqrt(vary))).cast("decimal(9,6)").cast("double"))
+          .as("corr_qty_price")
+      })
       .orderBy("l_returnflag")
   }
 
@@ -376,7 +392,20 @@ object Frontier {
     */
   def dedupEditDistance(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir)
-      .where(col("doc_id") < 1000)
+      // text.isNotNull: levenshtein(NULL, ·) = NULL and the ASC
+      // ranking puts NULLS FIRST (Spark) — one null-text doc with real
+      // n_chars metadata would crowd the top-20 head with meaningless
+      // pairs (and DuckDB orders NULLS LAST: an engine divergence).
+      // n_chars <= 10000: the DP is O(na·nb) PER CANDIDATE PAIR, so
+      // two equal-length mega-docs (the 200k single-token class) turn
+      // single tasks into multi-minute stalls at any scale — edit
+      // distance is only a meaningful near-dup signal for short docs;
+      // longer ones belong to the minhash/simhash families. The cap
+      // keys on the same trusted n_chars column the band join already
+      // buckets on; both guards are constant-true on the real fixture
+      // (n_chars <= 577, no null text) and mirrored in the oracle.
+      .where(col("doc_id") < 1000 && col("text").isNotNull &&
+        col("n_chars") <= 10000)
       .select(col("doc_id"), col("lang"), col("n_chars"), col("text"))
     val probe = d.toDF(d.columns.map(_ + "_a"): _*)
       .withColumn("bucket", explode(array(col("n_chars_a") - 1, col("n_chars_a"), col("n_chars_a") + 1)))
@@ -914,6 +943,8 @@ object Frontier {
         |  ON a.lang = b.lang AND a.doc_id < b.doc_id
         | AND abs(a.n_chars - b.n_chars) <= 1
         |WHERE a.doc_id < 1000 AND b.doc_id < 1000
+        |  AND a.text IS NOT NULL AND b.text IS NOT NULL
+        |  AND a.n_chars <= 10000 AND b.n_chars <= 10000
         |ORDER BY edit_dist, doc_a, doc_b
         |LIMIT 20""".stripMargin,
     "q_agg_bitmap_distinct" ->
@@ -966,16 +997,21 @@ object Frontier {
         |ORDER BY pmi DESC, bigram
         |LIMIT 20""".stripMargin,
     "q_agg_corr" ->
-      """SELECT l_returnflag, count(*) AS n,
-        |  CAST(CAST(
-        |    (count(*) * CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
-        |      - CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) * CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE))
-        |    / (sqrt(count(*) * CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
-        |         - CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) * CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE))
-        |       * sqrt(count(*) * CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
-        |         - CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) * CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)))
-        |  AS DECIMAL(9,6)) AS DOUBLE) AS corr_qty_price
-        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+      """WITH g AS (
+        |  SELECT l_returnflag, count(*) AS n,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        |  CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0 THEN
+        |    CAST(CAST((n * sxy - sx * sy)
+        |      / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+        |    AS DECIMAL(9,6)) AS DOUBLE)
+        |  ELSE NULL END AS corr_qty_price
+        |FROM g ORDER BY l_returnflag""".stripMargin,
     "q_anomaly_mad" ->
       """WITH e AS (SELECT event_id, event_type, value FROM events),
         |r AS (

@@ -699,6 +699,61 @@ class AdversarialFixtureSpec extends SparkSpec {
     }
   }
 
+  test("zero-variance group: corr is NULL, never a NaN decimal-cast job kill; real groups unchanged") {
+    // One degenerate group (constant quantity — a stuck upstream
+    // field, a single-product shard) made q_agg_corr's variance term
+    // 0 and the division killed the WHOLE query (measured under the
+    // mutant: ANSI [DIVIDE_BY_ZERO] at the num/den divide — Spark 4
+    // ANSI throws on double division too, so the kill fires even
+    // before the decimal cast could see the NaN). SQL corr()
+    // semantics: zero variance => undefined => NULL, with every real
+    // group untouched. Prices are
+    // forced distinct so the probe exercises the one-sided case
+    // (varx = 0, vary > 0) — the AND in the guard, not just both-zero.
+    def plantDegenerate(l: DataFrame): DataFrame =
+      l.unionByName(l.limit(3)
+        .withColumn("l_returnflag", lit("Z"))
+        .withColumn("l_quantity", lit(5.0))
+        .withColumn("l_extendedprice", lit(100.0) + col("l_linenumber") * 7.0))
+    withDir(Map("lineitem" -> plantDegenerate _)) { dir =>
+      val got = rows("q_agg_corr", dir)
+      val z = got.filter(_.getString(0) == "Z")
+      assert(z.size == 1 && z.head.isNullAt(2),
+        s"zero-variance corr must be honest NULL: $z")
+      assert(got.filterNot(_.getString(0) == "Z") == rows("q_agg_corr", sf),
+        "the degenerate group must not disturb real groups")
+    }
+  }
+
+  test("corrupt docs in the edit-distance band: null text and mega-docs are not ranking candidates") {
+    // Two classes the band join (lang, n_chars ±1) lets through:
+    // (a) a null-TEXT doc with real n_chars metadata (the
+    //     metadata/content mismatch class) — levenshtein(NULL,·) is
+    //     NULL and the ASC ranking sorts NULLS FIRST, so one corrupt
+    //     doc crowds the top-20 head with meaningless pairs;
+    // (b) two equal-length MEGA-docs — the DP is O(na·nb) per pair,
+    //     so a 20k×20k candidate runs ~4e8 cells in ONE task (200k
+    //     docs: minutes), the silent job-stall class at scale; their
+    //     near-identical texts would also win the head on real
+    //     distance, displacing every legitimate short-doc pair.
+    // Both are excluded by contract (text.isNotNull, n_chars <= 10k):
+    // the ranking must be bit-identical to the unplanted base.
+    def plantCorrupt(d: DataFrame): DataFrame = {
+      val proto = d.where(col("doc_id") === 1)
+      def planted(id: Long, text: Column, nChars: Column) = proto.select(
+        lit(id).as("doc_id"), text.as("text"), col("lang"), col("source"),
+        nChars.as("n_chars"))
+      d.unionByName(planted(997L, lit(null).cast("string"), col("n_chars")))
+        .unionByName(planted(998L, expr("repeat('x', 20000)"), lit(20000L)))
+        .unionByName(planted(999L,
+          concat(expr("repeat('x', 19999)"), lit("y")), lit(20000L)))
+    }
+    withDir(Map("documents" -> plantCorrupt _)) { dir =>
+      assert(rows("q_dedup_edit_distance", dir) == rows("q_dedup_edit_distance", sf),
+        "a corrupt doc entered the edit-distance ranking")
+    }
+  }
+
   test("duplicate keys (two rows, one doc_id/event_id): visible fan-out or by-design collapse, never silent loss") {
     // Key-uniqueness is a GENERATOR property, not a SQL one — the
     // operators promise standard row semantics, and this probe pins

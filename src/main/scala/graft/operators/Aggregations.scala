@@ -436,8 +436,10 @@ object Aggregations {
         |ORDER BY l_returnflag""".stripMargin,
     "q_udaf_weighted" ->
       """SELECT l_returnflag,
-        |  CAST(CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)
-        |     / CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS DECIMAL(18,6)) AS DOUBLE) AS wavg_price
+        |  CASE WHEN sum(CAST(l_discount AS DECIMAL(18,2))) = 0 THEN NULL ELSE
+        |    CAST(CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)
+        |       / CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS DECIMAL(18,6)) AS DOUBLE)
+        |  END AS wavg_price
         |FROM lineitem
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin

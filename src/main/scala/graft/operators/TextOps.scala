@@ -91,7 +91,15 @@ object TextOps {
       .withColumn("s_fr", expr(ratio(stopFr)))
       .select(
         col("doc_id"), col("lang"),
-        when(col("s_en") >= greatest(col("s_de"), col("s_es"), col("s_fr")), "en")
+        // no content = no prediction (the kNN-label discipline on the
+        // text axis): a NULL-text doc nulls every score, every >= in
+        // the cascade is then false, and the bare otherwise("fr")
+        // FABRICATED a language for it — a silent wrong answer feeding
+        // corpus routing. The null branch leads in both engines;
+        // empty text ties every score at 0 and predicts 'en' by the
+        // fixed tie order (documented degenerate, pinned by probe).
+        when(col("s_en").isNull, lit(null).cast("string"))
+          .when(col("s_en") >= greatest(col("s_de"), col("s_es"), col("s_fr")), "en")
           .when(col("s_de") >= greatest(col("s_es"), col("s_fr")), "de")
           .when(col("s_es") >= col("s_fr"), "es")
           .otherwise("fr").as("pred_lang"),
@@ -122,8 +130,15 @@ object TextOps {
         dbl(((col("n_chars") - (col("n_toks") - 1)).cast("double") / col("n_toks"))
           .cast("decimal(18,4)")).as("avg_tok_len"),
         dbl(col("stop_ratio").cast("decimal(9,6)")).as("stop_ratio"),
-        dbl((when(col("n_chars") >= 100, 0.5).otherwise(0.0)
-          + when(col("stop_ratio") > 0, 0.5).otherwise(0.0)).cast("decimal(3,1)")).as("quality"))
+        // quality is a CONTENT score: with NULL text both cast columns
+        // above are honest NULL, but the composite's n_chars branch
+        // reads METADATA and fabricated 0.5 for a contentless doc — a
+        // silent curation signal from no content. NULL text => NULL
+        // quality, mirrored in the oracle.
+        dbl(when(col("text").isNotNull,
+          (when(col("n_chars") >= 100, 0.5).otherwise(0.0)
+            + when(col("stop_ratio") > 0, 0.5).otherwise(0.0)).cast("decimal(3,1)")))
+          .as("quality"))
       .orderBy("doc_id")
 
   /** Deterministic document fingerprint: left-fold rolling hash over
@@ -548,7 +563,8 @@ object TextOps {
         |    CAST(len(list_filter(string_split(text, ' '), t -> t IN ('le', 'les', 'et', 'est', 'une'))) AS DOUBLE) / len(string_split(text, ' ')) AS s_fr
         |  FROM documents)
         |SELECT doc_id, lang,
-        |  CASE WHEN s_en >= greatest(s_de, s_es, s_fr) THEN 'en'
+        |  CASE WHEN s_en IS NULL THEN NULL
+        |       WHEN s_en >= greatest(s_de, s_es, s_fr) THEN 'en'
         |       WHEN s_de >= greatest(s_es, s_fr) THEN 'de'
         |       WHEN s_es >= s_fr THEN 'es'
         |       ELSE 'fr' END AS pred_lang,
@@ -561,8 +577,10 @@ object TextOps {
         |  CAST(len(regexp_extract_all(text, '[^aeiou ]+[aeiou]*|[aeiou]+', 0)) AS INTEGER) AS n_pieces,
         |  CAST(CAST(CAST(n_chars - (len(string_split(text, ' ')) - 1) AS DOUBLE) / len(string_split(text, ' ')) AS DECIMAL(18,4)) AS DOUBLE) AS avg_tok_len,
         |  CAST(CAST(CAST(len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a', 'of', 'to', 'and', 'in', 'is'))) AS DOUBLE) / len(string_split(text, ' ')) AS DECIMAL(9,6)) AS DOUBLE) AS stop_ratio,
-        |  CAST(CAST((CASE WHEN n_chars >= 100 THEN 0.5 ELSE 0.0 END)
-        |     + (CASE WHEN len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a', 'of', 'to', 'and', 'in', 'is'))) > 0 THEN 0.5 ELSE 0.0 END) AS DECIMAL(3,1)) AS DOUBLE) AS quality
+        |  CASE WHEN text IS NULL THEN NULL ELSE
+        |    CAST(CAST((CASE WHEN n_chars >= 100 THEN 0.5 ELSE 0.0 END)
+        |       + (CASE WHEN len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a', 'of', 'to', 'and', 'in', 'is'))) > 0 THEN 0.5 ELSE 0.0 END) AS DECIMAL(3,1)) AS DOUBLE)
+        |  END AS quality
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
     "q_text_fingerprint" ->

@@ -456,6 +456,11 @@ class AdversarialFixtureSpec extends SparkSpec {
     // ONE digest-NULL bucket, so two UNRELATED corrupt docs were
     // reported as copies with a named keeper (r19 find)
     val nullId2 = 888885L
+    // null text with SUBSTANTIAL n_chars metadata (the metadata/content
+    // mismatch): pre-fix, q_text_quality's composite read the metadata
+    // branch and FABRICATED quality 0.5 for a contentless doc, and
+    // q_text_langid's bare otherwise('fr') fabricated a language
+    val nullId3 = 888886L
     withDir(Map("documents" -> ((d: DataFrame) => {
       val proto = d.limit(1)
       def planted(id: Long, text: Column, nChars: Column = lit(0L)) = proto.select(
@@ -466,6 +471,7 @@ class AdversarialFixtureSpec extends SparkSpec {
         .unionByName(planted(emojiId, lit("a 😀 b 😀 a 😀 b")))
         .unionByName(planted(megaId, expr("repeat('x', 200000)"), lit(200000L)))
         .unionByName(planted(nullId2, lit(null).cast("string")))
+        .unionByName(planted(nullId3, lit(null).cast("string"), lit(500L)))
     }))) { dir =>
       // the UDF-signature dedup family: one NULL text must not NPE the
       // job, and the null row must be absent (not a document); the
@@ -494,6 +500,26 @@ class AdversarialFixtureSpec extends SparkSpec {
       assert(mega.length == 1 &&
         mega.head.getDouble(mega.head.fieldIndex("avg_tok_len")) == 200000.0,
         s"mega-token doc must report avg_tok_len 200000, got ${mega.toSeq}")
+      // no content = no prediction: the null-text docs stay VISIBLE
+      // rows in the per-doc reports, but every content-derived signal
+      // is honest NULL — pre-fix langid fabricated 'fr' (every score
+      // NULL, every >= false, bare otherwise) and quality fabricated
+      // 0.5 from the n_chars metadata branch alone; both engines
+      // MIRRORED the fabrication, so only this probe can catch it.
+      // Empty text ties every score at 0 and predicts 'en' by the
+      // fixed tie order — the documented degenerate, not a fabrication.
+      val lid = SparkEntry.queries("q_text_langid")(spark, dir)
+        .where(col("doc_id").isin(nullId, nullId3, emptyId)).collect()
+        .map(r => r.getLong(0) ->
+          (if (r.isNullAt(2)) null else r.getString(2))).toMap
+      assert(lid.size == 3 && lid(nullId) == null && lid(nullId3) == null &&
+        lid(emptyId) == "en",
+        s"langid must NULL a contentless doc's prediction: $lid")
+      val qual = SparkEntry.queries("q_text_quality")(spark, dir)
+        .where(col("doc_id").isin(nullId, nullId3)).collect()
+      assert(qual.length == 2 &&
+        qual.forall(r => r.isNullAt(r.fieldIndex("quality"))),
+        s"quality must be NULL for null text, even with big n_chars metadata: ${qual.toSeq}")
       // multimodal (r19): a null-text doc has no media. Pre-fix, ONE
       // null row job-killed q_multimodal_features at requireBlob — the
       // library contract is correctly loud, but the contract query must

@@ -38,7 +38,12 @@ object Filters {
         col("l_linenumber"),
         dbl(dec("l_extendedprice") * (lit(1).cast("decimal(18,2)") - dec("l_discount")))
           .as("net_price"),
-        when(col("l_quantity") > 25, "bulk")
+        // leading null branch (the langid discipline): a NULL quantity
+        // reaches no `>` truthfully, and the bare otherwise would
+        // FABRICATE the "small" label from no data — in both engines,
+        // since the oracle's CASE mirrored it. NULL in, NULL class out.
+        when(col("l_quantity").isNull, lit(null).cast("string"))
+          .when(col("l_quantity") > 25, "bulk")
           .when(col("l_quantity") > 10, "mid")
           .otherwise("small").as("size_class"))
       .orderBy("l_orderkey", "l_linenumber")
@@ -91,7 +96,8 @@ object Filters {
     "q_project_expr" ->
       """SELECT l_orderkey, l_linenumber,
         |  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS net_price,
-        |  CASE WHEN l_quantity > 25 THEN 'bulk'
+        |  CASE WHEN l_quantity IS NULL THEN NULL
+        |       WHEN l_quantity > 25 THEN 'bulk'
         |       WHEN l_quantity > 10 THEN 'mid'
         |       ELSE 'small' END AS size_class
         |FROM lineitem

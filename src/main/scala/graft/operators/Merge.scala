@@ -74,11 +74,26 @@ object Merge {
       .select(col("o_orderkey").as("k2"),
         when(pmod(col("o_orderkey"), lit(7)) === 0,
           col("p") * lit(1.10).cast("decimal(18,2)")).otherwise(col("p")).as("p2"))
+    diffImpl(gen1, gen2)
+  }
+
+  /** The diff core, seamed for direct testing (the contract query
+    * derives both generations from ONE source, so it can never produce
+    * a one-sided NULL value — but the library surface can: a column
+    * nulled between snapshots IS a change). The value comparison is
+    * NULL-SAFE (`<=>` / IS DISTINCT FROM): the naive `p1 =!= p2` is
+    * NULL when either side is NULL, falls to the "same" branch, and a
+    * CDC operator silently reports a value→NULL transition as
+    * unchanged — blindness to exactly the data-loss class a diff
+    * exists to catch. Both-NULL compares equal (same), mirrored in
+    * the oracle.
+    */
+  private[graft] def diffImpl(gen1: DataFrame, gen2: DataFrame): DataFrame =
     gen1.join(gen2, col("k1") === col("k2"), "full_outer")
       .withColumn("change_type",
         when(col("k1").isNull, "insert")
           .when(col("k2").isNull, "delete")
-          .when(col("p1") =!= col("p2"), "update")
+          .when(!(col("p1") <=> col("p2")), "update")
           .otherwise("same"))
       .where(col("change_type") =!= "same")
       .select(
@@ -87,7 +102,6 @@ object Merge {
         dbl(col("p1")).as("old_price"),
         dbl(col("p2")).as("new_price"))
       .orderBy("o_orderkey")
-  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_merge_scd2" -> mergeScd2,
@@ -125,7 +139,7 @@ object Merge {
         |  SELECT coalesce(k1, k2) AS o_orderkey,
         |    CASE WHEN k1 IS NULL THEN 'insert'
         |         WHEN k2 IS NULL THEN 'delete'
-        |         WHEN p1 <> p2 THEN 'update'
+        |         WHEN p1 IS DISTINCT FROM p2 THEN 'update'
         |         ELSE 'same' END AS change_type,
         |    CAST(p1 AS DOUBLE) AS old_price,
         |    CAST(p2 AS DOUBLE) AS new_price

@@ -725,6 +725,25 @@ class AdversarialFixtureSpec extends SparkSpec {
     }
   }
 
+  test("null l_quantity: size_class is honest NULL, never a fabricated 'small'") {
+    // the projectExpr cascade's bare otherwise: a NULL quantity makes
+    // every `>` false and the row read "small" — a class label from no
+    // data, mirrored by the oracle's ELSE (the langid class). The row
+    // stays visible with a NULL class.
+    def plant(l: DataFrame): DataFrame =
+      l.unionByName(
+        l.where(col("l_shipdate") >= lit("2001-01-01").cast("timestamp")).limit(1)
+          .withColumn("l_orderkey", lit(9999991L))
+          .withColumn("l_quantity", lit(null).cast("double")))
+    withDir(Map("lineitem" -> plant _)) { dir =>
+      val got = SparkEntry.queries("q_project_expr")(spark, dir)
+        .where(col("l_orderkey") === 9999991L).collect()
+      assert(got.length == 1 &&
+        got.head.isNullAt(got.head.fieldIndex("size_class")),
+        s"a null-quantity row must carry a NULL size_class: ${got.toSeq}")
+    }
+  }
+
   test("zero-variance group: corr is NULL, never a NaN decimal-cast job kill; real groups unchanged") {
     // One degenerate group (constant quantity — a stuck upstream
     // field, a single-product shard) made q_agg_corr's variance term

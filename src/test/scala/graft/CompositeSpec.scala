@@ -62,6 +62,27 @@ class CompositeSpec extends SparkSpec {
         col("old_price") === col("new_price"))).count() == 0)
   }
 
+  test("snapshot diff: a value→NULL transition is an UPDATE, never silently 'same'") {
+    // The contract query derives both generations from ONE source, so
+    // it can never produce a one-sided NULL — but the library surface
+    // can (a column nulled between snapshots IS a change, often the
+    // data-loss a diff exists to catch). The naive `p1 =!= p2` is NULL
+    // when either side is NULL and falls through to 'same': the
+    // transition silently vanishes from the delta. Null-safe compare:
+    // one-sided NULL = update, both-NULL = same.
+    import spark.implicits._
+    val g1 = Seq((1L, Some("10.00")), (2L, Some("20.00")),
+                 (3L, None), (4L, None))
+      .toDF("k1", "s1").select(col("k1"), col("s1").cast("decimal(18,2)").as("p1"))
+    val g2 = Seq((1L, Some("10.00")), (2L, None),
+                 (3L, Some("30.00")), (4L, None))
+      .toDF("k2", "s2").select(col("k2"), col("s2").cast("decimal(18,2)").as("p2"))
+    val got = graft.operators.Merge.diffImpl(g1, g2).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(2L -> "update", 3L -> "update"),
+      s"value↔NULL transitions must be updates, both-NULL must be same: $got")
+  }
+
   test("pack_chunks: docs conserved, chunk ids non-negative and start-offset consistent") {
     val df = q("q_pack_chunks").cache()
     assert(df.agg(sum("n_docs")).head.getLong(0) ==

@@ -34,7 +34,13 @@ object Compaction {
         max(struct(col("ts").as("ts"), col("event_id").as("eid"),
           col("event_type").as("t"), col("value").as("v"))).as("last"),
         count(lit(1)).as("n_writes"))
-      .where(col("last.t") =!= "error")
+      // null-SAFE tombstone test: only an EXPLICIT 'error' deletes a
+      // key. The naive =!= is NULL when the latest write's type is
+      // NULL (corrupt producer output), silently dropping the whole
+      // key from the compacted view — indistinguishable from a
+      // tombstone, the data-loss class a compaction must never invent.
+      // The oracle mirrors IS DISTINCT FROM.
+      .where(!(col("last.t") <=> "error"))
       .select(col("user_id"), col("last.eid").as("last_event_id"),
         col("last.t").as("last_type"), col("last.v").as("last_value"),
         col("n_writes"))
@@ -80,7 +86,7 @@ object Compaction {
         |  FROM events)
         |SELECT user_id, event_id AS last_event_id, event_type AS last_type,
         |  value AS last_value, n_writes
-        |FROM v WHERE rn = 1 AND event_type <> 'error'
+        |FROM v WHERE rn = 1 AND event_type IS DISTINCT FROM 'error'
         |ORDER BY user_id""".stripMargin,
     "q_snapshot_merge" ->
       """WITH g AS (

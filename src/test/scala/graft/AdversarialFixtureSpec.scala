@@ -725,6 +725,35 @@ class AdversarialFixtureSpec extends SparkSpec {
     }
   }
 
+  test("null event_type: only an explicit 'error' tombstones a key in LWW compaction") {
+    // A tombstone is an EXPLICIT 'error'; a latest write with NULL type
+    // (corrupt producer output) is an unknown write, not a delete. The
+    // naive =!= comparison was NULL for it and silently dropped the
+    // whole key from the compacted view — data loss indistinguishable
+    // from a tombstone, and the oracle's <> mirrored it. The key must
+    // stay visible with last_type NULL; the real tombstone path must
+    // stay intact.
+    def plant(e: DataFrame): DataFrame = {
+      val proto = e.limit(1)
+      def planted(id: Long, user: Long, tpe: Column, tsShift: Int) = proto.select(
+        lit(id).as("event_id"),
+        (col("ts") + expr(s"interval $tsShift days")).as("ts"),
+        lit(user).as("user_id"), tpe.as("event_type"),
+        col("value"), col("props"))
+      e.unionByName(planted(999995L, 8888801L, lit(null).cast("string"), 4000))
+        .unionByName(planted(999996L, 8888802L, lit("purchase"), 3999))
+        .unionByName(planted(999997L, 8888802L, lit("error"), 4000))
+    }
+    withDir(Map("events" -> plant _)) { dir =>
+      val out = SparkEntry.queries("q_snapshot_compact")(spark, dir)
+        .where(col("user_id").isin(8888801L, 8888802L)).collect()
+      assert(out.length == 1 && out.head.getLong(0) == 8888801L &&
+        out.head.isNullAt(out.head.fieldIndex("last_type")),
+        s"a null-type latest write must keep its key visible (and only the " +
+          s"explicit tombstone user may be deleted): ${out.toSeq}")
+    }
+  }
+
   test("null l_quantity: size_class is honest NULL, never a fabricated 'small'") {
     // the projectExpr cascade's bare otherwise: a NULL quantity makes
     // every `>` false and the row read "small" — a class label from no

@@ -370,8 +370,17 @@ object Frontier {
       .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
         sum(col("i").cast("long") * col("x")).as("sixi"))
     g.select(col("c_mktsegment"), col("n"),
-      (((lit(2.0) * col("sixi").cast("double") - (col("n") + 1) * col("sx").cast("double")) /
-        (col("n") * col("sx").cast("double"))).cast("decimal(9,6)").cast("double")).as("gini"))
+      // zero-mass guard (the corr/zscore/slope family discipline): a
+      // segment whose totals sum to EXACTLY zero (a refunded batch, a
+      // zero-placeholder regen) zeroes the n·Σx denominator and ANSI
+      // [DIVIDE_BY_ZERO] kills the whole query on one degenerate
+      // group. Gini of a zero-mass distribution is undefined — NULL
+      // (an all-NULL group already flows to NULL through the sums).
+      // Constant-true on real segments; oracle CASE mirrored.
+      when(col("sx") =!= 0,
+        ((lit(2.0) * col("sixi").cast("double") - (col("n") + 1) * col("sx").cast("double")) /
+          (col("n") * col("sx").cast("double"))).cast("decimal(9,6)").cast("double"))
+        .as("gini"))
       .orderBy("c_mktsegment")
   }
 
@@ -932,9 +941,10 @@ object Frontier {
         |    sum(CAST(i AS BIGINT) * x) AS sixi
         |  FROM r GROUP BY c_mktsegment)
         |SELECT c_mktsegment, n,
-        |  CAST(CAST(
+        |  CASE WHEN sx <> 0 THEN CAST(CAST(
         |    (2.0 * CAST(sixi AS DOUBLE) - (n + 1) * CAST(sx AS DOUBLE))
-        |    / (n * CAST(sx AS DOUBLE)) AS DECIMAL(9,6)) AS DOUBLE) AS gini
+        |    / (n * CAST(sx AS DOUBLE)) AS DECIMAL(9,6)) AS DOUBLE)
+        |  ELSE NULL END AS gini
         |FROM g ORDER BY c_mktsegment""".stripMargin,
     "q_dedup_edit_distance" ->
       """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.lang,

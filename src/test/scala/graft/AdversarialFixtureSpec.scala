@@ -754,6 +754,31 @@ class AdversarialFixtureSpec extends SparkSpec {
     }
   }
 
+  test("zero-mass segment: gini is NULL, never a DIVIDE_BY_ZERO job kill; real segments unchanged") {
+    // the corr class on the gini denominator: a segment whose order
+    // totals sum to EXACTLY zero (a refunded batch, a zero-placeholder
+    // regen) zeroes n·Σx and one degenerate group killed the whole
+    // query (measured under the mutant: ANSI [DIVIDE_BY_ZERO]). Gini
+    // of a zero-mass distribution is undefined => NULL.
+    def plantCust(c: DataFrame): DataFrame =
+      c.unionByName(c.limit(1)
+        .withColumn("c_custkey", lit(999990L))
+        .withColumn("c_mktsegment", lit("ZEROMASS")))
+    def plantOrders(o: DataFrame): DataFrame =
+      o.unionByName(o.limit(2)
+        .withColumn("o_orderkey", lit(7777781L) + monotonically_increasing_id())
+        .withColumn("o_custkey", lit(999990L))
+        .withColumn("o_totalprice", lit(0.0)))
+    withDir(Map("customer" -> plantCust _, "orders" -> plantOrders _)) { dir =>
+      val got = rows("q_agg_gini", dir)
+      val z = got.filter(_.getString(0) == "ZEROMASS")
+      assert(z.size == 1 && z.head.isNullAt(2),
+        s"zero-mass gini must be honest NULL: $z")
+      assert(got.filterNot(_.getString(0) == "ZEROMASS") == rows("q_agg_gini", sf),
+        "the degenerate segment must not disturb real segments")
+    }
+  }
+
   test("null l_quantity: size_class is honest NULL, never a fabricated 'small'") {
     // the projectExpr cascade's bare otherwise: a NULL quantity makes
     // every `>` false and the row read "small" — a class label from no

@@ -435,10 +435,19 @@ object Aggregations {
         |WHERE r.vr = CAST(floor((r.sn - 1) * 0.5) AS BIGINT) + 1
         |ORDER BY l_returnflag""".stripMargin,
     "q_udaf_weighted" ->
+      // The weight sum is PAIRED exactly like WeightedAvg.reduce (a
+      // row contributes its weight only when BOTH price and weight are
+      // non-null): a bare sum(l_discount) also counts weights of
+      // null-price rows, so a group whose only valid-pair discounts
+      // are 0 but which carries a null-price/positive-discount row
+      // would read 0.0 here vs the UDAF's honest NULL. Identical on
+      // null-free data.
       """SELECT l_returnflag,
-        |  CASE WHEN sum(CAST(l_discount AS DECIMAL(18,2))) = 0 THEN NULL ELSE
+        |  CASE WHEN sum(CASE WHEN l_extendedprice IS NOT NULL
+        |                     THEN CAST(l_discount AS DECIMAL(18,2)) END) = 0 THEN NULL ELSE
         |    CAST(CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)
-        |       / CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS DECIMAL(18,6)) AS DOUBLE)
+        |       / CAST(sum(CASE WHEN l_extendedprice IS NOT NULL
+        |                       THEN CAST(l_discount AS DECIMAL(18,2)) END) AS DOUBLE) AS DECIMAL(18,6)) AS DOUBLE)
         |  END AS wavg_price
         |FROM lineitem
         |GROUP BY l_returnflag

@@ -411,10 +411,16 @@ object Frontier {
       // distance is only a meaningful near-dup signal for short docs;
       // longer ones belong to the minhash/simhash families. The cap
       // keys on the same trusted n_chars column the band join already
-      // buckets on; both guards are constant-true on the real fixture
-      // (n_chars <= 577, no null text) and mirrored in the oracle.
+      // buckets on — AND on length(text), because n_chars is
+      // METADATA: two mega-docs whose n_chars understates the real
+      // text length (the inverse of the null-text/real-n_chars
+      // mismatch) would still band together and run the quadratic DP
+      // in one task. The exact length costs one pass over
+      // already-scanned text. All guards are constant-true on the
+      // real fixture (n_chars <= 577, no null text) and mirrored in
+      // the oracle.
       .where(col("doc_id") < 1000 && col("text").isNotNull &&
-        col("n_chars") <= 10000)
+        col("n_chars") <= 10000 && length(col("text")) <= 10000)
       .select(col("doc_id"), col("lang"), col("n_chars"), col("text"))
     val probe = d.toDF(d.columns.map(_ + "_a"): _*)
       .withColumn("bucket", explode(array(col("n_chars_a") - 1, col("n_chars_a"), col("n_chars_a") + 1)))
@@ -955,6 +961,7 @@ object Frontier {
         |WHERE a.doc_id < 1000 AND b.doc_id < 1000
         |  AND a.text IS NOT NULL AND b.text IS NOT NULL
         |  AND a.n_chars <= 10000 AND b.n_chars <= 10000
+        |  AND length(a.text) <= 10000 AND length(b.text) <= 10000
         |ORDER BY edit_dist, doc_a, doc_b
         |LIMIT 20""".stripMargin,
     "q_agg_bitmap_distinct" ->

@@ -87,12 +87,25 @@ object Merge {
     * unchanged — blindness to exactly the data-loss class a diff
     * exists to catch. Both-NULL compares equal (same), mirrored in
     * the oracle.
+    *
+    * NULL-KEY contract: a NULL key carries no identity, so it can
+    * never MATCH (the equi join is deliberately null-rejecting — a
+    * `<=>` key would cross-pair every NULL-key row of one generation
+    * with every NULL-key row of the other). Classification therefore
+    * keys on SIDE PRESENCE (per-side lit markers surviving the full
+    * outer join), not on key nullness: a gen1 NULL-key orphan is a
+    * DELETE (its row left the table) and a gen2 NULL-key orphan an
+    * INSERT, each with an honest NULL o_orderkey — under key-nullness
+    * classification the gen1 orphan read "insert", a delete-side row
+    * reported as arriving. Unreachable in the contract query
+    * (o_orderkey is non-null), so the oracle is unchanged.
     */
   private[graft] def diffImpl(gen1: DataFrame, gen2: DataFrame): DataFrame =
-    gen1.join(gen2, col("k1") === col("k2"), "full_outer")
+    gen1.withColumn("_g1", lit(true))
+      .join(gen2.withColumn("_g2", lit(true)), col("k1") === col("k2"), "full_outer")
       .withColumn("change_type",
-        when(col("k1").isNull, "insert")
-          .when(col("k2").isNull, "delete")
+        when(col("_g1").isNull, "insert")
+          .when(col("_g2").isNull, "delete")
           .when(!(col("p1") <=> col("p2")), "update")
           .otherwise("same"))
       .where(col("change_type") =!= "same")
@@ -101,7 +114,11 @@ object Merge {
         col("change_type"),
         dbl(col("p1")).as("old_price"),
         dbl(col("p2")).as("new_price"))
-      .orderBy("o_orderkey")
+      // change_type/price tiebreakers: NULL-key orphans share a NULL
+      // o_orderkey, and identical sort keys would make their relative
+      // order nondeterministic (key-unique contract data: no-op).
+      .orderBy(col("o_orderkey"), col("change_type"),
+        col("old_price"), col("new_price"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_merge_scd2" -> mergeScd2,

@@ -824,6 +824,35 @@ class AdversarialFixtureSpec extends SparkSpec {
     }
   }
 
+  test("zero PAIRED weight: wavg is NULL even when a null-price row carries positive discount") {
+    // WeightedAvg.reduce accumulates a row's weight only when BOTH
+    // price and weight are non-null (an unpaired weight weights
+    // nothing). The degenerate shape that exposes the pairing: a
+    // group whose valid-pair discounts are all 0 but which carries a
+    // null-price/positive-discount row. Paired weight sum = 0 =>
+    // honest NULL; a bare sum(discount) reads 0.05 and would divide
+    // to a fabricated 0.0 average "weighted" entirely by a row that
+    // has no price. The oracle mirrors the pairing with
+    // sum(CASE WHEN price IS NOT NULL THEN discount END); real
+    // groups must be bit-identical to the unplanted base.
+    def plantUnpaired(l: DataFrame): DataFrame =
+      l.unionByName(l.limit(3)
+          .withColumn("l_returnflag", lit("W"))
+          .withColumn("l_discount", lit(0.0)))
+        .unionByName(l.limit(1)
+          .withColumn("l_returnflag", lit("W"))
+          .withColumn("l_discount", lit(0.05))
+          .withColumn("l_extendedprice", lit(null).cast("double")))
+    withDir(Map("lineitem" -> plantUnpaired _)) { dir =>
+      val got = rows("q_udaf_weighted", dir)
+      val w = got.filter(_.getString(0) == "W")
+      assert(w.size == 1 && w.head.isNullAt(1),
+        s"zero paired weight must be honest NULL: $w")
+      assert(got.filterNot(_.getString(0) == "W") == rows("q_udaf_weighted", sf),
+        "the degenerate group must not disturb real groups")
+    }
+  }
+
   test("corrupt docs in the edit-distance band: null text and mega-docs are not ranking candidates") {
     // Two classes the band join (lang, n_chars ±1) lets through:
     // (a) a null-TEXT doc with real n_chars metadata (the
@@ -835,8 +864,15 @@ class AdversarialFixtureSpec extends SparkSpec {
     //     docs: minutes), the silent job-stall class at scale; their
     //     near-identical texts would also win the head on real
     //     distance, displacing every legitimate short-doc pair.
-    // Both are excluded by contract (text.isNotNull, n_chars <= 10k):
-    // the ranking must be bit-identical to the unplanted base.
+    // and (c) two mega-docs whose n_chars METADATA understates the
+    //     real text length (the inverse of class (a)'s mismatch) —
+    //     they band on the small n_chars, pass a metadata-only cap,
+    //     and their near-identical 20k texts would BOTH stall a task
+    //     on the quadratic DP and top the ranking at edit_dist 1;
+    //     only the exact length(text) cap catches them.
+    // All are excluded by contract (text.isNotNull, n_chars <= 10k,
+    // length(text) <= 10k): the ranking must be bit-identical to the
+    // unplanted base.
     def plantCorrupt(d: DataFrame): DataFrame = {
       val proto = d.where(col("doc_id") === 1)
       def planted(id: Long, text: Column, nChars: Column) = proto.select(
@@ -846,6 +882,9 @@ class AdversarialFixtureSpec extends SparkSpec {
         .unionByName(planted(998L, expr("repeat('x', 20000)"), lit(20000L)))
         .unionByName(planted(999L,
           concat(expr("repeat('x', 19999)"), lit("y")), lit(20000L)))
+        .unionByName(planted(995L, expr("repeat('x', 20000)"), col("n_chars")))
+        .unionByName(planted(996L,
+          concat(expr("repeat('x', 19999)"), lit("y")), col("n_chars")))
     }
     withDir(Map("documents" -> plantCorrupt _)) { dir =>
       assert(rows("q_dedup_edit_distance", dir) == rows("q_dedup_edit_distance", sf),

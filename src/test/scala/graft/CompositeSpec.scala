@@ -83,6 +83,35 @@ class CompositeSpec extends SparkSpec {
       s"value↔NULL transitions must be updates, both-NULL must be same: $got")
   }
 
+  test("snapshot diff: a NULL-key orphan classifies by SIDE, never by key nullness") {
+    // A NULL key carries no identity: it can never MATCH (the equi
+    // join is null-rejecting by design — a <=> key would cross-pair
+    // every NULL-key row of gen1 with every NULL-key row of gen2).
+    // But classification must key on SIDE PRESENCE, not key nullness:
+    // under the naive `when(k1.isNull, "insert")` a gen1 NULL-key
+    // orphan — a DELETE-side row — reads "insert" with a fabricated
+    // arrival story. Contract: gen1 NULL-key = delete (old_price
+    // kept), gen2 NULL-key = insert (new_price kept), both with an
+    // honest NULL o_orderkey; real keys bit-identical either way.
+    import spark.implicits._
+    val g1 = Seq((Option(1L), Some("10.00")), (Option(2L), Some("20.00")),
+                 (Option.empty[Long], Some("77.00")))
+      .toDF("k1", "s1").select(col("k1"), col("s1").cast("decimal(18,2)").as("p1"))
+    val g2 = Seq((Option(1L), Some("10.00")), (Option(2L), Some("25.00")),
+                 (Option.empty[Long], Some("88.00")))
+      .toDF("k2", "s2").select(col("k2"), col("s2").cast("decimal(18,2)").as("p2"))
+    val rows = graft.operators.Merge.diffImpl(g1, g2).collect()
+    val nullKey = rows.filter(_.isNullAt(0))
+      .map(r => (r.getString(1),
+        if (r.isNullAt(2)) null else r.getDouble(2),
+        if (r.isNullAt(3)) null else r.getDouble(3))).toSet
+    assert(nullKey == Set(("delete", 77.0, null), ("insert", null, 88.0)),
+      s"NULL-key orphans must classify by side with their own value: ${nullKey}")
+    val keyed = rows.filterNot(_.isNullAt(0))
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(keyed == Map(2L -> "update"), s"real keys must be untouched: $keyed")
+  }
+
   test("pack_chunks: docs conserved, chunk ids non-negative and start-offset consistent") {
     val df = q("q_pack_chunks").cache()
     assert(df.agg(sum("n_docs")).head.getLong(0) ==

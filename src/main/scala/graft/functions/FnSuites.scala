@@ -272,14 +272,37 @@ object FnSuites {
         |  CAST(CAST(list_aggregate(list_transform(embedding, x -> CAST(x * x AS DOUBLE)), 'sum') AS DECIMAL(18,6)) AS DOUBLE) AS dot_self
         |FROM embeddings
         |ORDER BY vec_id""".stripMargin,
+    // The `ok` CTE mirrors Spark's PERMISSIVE from_json contract
+    // (measured): the WHOLE map is NULL unless props parses as a JSON
+    // OBJECT whose every non-null value is an integral JSON number in
+    // int range — per-entry TRY_CAST alone diverges three ways on
+    // corrupt props (a NULL/malformed props read 0 through the old
+    // unscoped coalesce where Spark says NULL; a wrong-typed value
+    // killed DuckDB at the plain-CAST k_val, the q_source_json class;
+    // and DuckDB TRY_CAST ROUNDS '2.5' to 3 where Spark rejects the
+    // map). TRY_CAST(props AS JSON) everywhere so no corrupt shape can
+    // throw; coalesce('') matches Spark's array_join over the empty
+    // map's key list. Bit-identical on valid-object rows (the whole
+    // fixture); keys are assumed dot/quote-free (the '$.'||k paths —
+    // same assumption as the fixture generator).
     "q_fn_map_json" ->
-      """SELECT event_id,
-        |  array_to_string(list_sort(CAST(json_keys(props) AS VARCHAR[])), ',') AS keys_csv,
-        |  CAST(len(json_keys(props)) AS INTEGER) AS n_keys,
-        |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val,
-        |  CAST(coalesce(list_aggregate(list_transform(CAST(json_keys(props) AS VARCHAR[]),
-        |    k -> TRY_CAST(json_extract_string(props, '$.' || k) AS INTEGER)), 'sum'), 0) AS INTEGER) AS vals_sum
-        |FROM events
+      """WITH e AS (
+        |  SELECT event_id, TRY_CAST(props AS JSON) AS jp FROM events),
+        |v AS (
+        |  SELECT event_id, jp,
+        |    (json_type(jp) = 'OBJECT'
+        |     AND len(list_filter(CAST(json_keys(jp) AS VARCHAR[]),
+        |           k -> json_type(jp, '$.' || k) <> 'NULL'
+        |                AND NOT (json_type(jp, '$.' || k) IN ('UBIGINT', 'BIGINT')
+        |                         AND TRY_CAST(json_extract_string(jp, '$.' || k) AS INTEGER) IS NOT NULL))) = 0) AS ok
+        |  FROM e)
+        |SELECT event_id,
+        |  CASE WHEN ok THEN coalesce(array_to_string(list_sort(CAST(json_keys(jp) AS VARCHAR[])), ','), '') END AS keys_csv,
+        |  CASE WHEN ok THEN CAST(len(json_keys(jp)) AS INTEGER) END AS n_keys,
+        |  CASE WHEN ok THEN TRY_CAST(json_extract_string(jp, '$.k') AS INTEGER) END AS k_val,
+        |  CASE WHEN ok THEN CAST(coalesce(list_aggregate(list_transform(CAST(json_keys(jp) AS VARCHAR[]),
+        |    k -> TRY_CAST(json_extract_string(jp, '$.' || k) AS INTEGER)), 'sum'), 0) AS INTEGER) END AS vals_sum
+        |FROM v
         |ORDER BY event_id""".stripMargin
   )
 }

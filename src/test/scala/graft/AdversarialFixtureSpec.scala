@@ -584,8 +584,18 @@ class AdversarialFixtureSpec extends SparkSpec {
         if (r.isNullAt(r.fieldIndex(c))) null else r.get(r.fieldIndex(c))
       val byId = mrows.map(r => r.getLong(0) -> r).toMap
       for (id <- Seq(888891L, 888894L, 888895L))
-        assert(f(byId(id), "keys_csv") == null && f(byId(id), "n_keys") == null,
+        assert(f(byId(id), "keys_csv") == null && f(byId(id), "n_keys") == null &&
+          f(byId(id), "vals_sum") == null,
           s"$id: unparseable props must yield NULL map columns, got ${byId(id)}")
+      // wrong-typed value: from_json PERMISSIVE nulls the WHOLE map
+      // (measured), never a partial map with the bad entry dropped —
+      // the oracle's `ok` CTE mirrors exactly this contract (the r20
+      // list-null sweep found its old unscoped coalesce read 0 for
+      // NULL props, its plain-CAST k_val was the q_source_json kill
+      // class, and DuckDB TRY_CAST rounds '2.5' where Spark rejects)
+      assert(Seq("keys_csv", "n_keys", "k_val", "vals_sum")
+        .forall(c => f(byId(888892L), c) == null),
+        s"wrong-typed value must null the whole map: ${byId(888892L)}")
       assert(f(byId(888893L), "keys_csv") == "k" && f(byId(888893L), "vals_sum") == 0,
         s"explicit-null value must keep the key and null-skip the sum: ${byId(888893L)}")
       // no phantom groups: an aggregation keyed on the TYPED extracted
@@ -821,6 +831,36 @@ class AdversarialFixtureSpec extends SparkSpec {
         s"zero-variance corr must be honest NULL: $z")
       assert(got.filterNot(_.getString(0) == "Z") == rows("q_agg_corr", sf),
         "the degenerate group must not disturb real groups")
+    }
+  }
+
+  test("NULL n_chars with REAL text: quality degrades the length component to 0, never nulls or fabricates") {
+    // The r19 fabrication fixes covered NULL TEXT (no content => no
+    // prediction). The INVERSE metadata corruption — real text, NULL
+    // n_chars — is a different contract, pinned here: quality is a
+    // CONTENT score and the content exists, so the composite still
+    // emits, with the length component (a metadata read) degraded to
+    // its `otherwise(0.0)` — NULL >= 100 is not true in either engine,
+    // so the oracle's CASE mirrors bit-exactly. The n_chars-derived
+    // avg_tok_len stays honest NULL. Two plants fix both stop_ratio
+    // branches: all-stopword text => 0.5, no-stopword text => 0.0.
+    def plant(d: DataFrame): DataFrame = {
+      val proto = d.where(col("doc_id") === 1)
+      def planted(id: Long, text: String) = proto.select(
+        lit(id).as("doc_id"), lit(text).as("text"), col("lang"), col("source"),
+        lit(null).cast("long").as("n_chars"))
+      d.unionByName(planted(888871L, "the of and"))
+        .unionByName(planted(888872L, "quartz engine rows"))
+    }
+    withDir(Map("documents" -> plant _)) { dir =>
+      val got = rows("q_text_quality", dir)
+        .filter(r => r.getLong(0) >= 888871L && r.getLong(0) <= 888872L)
+        .map(r => r.getLong(0) ->
+          (r.isNullAt(r.fieldIndex("avg_tok_len")),
+           if (r.isNullAt(r.fieldIndex("quality"))) null
+           else r.getDouble(r.fieldIndex("quality")))).toMap
+      assert(got == Map(888871L -> ((true, 0.5)), 888872L -> ((true, 0.0))),
+        s"real-text/null-metadata docs must score content only: $got")
     }
   }
 

@@ -418,7 +418,12 @@ object Frontier {
       // in one task. The exact length costs one pass over
       // already-scanned text. All guards are constant-true on the
       // real fixture (n_chars <= 577, no null text) and mirrored in
-      // the oracle.
+      // the oracle. Measured redundancy (r20 ratchet re-kill): the
+      // exact length cap ALSO drops null text (length(NULL) is NULL),
+      // so the isNotNull-drop mutant is now equivalent — the corrupt-
+      // band probe holds the exclusion CONTRACT itself, whichever
+      // layer a refactor removes; n_chars stays as the cheap metadata
+      // pre-prune, length(text) as the exact backstop.
       .where(col("doc_id") < 1000 && col("text").isNotNull &&
         col("n_chars") <= 10000 && length(col("text")) <= 10000)
       .select(col("doc_id"), col("lang"), col("n_chars"), col("text"))

@@ -283,8 +283,11 @@ object FnSuites {
     // map). TRY_CAST(props AS JSON) everywhere so no corrupt shape can
     // throw; coalesce('') matches Spark's array_join over the empty
     // map's key list. Bit-identical on valid-object rows (the whole
-    // fixture); keys are assumed dot/quote-free (the '$.'||k paths —
-    // same assumption as the fixture generator).
+    // fixture); keys are assumed dot/quote-free and UNIQUE (the
+    // '$.'||k paths misroute on pathological keys, and on duplicate
+    // keys DuckDB doubles json_keys and extracts the FIRST value
+    // where Spark's map keeps the LAST — both classes are
+    // generator-unreachable and the Spark side is the contract).
     "q_fn_map_json" ->
       """WITH e AS (
         |  SELECT event_id, TRY_CAST(props AS JSON) AS jp FROM events),

@@ -216,6 +216,13 @@ object Fixtures {
       0.0, graft.functions.CountMin.MaxKey.toDouble,
       "CountMin.bucket THROWS per-row outside [0, MaxKey] (overflow-safe hash " +
         "range) and BitmapDistinct sizes its bitset by the max id"),
+    // NOTE the envelope's blind spot (r20, measured): parquet footer
+    // min/max SKIP NaN, so a NaN value never trips this bound (±Inf
+    // does — it lands in max). That class needs no tripwire: Spark 4
+    // ANSI casts NaN→decimal to NULL (the row null-skips every
+    // dec(value) aggregate, pinned by the AdversarialFixtureSpec NaN
+    // probe), and DuckDB errors on ANY decimal cast of NaN, so a NaN
+    // regen turns the driver gate red instead of silently green.
     ("events", Seq("value"),
       -1e16, 1e16,
       "the dec() DECIMAL(18,2) presentation casts ANSI-kill on values past " +

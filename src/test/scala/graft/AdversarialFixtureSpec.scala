@@ -834,6 +834,34 @@ class AdversarialFixtureSpec extends SparkSpec {
     }
   }
 
+  test("NaN event value: decimal aggregates null-skip it exactly, never a job kill or silent total shift") {
+    // The one corrupt-value shape the r19 domain tripwire CANNOT see:
+    // parquet footer min/max statistics SKIP NaN (measured: a
+    // [1.5, NaN, 3.0] column reports [1.5, 3.0]), so the events.value
+    // envelope never fires on it — unlike ±Inf, which lands in max and
+    // trips the [-1e16, 1e16] bound. Measured Spark-4-ANSI semantics:
+    // cast(NaN as decimal) is NULL (no NUMERIC_VALUE_OUT_OF_RANGE kill
+    // — that class starts at ~1e16 finite), so every dec(value)
+    // consumer must treat a NaN-value row EXACTLY like a NULL-value
+    // row: same groups, same sums, nothing dropped beyond the one
+    // value. The cross-engine story stays loud, not silent: DuckDB
+    // errors on ANY decimal cast of NaN (even TRY_CAST), so a NaN
+    // regen turns the gate red instead of hashing green on divergent
+    // totals; ordering/comparison parity holds (both engines rank NaN
+    // greatest and NaN = NaN).
+    def plantValue(v: Column)(e: DataFrame): DataFrame =
+      e.unionByName(e.limit(1)
+        .withColumn("event_id", lit(888899L))
+        .withColumn("value", v))
+    withDir(Map("events" -> plantValue(lit(Double.NaN)) _)) { nanDir =>
+      withDir(Map("events" -> plantValue(lit(null).cast("double")) _)) { nullDir =>
+        for (q <- Seq("q_agg_salted_skew", "q_stream_tumbling"))
+          assert(rows(q, nanDir) == rows(q, nullDir),
+            s"$q: a NaN value must null-skip exactly like a NULL value")
+      }
+    }
+  }
+
   test("NULL n_chars with REAL text: quality degrades the length component to 0, never nulls or fabricates") {
     // The r19 fabrication fixes covered NULL TEXT (no content => no
     // prediction). The INVERSE metadata corruption — real text, NULL

@@ -389,10 +389,15 @@ object Frontier {
     * gives a plain equi join (each doc probes its own and adjacent
     * length buckets, the same trick as the MinHash/cluster operators),
     * and the quadratic-cost levenshtein runs ONLY on banded
-    * candidates, never all pairs. Both engines implement standard
-    * Levenshtein, so the distances are exact integers. The report is
-    * the 20 MOST similar pairs (threshold-free — a fixed cutoff is
-    * corpus-dependent and can go empty), totally ordered by
+    * candidates, never all pairs. Engine-parity caveat (r20, measured):
+    * Spark's levenshtein is CODE-POINT-based while DuckDB's is
+    * BYTE-based ('café'↔'cafe' = 1 vs 2; one emoji ↔ 'x' = 1 vs 4), so
+    * the exact-integer agreement holds only on ASCII text — the whole
+    * fixture at every SF (strlen = length verified); Spark's
+    * code-point distance is the documented contract, and a non-ASCII
+    * regen fails the hash gate loudly rather than hashing green.
+    * The report is the 20 MOST similar pairs (threshold-free — a fixed
+    * cutoff is corpus-dependent and can go empty), totally ordered by
     * (dist, doc_a, doc_b) → TakeOrderedAndProject.
     *
     * EXPLICIT BOUND: doc_id < 1000 on both sides — edit distance is

@@ -849,8 +849,11 @@ class AdversarialFixtureSpec extends SparkSpec {
     // regen turns the gate red instead of hashing green on divergent
     // totals; ordering/comparison parity holds (both engines rank NaN
     // greatest and NaN = NaN).
+    // orderBy before limit (the repo's own limit-determinism
+    // discipline): this plant is compared ACROSS two independently
+    // cloned dirs, so the base row must be the same one in both
     def plantValue(v: Column)(e: DataFrame): DataFrame =
-      e.unionByName(e.limit(1)
+      e.unionByName(e.orderBy("event_id").limit(1)
         .withColumn("event_id", lit(888899L))
         .withColumn("value", v))
     withDir(Map("events" -> plantValue(lit(Double.NaN)) _)) { nanDir =>

@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dump `.explain("formatted")` for every contract query to one file
+  * per query (r21 optimization round: the judge checks plan claims in
+  * OPTIMIZATION_r21.md against these files). Bench-like session: same
+  * shuffle-partition/AQE/timezone settings as Bench so the initial
+  * plans match what the bench executes (AQE finals differ at runtime;
+  * these are the `isFinalPlan=false` initial plans, which is what
+  * explain() can show without executing).
+  *
+  * Usage: SPARK_GRAFT_SF_DIR=... SPARK_GRAFT_CPUS=32 \
+  *   sbt "runMain graft.PlanDump /root/repo/plans/r21 before [q_name ...]"
+  */
+object PlanDump {
+  def main(args: Array[String]): Unit = {
+    val outDir = if (args.nonEmpty) args(0) else "/root/repo/plans/r21"
+    val suffix = if (args.length > 1) args(1) else "before"
+    val only: Set[String] = args.drop(2).toSet
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
+    val picked = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.isEmpty || only(n) }
+    picked.foreach { case (name, fn) =>
+      try {
+        val df = fn(spark, sfDir)
+        // ExplainMode "formatted" — same text explain("formatted") prints
+        val txt = df.queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(outDir, s"${name}_$suffix.txt"),
+          txt.getBytes("UTF-8"))
+        println(s"[plandump] $name ok (${txt.length} chars)")
+      } catch { case e: Throwable =>
+        println(s"[plandump] $name ERROR ${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(120)}")
+      }
+    }
+    spark.stop()
+  }
+}

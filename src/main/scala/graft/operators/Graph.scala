@@ -210,7 +210,17 @@ object Graph {
       .select(col("doc_id").as("src"),
         when(col("doc_id") === col("rep"), lit(gmin)).otherwise(col("rep")).as("dst"))
       .localCheckpoint()
+    // r21 (optimization round; guide §3.3): materialize the node list
+    // once — it is consumed 4× (the rank seed plus one left join per
+    // iteration), and without the checkpoint each consumer re-plans
+    // and re-scans the parquet table. (A repartition-by-id before the
+    // checkpoint was tried and reverted: under AQE a checkpointed
+    // Dataset reports UnknownPartitioning — AdaptiveSparkPlanExec hides
+    // the final partitioning at plan-capture time — so the keyed
+    // exchange bought nothing and cost one extra shuffle; measured in
+    // OPTIMIZATION_r21.md.)
     val ids = docs.select(col("doc_id").as("id"))
+      .localCheckpoint()
     val base = 0.15 / n // one IEEE double division, identical in the oracle
     var ranks = ids.withColumn("r", lit(1.0 / n).cast(d28))
     for (_ <- 1 to 3) {
@@ -320,23 +330,41 @@ object Graph {
     * (l_orderkey, l_partkey) co-occurrence frame.
     */
   private[graft] def labelPropImpl(li: DataFrame): DataFrame = {
-    // checkpoint: e0 is consumed twice by the symmetric union below —
-    // materialize the self-join + distinct once instead of replaying it
-    val e0 = li.as("a").join(li.as("b"), Seq("l_orderkey"))
-      .where(col("a.l_partkey") < col("b.l_partkey"))
-      .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
-      .distinct()
-      .localCheckpoint()
-    val e = e0.select(col("u").as("src"), col("v").as("dst"))
-      .unionAll(e0.select(col("v").as("src"), col("u").as("dst")))
+    // r21 (optimization round; guide §2.4): build the symmetric
+    // directed edge list in ONE pass — the a≠b self-join emits both
+    // orientations of every co-purchase pair directly, so the old
+    // shape's (a<b self-join → distinct → checkpoint → union of two
+    // checkpoint reads → second checkpoint) collapses to one join +
+    // one checkpoint. The edge DEDUP is dropped outright: the only
+    // per-round consumer is min(lbl), which is duplicate-insensitive,
+    // and the node list below deduplicates src itself — so duplicate
+    // edges cannot change any label, only re-send a message. Measured
+    // duplication on this graph is 1.0005× (480,636 raw vs 480,382
+    // unique directed pairs at sf0.1), so the old distinct paid a full
+    // exchange + two hash-agg passes to remove 0.05% of rows; on a
+    // corpus where co-occurring pairs repeat heavily a dedup would pay
+    // for itself — revisit if the pair-duplication factor grows.
+    // Same label RESULT as the deduped form: min over a multiset
+    // equals min over its support set.
+    val e = li.as("a").join(li.as("b"), Seq("l_orderkey"))
+      .where(col("a.l_partkey") =!= col("b.l_partkey"))
+      .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
       .localCheckpoint()
     var lab = e.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("lbl"))
-    for (_ <- 1 to 2) {
+    for (round <- 1 to 2) {
       val msgs = e.join(lab.withColumnRenamed("id", "src"), "src")
         .groupBy(col("dst").as("id")).agg(min(col("lbl")).as("ml"))
       lab = lab.join(msgs, "id")
         .select(col("id"), least(col("lbl"), col("ml")).as("lbl"))
+      // truncate lineage between rounds (guide §3.3): round K's lab is
+      // referenced TWICE by round K+1 (message join + label join), so
+      // without materialization round 1's whole subtree is planned and
+      // EXECUTED twice inside round 2 — the classic iterative-lineage
+      // blowup (2^K subtrees at K rounds). lab is node-sized (≪ edges),
+      // so the checkpoint is cheap; the final round's result is
+      // consumed once and needs no checkpoint.
+      if (round < 2) lab = lab.localCheckpoint()
     }
     lab.groupBy(col("lbl").as("label"))
       .agg(count(lit(1)).as("n_nodes"))

@@ -111,6 +111,25 @@ class GraphSpec extends SparkSpec {
       "repeated co-occurrence rows must dedup to the identical triangle counts")
   }
 
+  test("label propagation is invariant under duplicate edges (r21 dedup-free edge build)") {
+    // r21 dropped the edge-list distinct (one full exchange + two
+    // hash-agg passes) on the argument that every per-round consumer is
+    // min(lbl) — duplicate-insensitive — and the node list dedups src
+    // itself. This pins that argument as a correctness invariant:
+    // replaying every co-purchase row K times (same order keys, so the
+    // SAME pairs repeat, k² copies each) must leave every community
+    // label and size bit-identical.
+    val k = 3
+    val li = graft.sources.Tables.lineitem(spark, sf)
+      .where(pmod(col("l_orderkey"), lit(5)) === 0)
+      .select(col("l_orderkey"), col("l_partkey"))
+    val duplicated = li.withColumn("rep", explode(expr(s"sequence(1, $k)"))).drop("rep")
+    val base = Graph.labelPropImpl(li).collect().toSeq
+    val got = Graph.labelPropImpl(duplicated).collect().toSeq
+    assert(base.nonEmpty && got == base,
+      "duplicate co-occurrence rows must not change any community label or size")
+  }
+
   test("label propagation on K disjoint clone graphs is the base result ×K") {
     // the rehearsal's linearity claim as a CORRECTNESS invariant: re-keying
     // both sides of the co-purchase row with the same clone index builds K

@@ -659,6 +659,16 @@ object Frontier {
         .select(col("p_brand").as("brand"),
           col("p_retailprice").as("lo"),
           (col("p_retailprice") + col("p_size")).as("hi"))
+    // r21 measured NEGATIVE (same-window A/B, OPTIMIZATION_r21.md): the
+    // plan re-scans part.parquet 7× (each rank-count term reads its
+    // point side 3× and probe side once, with different projections),
+    // and localCheckpoint'ing the two brand sides collapses that to 2
+    // materializations — but measured 2.6-3.1 s vs 2.0-2.5 s steady at
+    // sf0.1: the eager checkpoint jobs + row-format re-reads cost more
+    // than 7 pushed-down columnar scans of a small file (the same
+    // verdict as basket_lift's r6 checkpoint A/B). At 100 TB the
+    // trade flips only if the brand slices stay small while the table
+    // grows — then materialize the `side()` frames once.
     val a = side(partA, "Brand#1")
     val b = side(partB, "Brand#2")
 

@@ -228,7 +228,16 @@ object NearDup {
     // The explicit repartition on the join key materializes the index
     // exchange ONCE; the self-join's two sides then reuse it instead of
     // re-shingling the corpus per side.
-    val sigUdf = udf((text: String) => shingleHashes(text))
+    // asNondeterministic is an OPTIMIZER FENCE, not a semantics claim —
+    // shingleHashes is a pure function. Without it the explode's
+    // implicit guards (size(arr)>0, isnotnull(arr)) and the join-key
+    // null filters are pushed BELOW this projection and re-evaluate
+    // the UDF in the Filter, so every document was shingled twice per
+    // row (guide §4.4; plan showed 3 UDF calls in the pushed Filter +
+    // 1 in the Project). Fenced, the filter stays above the single
+    // evaluation. Results are unchanged: the fence only stops the
+    // optimizer from duplicating/reordering the call.
+    val sigUdf = udf((text: String) => shingleHashes(text)).asNondeterministic()
     val sh = Tables.documents(s, dir)
       .where(col("text").isNotNull) // NPE guard — see dedupMinhash
       .withColumn("arr", sigUdf(col("text")))

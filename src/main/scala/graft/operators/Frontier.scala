@@ -635,6 +635,7 @@ object Frontier {
     * counts grow ×K (each clone meets the same partners).
     */
   private[graft] def intervalOverlapImpl(partA: DataFrame, partB: DataFrame): DataFrame = {
+    graft.functions.BoundsExprs.register(partA.sparkSession)
     val nq = 64 // quantile buckets; raise with data volume (window partitions are ~|points|/nq)
     def side(src: DataFrame, prefix: String): DataFrame =
       src
@@ -680,9 +681,17 @@ object Frontier {
       val qs = (1 until nq).map(i => i.toDouble / nq).mkString("array(", ", ", ")")
       val bounds = points.groupBy(col("g"))
         .agg(expr(s"percentile_approx(v, $qs, 100)").as("bs"))
-      def bucket(v: Column): Column = size(filter(col("bs"), e => v > e))
+      // r21: binary search (codegen LowerBoundCount) instead of the
+      // interpreted HOF `size(filter(bs, e -> v > e))` — O(log nq)
+      // compares with no per-row array allocation vs O(nq) lambda
+      // evals outside codegen. Sound because percentile_approx bounds
+      // are non-decreasing; equivalence on the full edge domain
+      // (duplicate bounds, probe==bound, NaN, ±Inf, empty) is pinned
+      // by BoundsExprSpec. Any monotone bucket assignment is
+      // correctness-neutral here — only balance changes.
+      def bucket(v: String): Column = expr(s"lb_count(bs, $v)")
       val pts = points.join(broadcast(bounds), "g")
-        .select(col("g"), bucket(col("v")).as("bucket"), col("v"),
+        .select(col("g"), bucket("v").as("bucket"), col("v"),
           lit(1L).as("is_pt"), lit(null).cast("string").as("brand_a"))
       // fan each probe out once per B-brand: ONE collected bounds row
       // (≤ brand-count structs) rides a 1-row broadcast + explode —
@@ -692,7 +701,7 @@ object Frontier {
         .select(col("brand_a"), col("x"), explode(col("gb")).as("g_bs"))
         .select(col("g_bs.g").as("g"), col("g_bs").getField("bs").as("bs"),
           col("x"), col("brand_a"))
-        .select(col("g"), bucket(col("x")).as("bucket"), col("x").as("v"),
+        .select(col("g"), bucket("x").as("bucket"), col("x").as("v"),
           lit(0L).as("is_pt"), col("brand_a"))
       // whole buckets strictly before the probe's: tiny per-(g, bucket)
       // prefix table over the FULL 0..nq-1 domain (a probe can land in

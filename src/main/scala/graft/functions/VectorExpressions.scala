@@ -96,9 +96,95 @@ case class FloatDotProduct(left: Expression, right: Expression)
   override def prettyName: String = "float_dot"
 }
 
-/** Registration for SQL-expression use (`expr("float_dot(a, b)")`). */
+/** Codegen'd dot product of an array<float> against an array<double>
+  * — the mixed-type sibling of [[FloatDotProduct]] for projections
+  * onto double-precision hyperplanes (q_sim_ann_lsh's signature bits,
+  * where casting the planes to float would CHANGE the arithmetic and
+  * break the exact-IEEE oracle replay).
+  *
+  * Semantics are BIT-IDENTICAL to the HOF form
+  * `aggregate(zip_with(a, p, (x,y) -> double(x)*y), 0d, +)`: each
+  * float widens to double, products accumulate left-to-right in a
+  * double — the same IEEE sequence; ragged lengths or a null element
+  * yield NULL (zip_with pads with null and `acc + null` poisons the
+  * fold), never a silent partial sum.
+  */
+case class FloatDoubleDotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(FloatType, _), ArrayType(DoubleType, _)) => TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"double_dot requires (array<float>, array<double>) arguments, got " +
+        s"${l.simpleString} and ${r.simpleString}")
+  }
+
+  override def dataType: DataType = DoubleType
+
+  // result can be null even for non-null inputs (ragged / null slots)
+  override def nullable: Boolean = true
+
+  private lazy val elementsNullable: Boolean = Seq(left, right).exists(_.dataType match {
+    case ArrayType(_, containsNull) => containsNull
+    case _ => false
+  })
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements()) return null
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (elementsNullable && (x.isNullAt(i) || y.isNullAt(i))) return null
+      acc += x.getFloat(i).toDouble * y.getDouble(i)
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val nullCheck =
+        if (elementsNullable)
+          s"if ($x.isNullAt($i) || $y.isNullAt($i)) { ${ev.isNull} = true; break; }"
+        else ""
+      s"""
+         |int $n = $x.numElements();
+         |if ($n != $y.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $nullCheck
+         |    $acc += (double) $x.getFloat($i) * $y.getDouble($i);
+         |  }
+         |  if (!${ev.isNull}) {
+         |    ${ev.value} = $acc;
+         |  }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "double_dot"
+}
+
+/** Registration for SQL-expression use (`expr("float_dot(a, b)")`,
+  * `expr("double_dot(a, p)")`).
+  */
 object VectorExprs {
-  def register(s: SparkSession): Unit =
+  def register(s: SparkSession): Unit = {
     s.sessionState.functionRegistry.createOrReplaceTempFunction(
       "float_dot", exprs => FloatDotProduct(exprs(0), exprs(1)), "built-in")
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "double_dot", exprs => FloatDoubleDotProduct(exprs(0), exprs(1)), "built-in")
+  }
 }

@@ -236,11 +236,21 @@ object SimilarityOps {
       h.toDouble / 2147483648.0 - 1.0
     }
     val emb = Tables.embeddings(s, dir).withColumn("planes", typedlit(planes))
-    val withSig = emb.withColumn("bucket", expr(
-      """aggregate(transform(planes, p ->
-        |  CASE WHEN aggregate(zip_with(embedding, p, (x, y) -> CAST(x AS DOUBLE) * y),
-        |                      CAST(0 AS DOUBLE), (acc, v) -> acc + v) >= 0 THEN 1 ELSE 0 END),
-        |  0, (acc, bit) -> acc * 2 + bit)""".stripMargin))
+    // r21 (guide §4): the signature fold used to be a doubly-nested
+    // interpreted HOF — transform over 8 planes, each running an
+    // aggregate(zip_with(...)) dot = 512 lambda invocations per row
+    // outside whole-stage codegen. Unrolled to 8 codegen double_dot
+    // calls (planes[j] constant-folds to a literal array) combined by
+    // plain integer arithmetic — bit-identical by construction: the
+    // fold `acc*2+bit` over j=0..7 IS Σ bit_j·2^(7-j), each dot is the
+    // same left-to-right IEEE accumulation (VectorExprSpec pins it,
+    // ragged/null/NaN included), and a NULL dot CASE/when's to bit 0
+    // in both forms. The oracle replays the identical fold in SQL.
+    val withSig = emb.withColumn("bucket",
+      (0 until planes.length).foldLeft(lit(0)) { (acc, j) =>
+        acc * lit(2) +
+          when(expr(s"double_dot(embedding, planes[$j]) >= 0"), lit(1)).otherwise(lit(0))
+      })
     // same missing-query-vector contract as simTopK: empty result,
     // same shape, no driver head-of-empty crash
     val qrow = withSig

@@ -105,4 +105,124 @@ class VectorExprSpec extends SparkSpec {
       spark.conf.set("spark.sql.codegen.factoryMode", prior._2)
     }
   }
+
+  // --- double_dot: the mixed float×double sibling (q_sim_ann_lsh's
+  // signature projection). Same bit-identity claim against the HOF it
+  // replaced, same hostile classes, plus the exact LSH plane values.
+
+  private val mixedSchema = StructType(Seq(
+    StructField("id", IntegerType, nullable = false),
+    StructField("a", ArrayType(FloatType, containsNull = true), nullable = true),
+    StructField("p", ArrayType(DoubleType, containsNull = true), nullable = true)))
+
+  private def mixedRows: Seq[Row] = {
+    val rng = new scala.util.Random(20260818L)
+    def fvec(n: Int): Seq[java.lang.Float] = Seq.fill(n)(
+      java.lang.Float.valueOf(rng.nextFloat() * 100f - 50f))
+    // the production plane values: k/2^31 - 1 exact dyadic rationals
+    def pvec(n: Int): Seq[java.lang.Double] = Seq.fill(n) {
+      val h = (2654435761L * (rng.nextInt(1 << 20) + 1)) & 0xffffffffL
+      java.lang.Double.valueOf(h.toDouble / 2147483648.0 - 1.0)
+    }
+    val random = (0 until 200).map { i =>
+      val n = rng.nextInt(12)
+      val a0 = fvec(n)
+      val a = if (rng.nextInt(5) == 0 && a0.nonEmpty)
+        a0.updated(rng.nextInt(a0.length), null.asInstanceOf[java.lang.Float])
+      else a0
+      val p = if (rng.nextInt(4) == 0) pvec(n + 1 + rng.nextInt(3)) else pvec(n)
+      Row(i, a, p)
+    }
+    val edges = Seq(
+      Row(1000, Seq.empty[java.lang.Float], Seq.empty[java.lang.Double]), // 0.0, not null
+      Row(1001, null, pvec(3)),
+      Row(1002, fvec(3), null),
+      Row(1003, Seq[java.lang.Float](Float.NaN, 1f), pvec(2)),            // NaN propagates
+      Row(1004, Seq[java.lang.Float](Float.PositiveInfinity), Seq[java.lang.Double](0.0)), // Inf*0 = NaN
+      Row(1005, Seq.empty[java.lang.Float], pvec(2)))                     // ragged via empty
+    random ++ edges
+  }
+
+  private def bothMixedForms(): Map[Int, (Option[Long], Option[Long])] = {
+    graft.functions.VectorExprs.register(spark)
+    val df = spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters.SeqHasAsJava(mixedRows).asJava),
+      mixedSchema)
+    val out = df.select(col("id"),
+      expr("double_dot(a, p)").as("fast"),
+      expr("aggregate(zip_with(a, p, (x, y) -> CAST(x AS DOUBLE) * y), " +
+        "CAST(0 AS DOUBLE), (acc, v) -> acc + v)").as("ref"))
+      .collect()
+    out.map { r =>
+      def bits(i: Int): Option[Long] =
+        if (r.isNullAt(i)) None
+        else Some(java.lang.Double.doubleToLongBits(r.getDouble(i)))
+      r.getInt(0) -> (bits(1), bits(2))
+    }.toMap
+  }
+
+  test("double_dot == HOF reference on adversarial inputs (codegen path)") {
+    val m = bothMixedForms()
+    assert(m.nonEmpty)
+    val bad = m.collect { case (id, (f, ref)) if f != ref => (id, f, ref) }
+    assert(bad.isEmpty, s"double_dot diverged from the HOF reference: $bad")
+    assert(m(1000) == (Some(java.lang.Double.doubleToLongBits(0.0)),
+      Some(java.lang.Double.doubleToLongBits(0.0))), "empty×empty must be 0.0, not null")
+    assert(m(1001)._1.isEmpty && m(1002)._1.isEmpty && m(1005)._1.isEmpty,
+      "null array and ragged must yield NULL")
+    assert(m(1004)._1.contains(java.lang.Double.doubleToLongBits(Double.NaN)),
+      "Inf×0 must be NaN")
+  }
+
+  test("double_dot == HOF reference with codegen disabled (interpreted eval path)") {
+    val prior = (spark.conf.get("spark.sql.codegen.wholeStage", "true"),
+      spark.conf.get("spark.sql.codegen.factoryMode", "FALLBACK"))
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try {
+      val m = bothMixedForms()
+      val bad = m.collect { case (id, (f, ref)) if f != ref => (id, f, ref) }
+      assert(bad.isEmpty, s"interpreted double_dot diverged: $bad")
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", prior._1)
+      spark.conf.set("spark.sql.codegen.factoryMode", prior._2)
+    }
+  }
+
+  test("unrolled LSH signature == the nested-HOF fold it replaced, bit for bit") {
+    graft.functions.VectorExprs.register(spark)
+    // the production planes, verbatim (SimilarityOps.simAnnLsh)
+    val planes: Array[Array[Double]] = Array.tabulate(8, 64) { (j, d) =>
+      val h = (2654435761L * (j * 64 + d + 1)) & 0xffffffffL
+      h.toDouble / 2147483648.0 - 1.0
+    }
+    val rng = new scala.util.Random(20260819L)
+    def fvec(n: Int): Seq[java.lang.Float] = Seq.fill(n)(
+      java.lang.Float.valueOf(rng.nextFloat() * 2f - 1f))
+    val rows: Seq[Row] = (0 until 100).map { i =>
+      val a = rng.nextInt(10) match {
+        case 0 => fvec(64).updated(rng.nextInt(64), null.asInstanceOf[java.lang.Float]) // null slot
+        case 1 => fvec(rng.nextInt(64))                                                 // ragged
+        case 2 => fvec(64).updated(rng.nextInt(64), java.lang.Float.valueOf(Float.NaN)) // NaN slot
+        case _ => fvec(64)
+      }
+      Row(i, a, null)
+    }
+    val df = spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+      mixedSchema).withColumn("planes", typedlit(planes))
+    val unrolled = (0 until planes.length).foldLeft(lit(0)) { (acc, j) =>
+      acc * lit(2) +
+        when(expr(s"double_dot(a, planes[$j]) >= 0"), lit(1)).otherwise(lit(0))
+    }
+    val hof = expr(
+      """aggregate(transform(planes, p ->
+        |  CASE WHEN aggregate(zip_with(a, p, (x, y) -> CAST(x AS DOUBLE) * y),
+        |                      CAST(0 AS DOUBLE), (acc, v) -> acc + v) >= 0 THEN 1 ELSE 0 END),
+        |  0, (acc, bit) -> acc * 2 + bit)""".stripMargin)
+    val bad = df.select(col("id"), unrolled.as("fast"), hof.as("ref"))
+      .where(col("fast") =!= col("ref") || col("fast").isNull =!= col("ref").isNull)
+      .collect()
+    assert(bad.isEmpty, s"unrolled signature diverged: ${bad.mkString(", ")}")
+  }
 }

@@ -89,7 +89,16 @@ object Frontier {
   def collocations(s: SparkSession, dir: String): DataFrame = {
     graft.functions.BigramGenerator.register(s)
     val docs = Tables.documents(s, dir)
-      .select(expr("filter(split(text, ' '), t -> t != '')").as("ts"))
+      // r22 (guide §4): array_remove(arr, '') ≡ filter(arr, t -> t != '')
+      // when the array has no null elements (split never yields any) —
+      // same elements, same order — but ArrayRemove is a codegen
+      // expression while the lambda runs through interpreted Invoke per
+      // token, outside whole-stage codegen, and the explode's inferred
+      // size()>0 guard duplicated that lambda into the Filter below the
+      // Project (plans/r22/q_text_collocations_before.txt: 8 lambda
+      // evaluations per plan). Tokenization is the per-byte hot loop of
+      // every corpus pass, so it must stay inside codegen.
+      .select(expr("array_remove(split(text, ' '), '')").as("ts"))
     val uni = docs.select(explode(col("ts")).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("ucnt"))
     val utot = uni.agg(sum(col("ucnt")).cast("double").as("t"))
@@ -336,7 +345,9 @@ object Frontier {
     */
   def aggEntropy(s: SparkSession, dir: String): DataFrame = {
     val toks = Tables.documents(s, dir)
-      .select(col("lang"), explode(expr("filter(split(text, ' '), t -> t != '')")).as("tok"))
+      // r22: codegen tokenizer — see collocations' note (array_remove ≡
+      // the t != '' lambda on null-free split output, inside codegen)
+      .select(col("lang"), explode(expr("array_remove(split(text, ' '), '')")).as("tok"))
     val cnt = toks.groupBy(col("lang"), col("tok")).agg(count(lit(1)).as("cnt"))
     val tot = cnt.groupBy(col("lang"))
       .agg(sum(col("cnt")).as("n_tokens"), count(lit(1)).as("n_types"))

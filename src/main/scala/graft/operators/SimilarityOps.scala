@@ -372,22 +372,35 @@ object SimilarityOps {
     * SimilaritySpec checks recall@10 against the exact ranking.
     */
   def simQuantized(s: SparkSession, dir: String): DataFrame = {
+    // r22 (guide §4; the r21 roadmap's item 1b): the three interpreted
+    // HOFs on this hot path (amax scan, int8 encode, integer dot) are
+    // replaced by the codegen trio in functions/QuantExpressions.scala
+    // — bit-identical semantics pinned by QuantExprSpec on both eval
+    // paths, incl. ANSI's LOUD integer overflow (Math.*Exact, never a
+    // silent wrap) and array_max's null-skip/NaN-above ordering. The
+    // optimizer had also DUPLICATED the amax HOF below the pushed
+    // amax>0 filter (the §4.4 pattern), so each row paid the 64-lambda
+    // scan twice; the codegen form keeps the duplication cheap and the
+    // whole quantize/dot pipeline inside whole-stage codegen.
+    graft.functions.QuantExprs.register(s)
     val q = Tables.embeddings(s, dir)
-      .withColumn("amax", expr("array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE))))"))
+      .withColumn("amax", expr("abs_max(embedding)"))
       // amax > 0 alone does NOT exclude a NaN component (Spark orders
-      // NaN above every value, so NaN > 0 is TRUE) and the BIGINT cast
-      // below then kills the job under ANSI; the upper bound rejects
-      // NaN and +Inf the same way cosOrNull's magnitude guard does
+      // NaN above every value, so NaN > 0 is TRUE); without the upper
+      // bound a NaN amax would SILENTLY encode every code to 0
+      // (floor(double) saturates NaN→0 — measured r22; the old claim
+      // that ANSI kills the job here was wrong, floor's own double→
+      // BIGINT conversion never throws). The bound rejects NaN and
+      // +Inf the same way cosOrNull's magnitude guard does.
       .where(col("amax") > 0 && col("amax") <= lit(Double.MaxValue))
-      .withColumn("qv", expr(
-        "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 127.0D / amax + 0.5D) AS BIGINT))"))
+      // guarded by amax > 0 above: sq8_quantize never sees a null amax
+      .withColumn("qv", expr("sq8_quantize(embedding, amax)"))
       .select(col("vec_id"), col("label"), col("amax"), col("qv"))
     val probe = q.where(col("vec_id") === 0)
       .select(col("amax").as("pmax"), col("qv").as("pq"))
     q.where(col("vec_id") =!= 0)
       .crossJoin(broadcast(probe))
-      .withColumn("qdot",
-        expr("aggregate(zip_with(qv, pq, (a, b) -> a * b), 0L, (acc, x) -> acc + x)"))
+      .withColumn("qdot", expr("long_dot(qv, pq)"))
       .withColumn("score_d",
         (col("amax") / lit(127.0)) * (col("pmax") / lit(127.0)) * col("qdot").cast("double"))
       // try_cast, not cast (r19): SQ8 scores are DOT products, not

@@ -276,7 +276,14 @@ object TextOps {
       .groupBy(col("text"))
       .agg(min(col("lang")).as("lang"))
     kept
-      .where(expr(s"size(filter(split(text, ' '), t -> t IN ${sqlList(stopEn)})) > 0"))
+      // r22 (guide §4): arrays_overlap ≡ size(filter(arr, t IN list)) > 0
+      // row-for-row here — the existence test needs no token counts, split
+      // output carries no null elements (so the overlap never hits its
+      // null-ambiguity branch), and NULL text maps to NULL → filtered on
+      // both forms. ArraysOverlap is codegen; the IN-lambda ran through
+      // interpreted Invoke per token in the SCAN filter (the n_chars
+      // pushdown put this predicate on every surviving row).
+      .where(expr(s"arrays_overlap(split(text, ' '), array${sqlList(stopEn)})"))
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"),
         (sum(length(col("text"))).cast("double") / count(lit(1))).as("avg_len"))

@@ -8,32 +8,10 @@ object Bench {
     RunLock.acquire("bench")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
-      // r21 (optimization round; guide §3.1/§9): allow the planner to pick
-      // a shuffled hash join where its size conditions hold instead of
-      // always preferring sort-merge — skips both sides' sorts; the
-      // hint-pinned SMJ demos (q_join_sortmerge/bucketed) are unaffected.
-      // Env-parameterized so the local default is A/B-able in one window
-      // and a deployment can revert to sort-merge-only under memory
-      // pressure (OPTIMIZATION_r21.md records the measurement).
-      .config("spark.sql.join.preferSortMergeJoin",
-        sys.env.getOrElse("SPARK_GRAFT_PREFER_SMJ", "false"))
-      // r21: companion AQE knob — convert a planned sort-merge join to a
-      // shuffled hash join at RUNTIME when every post-shuffle partition
-      // of the build side is under this size (default 0 = off upstream).
-      // This reaches the joins the plan-time preference cannot: inputs
-      // with unknown stats (localCheckpoint'd RDDs in the iterative
-      // graph/cluster operators) get real sizes only after the shuffle.
-      // Bounded per-partition, so the hash map is memory-safe by
-      // construction; same-window A/B in OPTIMIZATION_r21.md.
-      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
-        sys.env.getOrElse("SPARK_GRAFT_SHJ_LOCAL", "64m"))
-      .config("spark.sql.session.timeZone", "UTC") // events NTZ→TZ cast must be instant-preserving
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // shared conf block (r22, ADVICE r21): join/AQE/timezone settings
+    // live in GraftSession so Bench, Verify, Scratch and PlanDump can
+    // never drift apart — Verify must certify the plans Bench runs
+    val spark = GraftSession.builder(cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // fixture-drift tripwire (see Fixtures.report): diagnose input
     // drift up front — a drifted column otherwise shows up here only
@@ -212,6 +190,21 @@ object Bench {
             l.split("\\s+")(1).toLong / 1024 }.getOrElse(-1L)
         finally src.close() // one open fd per query otherwise (168/run)
       } catch { case _: Throwable => -1L }
+    // Host co-load tripwire (r22): the r21 driver window produced a
+    // 246.8s c32 total whose own c8 rerun was FASTER per query (tpch_q15
+    // 19.2s at 32 cores vs ~1.2s at 8) — the signature of ANOTHER
+    // process competing for the cores, which per-query gc+/jit+ cannot
+    // show (they only see this JVM). The 1-minute loadavg names it from
+    // the log alone: load far above this JVM's own demand while a query
+    // runs = contaminated window, re-measure; load ≈ cpus = clean. One
+    // /proc line per query, same cost class as cachedMb.
+    def loadAvg(): String =
+      try {
+        val src = scala.io.Source.fromFile("/proc/loadavg")
+        try src.getLines().next().split("\\s+")(0) finally src.close()
+      } catch { case _: Throwable => "-1" }
+    System.err.println(s"[bench] host cpus=$cpus load=${loadAvg()} " +
+      s"(a near-idle host loads well under $cpus; sustained excess = co-running work)")
     val failed = scala.collection.mutable.Set[String]()
     def timeOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
                 tag: String): Double = {
@@ -244,7 +237,8 @@ object Bench {
         f"jit+${jitMs() - jit0}ms " +
         f"heap=${(rt.totalMemory - rt.freeMemory) / 1048576}/${rt.maxMemory / 1048576}MB " +
         f"code=$codeUsed/${codeMax}MB " +
-        f"cached=${cachedMb()}MB")
+        f"cached=${cachedMb()}MB " +
+        f"load=${loadAvg()}")
       // Release storage the finished query left behind (localCheckpoint
       // blocks from the graph/clustering/PQ iterative queries persist
       // until their RDDs are GC'd): 168 queries share one JVM here, so

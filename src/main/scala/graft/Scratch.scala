@@ -5,31 +5,10 @@ import org.apache.spark.sql.SparkSession
 object Scratch {
   def main(a: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val s = SparkSession.builder().master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      // r21 (optimization round; guide §3.1/§9): allow the planner to pick
-      // a shuffled hash join where its size conditions hold instead of
-      // always preferring sort-merge — skips both sides' sorts; the
-      // hint-pinned SMJ demos (q_join_sortmerge/bucketed) are unaffected.
-      // Env-parameterized so the local default is A/B-able in one window
-      // and a deployment can revert to sort-merge-only under memory
-      // pressure (OPTIMIZATION_r21.md records the measurement).
-      .config("spark.sql.join.preferSortMergeJoin",
-        sys.env.getOrElse("SPARK_GRAFT_PREFER_SMJ", "false"))
-      // r21: companion AQE knob — convert a planned sort-merge join to a
-      // shuffled hash join at RUNTIME when every post-shuffle partition
-      // of the build side is under this size (default 0 = off upstream).
-      // This reaches the joins the plan-time preference cannot: inputs
-      // with unknown stats (localCheckpoint'd RDDs in the iterative
-      // graph/cluster operators) get real sizes only after the shuffle.
-      // Bounded per-partition, so the hash map is memory-safe by
-      // construction; same-window A/B in OPTIMIZATION_r21.md.
-      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
-        sys.env.getOrElse("SPARK_GRAFT_SHJ_LOCAL", "64m"))
-      .config("spark.sql.session.timeZone", "UTC") // match Bench/Verify: events NTZ cast is TZ-sensitive
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // shared conf block (r22, ADVICE r21): a Scratch steady-state
+    // number is only comparable to a Bench slot if both sessions run
+    // the same confs — GraftSession keeps them atomic
+    val s = GraftSession.builder(cpus).getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     s.range(1000000L).selectExpr("sum(id)").collect()

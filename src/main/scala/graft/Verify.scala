@@ -39,31 +39,11 @@ object Verify {
     // pair contaminated both totals in r12.
     RunLock.acquire("verify")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      // r21 (optimization round; guide §3.1/§9): allow the planner to pick
-      // a shuffled hash join where its size conditions hold instead of
-      // always preferring sort-merge — skips both sides' sorts; the
-      // hint-pinned SMJ demos (q_join_sortmerge/bucketed) are unaffected.
-      // Env-parameterized so the local default is A/B-able in one window
-      // and a deployment can revert to sort-merge-only under memory
-      // pressure (OPTIMIZATION_r21.md records the measurement).
-      .config("spark.sql.join.preferSortMergeJoin",
-        sys.env.getOrElse("SPARK_GRAFT_PREFER_SMJ", "false"))
-      // r21: companion AQE knob — convert a planned sort-merge join to a
-      // shuffled hash join at RUNTIME when every post-shuffle partition
-      // of the build side is under this size (default 0 = off upstream).
-      // This reaches the joins the plan-time preference cannot: inputs
-      // with unknown stats (localCheckpoint'd RDDs in the iterative
-      // graph/cluster operators) get real sizes only after the shuffle.
-      // Bounded per-partition, so the hash map is memory-safe by
-      // construction; same-window A/B in OPTIMIZATION_r21.md.
-      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
-        sys.env.getOrElse("SPARK_GRAFT_SHJ_LOCAL", "64m"))
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // shared conf block (r22, ADVICE r21): Verify had drifted from the
+    // other mains (no explicit AQE line — correct only by upstream
+    // default); GraftSession makes the bench/verify confs atomic, so
+    // the plans this run certifies are the plans Bench times
+    val spark = GraftSession.builder(cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // fixture-drift tripwire: name any unhandled input encoding ONCE,
     // up front, instead of letting it surface as N scattered per-query

@@ -59,6 +59,12 @@ case class LowerBoundCount(left: Expression, right: Expression)
     * nanSafeCompareDoubles is private[spark], so restated): NaN sorts
     * above everything incl. +Inf and equals itself; -0.0 == 0.0 via
     * the primitive compare on the both-non-NaN branch.
+    *
+    * DUAL-PATH WARNING (ADVICE r21): this comparator is restated a
+    * second time as Java source in doGenCode below — any edit here
+    * MUST be mirrored there, and BoundsExprSpec's codegen+interpreted
+    * equivalence tests are the tripwire that catches a one-sided edit
+    * (they already caught the Java-primitive NaN divergence once).
     */
   @inline private def sqlLt(e: Double, v: Double): Boolean =
     if (java.lang.Double.isNaN(e)) false
@@ -89,6 +95,8 @@ case class LowerBoundCount(left: Expression, right: Expression)
          |  int $mid = ($lo + $hi) >>> 1;
          |  double $e = $bs.getDouble($mid);
          |  // e < v in Spark SQL's order: NaN above everything, NaN == NaN
+         |  // — the Java restatement of sqlLt above; edit BOTH or
+         |  // BoundsExprSpec's dual-path tests go red (ADVICE r21)
          |  if (!Double.isNaN($e) && (Double.isNaN($v) || $e < $v)) {
          |    $lo = $mid + 1;
          |  } else {

@@ -222,20 +222,36 @@ object Frontier {
     * q_agg_sketch_quantile.
     */
   def anomalyMad(s: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(s, dir)
+    // r22 (guide §2.4): fused-window form. The previous shape computed
+    // each median in its own subtree and broadcast-joined it back, so
+    // the plan scanned events THREE times (med input, dev for mad, dev
+    // for output) and built two broadcasts; every windowed frame here
+    // partitions on the same event_type key, so the whole query now
+    // runs off ONE scan and ONE exchange (plus the final presentation
+    // sort) — the two per-group sorts (by value, then by dev) remain,
+    // as they must: exact rank statistics are the declared contract.
+    // Value-identical to the join form on EVERY input, oracle-mirrored:
+    //  - med/mad extraction: exactly one row per group has rn = ⌈n/2⌉,
+    //    so max(when(rn = k, v)) over the group IS that order statistic
+    //    (ties in the sort carry equal values, so the k-th VALUE is
+    //    tie-order invariant);
+    //  - the old med/mad joins were INNER on event_type, silently
+    //    dropping null-type rows; the fused form states that drop as an
+    //    explicit filter (the oracle's JOIN ... USING does the same).
+    val byType = Window.partitionBy(col("event_type"))
+    val w1 = byType.orderBy(col("value"))
+    val w2 = byType.orderBy(col("dev"))
+    Tables.events(s, dir)
       .select(col("event_id"), col("event_type"), col("value"))
-    def lowerMedian(df: DataFrame, valueCol: String, out: String): DataFrame = {
-      val w = Window.partitionBy(col("event_type")).orderBy(col(valueCol))
-      df.withColumn("rn", row_number().over(w))
-        .withColumn("n", count(lit(1)).over(Window.partitionBy(col("event_type"))))
-        .where(col("rn") === expr("(n + 1) div 2"))
-        .select(col("event_type"), col(valueCol).as(out))
-    }
-    val med = lowerMedian(ev, "value", "med")
-    val dev = ev.join(broadcast(med), "event_type")
+      .where(col("event_type").isNotNull)
+      .withColumn("rn", row_number().over(w1))
+      .withColumn("n", count(lit(1)).over(byType))
+      .withColumn("med",
+        max(when(col("rn") === expr("(n + 1) div 2"), col("value"))).over(byType))
       .withColumn("dev", abs(col("value") - col("med")))
-    val mad = lowerMedian(dev.select(col("event_type"), col("dev")), "dev", "mad")
-    dev.join(broadcast(mad), "event_type")
+      .withColumn("rn2", row_number().over(w2))
+      .withColumn("mad",
+        max(when(col("rn2") === expr("(n + 1) div 2"), col("dev"))).over(byType))
       .where(col("mad") > 0 && col("dev") > lit(3.0) * col("mad"))
       .select(col("event_id"), col("event_type"), col("value"), col("med"), col("mad"))
       .orderBy("event_id")

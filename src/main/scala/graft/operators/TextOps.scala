@@ -81,8 +81,14 @@ object TextOps {
     * 'en' dominates — the operator shape is what matters.
     */
   def textLangId(s: SparkSession, dir: String): DataFrame = {
+    // r22 (guide §4): in_count ≡ size(filter(toks, t -> t IN list)) —
+    // TextExpressions.scala scaladoc carries the token-by-token
+    // argument, TextExprSpec the adversarial pin. This query ran FOUR
+    // interpreted IN-lambdas over every token of every document; each
+    // is now one codegen hash-probe pass.
+    graft.functions.TextExprs.register(s)
     def ratio(ws: Seq[String]) =
-      s"CAST(size(filter(toks, t -> t IN ${sqlList(ws)})) AS DOUBLE) / size(toks)"
+      s"CAST(in_count(toks, array${sqlList(ws)}) AS DOUBLE) / size(toks)"
     Tables.documents(s, dir)
       .withColumn("toks", split(col("text"), " "))
       .withColumn("s_en", expr(ratio(stopEn)))
@@ -110,14 +116,15 @@ object TextOps {
   /** Quality scoring: token counts (whitespace + BPE-ish regex
     * pieces), average token length, stopword ratio, composite score.
     */
-  def textQuality(s: SparkSession, dir: String): DataFrame =
+  def textQuality(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.TextExprs.register(s) // in_count — see textLangId's note
     Tables.documents(s, dir)
       .withColumn("toks", split(col("text"), " "))
       .withColumn("n_toks", size(col("toks")).cast("int"))
       .withColumn("n_pieces",
         size(regexp_extract_all(col("text"), lit("[^aeiou ]+[aeiou]*|[aeiou]+"), lit(0))).cast("int"))
       .withColumn("stop_ratio",
-        expr(s"CAST(size(filter(toks, t -> t IN ${sqlList(stopEn)})) AS DOUBLE) / size(toks)"))
+        expr(s"CAST(in_count(toks, array${sqlList(stopEn)}) AS DOUBLE) / size(toks)"))
       .select(
         col("doc_id"), col("n_toks"), col("n_pieces"),
         // DECIMAL(18,4), not (9,4) (r19 presentation-overflow sweep —
@@ -140,6 +147,7 @@ object TextOps {
             + when(col("stop_ratio") > 0, 0.5).otherwise(0.0)).cast("decimal(3,1)")))
           .as("quality"))
       .orderBy("doc_id")
+  }
 
   /** Deterministic document fingerprint: left-fold rolling hash over
     * token features, mod a prime — portable integer arithmetic only

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, StringType}
@@ -99,9 +99,96 @@ case class InCount(left: Expression, right: Expression)
   override def prettyName: String = "in_count"
 }
 
-/** Registration for SQL-expression use (`expr("in_count(toks, array(...))")`). */
+/** `fp_hash(toks)` ≡
+  * `aggregate(transform(toks, t -> CAST(ascii(t) * 256 + length(t) AS BIGINT)),
+  *            0L, (a, b) -> (a * 131 + b) % 1000000007)`
+  * — q_text_fingerprint's rolling hash, fused into one codegen pass
+  * (r22, guide §4; the HOF pair ran two interpreted lambdas per token
+  * over the full corpus).
+  *
+  * The per-token feature replays Spark's own `ascii`/`length` by
+  * making the SAME calls they make (probed against the 4.1.2
+  * bytecode and pinned empirically in TextExprSpec): ascii = first
+  * CODE POINT via UTF8String→String.codePointAt(0) (ascii('') = 0,
+  * supplementary planes return the full code point), length =
+  * UTF8String.numChars (code points, so an emoji counts 1). The fold
+  * is exact long arithmetic: acc stays in [0, 1e9), b ≤ 0x10FFFF·256
+  * + numChars, so a·131 + b < 1.4e11 — no overflow is reachable and
+  * ANSI's checked ops can never fire (the HOF's CAST is from an INT
+  * product bounded the same way). A null token poisons the fold to
+  * NULL exactly like `acc + null`; the fold never recovers, and the
+  * skipped later per-token features are side-effect-free (ascii
+  * cannot throw), so early-null is unobservable. NULL array → NULL,
+  * empty array → 0 (the fold's zero), both matching the HOF.
+  */
+case class FpHash(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"fp_hash requires array<string>, got ${t.simpleString}")
+  }
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  // a null token yields NULL even for a non-null array
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any): Any = {
+    val arr = a.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      if (arr.isNullAt(i)) return null
+      val t = arr.getUTF8String(i)
+      val nc = t.numChars()
+      val cp = if (nc == 0) 0 else t.toString.codePointAt(0)
+      acc = (acc * 131L + (cp * 256L + nc)) % 1000000007L
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val t = ctx.freshName("t")
+      val nc = ctx.freshName("nc")
+      val cp = ctx.freshName("cp")
+      s"""
+         |int $n = $arr.numElements();
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($arr.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |  org.apache.spark.unsafe.types.UTF8String $t = $arr.getUTF8String($i);
+         |  int $nc = $t.numChars();
+         |  // same calls Spark's ascii() makes — see scaladoc
+         |  int $cp = ($nc == 0) ? 0 : $t.toString().codePointAt(0);
+         |  $acc = ($acc * 131L + ((long) $cp * 256L + (long) $nc)) % 1000000007L;
+         |}
+         |if (!${ev.isNull}) {
+         |  ${ev.value} = $acc;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "fp_hash"
+}
+
+/** Registration for SQL-expression use (`expr("in_count(toks, array(...))")`,
+  * `expr("fp_hash(toks)")`).
+  */
 object TextExprs {
-  def register(s: SparkSession): Unit =
+  def register(s: SparkSession): Unit = {
     s.sessionState.functionRegistry.createOrReplaceTempFunction(
       "in_count", exprs => InCount(exprs(0), exprs(1)), "built-in")
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "fp_hash", exprs => FpHash(exprs(0)), "built-in")
+  }
 }

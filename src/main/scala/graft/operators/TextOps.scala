@@ -153,14 +153,19 @@ object TextOps {
     * token features, mod a prime — portable integer arithmetic only
     * (no engine-specific hash functions).
     */
-  def textFingerprint(s: SparkSession, dir: String): DataFrame =
+  def textFingerprint(s: SparkSession, dir: String): DataFrame = {
+    // r22 (guide §4): fp_hash fuses the per-token feature transform and
+    // the rolling fold — previously two interpreted lambdas per token —
+    // into one codegen pass; ascii/length semantics replayed by making
+    // the same calls Spark's own expressions make (code points, probed
+    // and spec-pinned on unicode/supplementary/empty/null tokens in
+    // TextExprSpec, since the ASCII-only fixture can never exercise
+    // the risky branch through the oracle).
+    graft.functions.TextExprs.register(s)
     Tables.documents(s, dir)
-      .withColumn("vals",
-        expr("transform(split(text, ' '), t -> CAST(ascii(t) * 256 + length(t) AS BIGINT))"))
-      .select(
-        col("doc_id"),
-        expr("aggregate(vals, CAST(0 AS BIGINT), (a, b) -> (a * 131 + b) % 1000000007)").as("fp"))
+      .select(col("doc_id"), expr("fp_hash(split(text, ' '))").as("fp"))
       .orderBy("doc_id")
+  }
 
   /** True table function: document → bigram rows via the custom
     * Catalyst Generator (graft.functions.BigramGenerator — emits rows

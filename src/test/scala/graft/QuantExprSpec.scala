@@ -25,6 +25,17 @@ class QuantExprSpec extends SparkSpec {
     }
   }
 
+  /** CODEGEN_ONLY, so a generated-code compile failure THROWS instead of
+    * silently falling back to the interpreted path — without this, a
+    * doGenCode bug would make the "codegen path" test quietly test the
+    * same interpreted code twice (FALLBACK is the session default).
+    */
+  private def withForcedCodegen[T](body: => T): T = {
+    val prior = spark.conf.get("spark.sql.codegen.factoryMode", "FALLBACK")
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try body finally spark.conf.set("spark.sql.codegen.factoryMode", prior)
+  }
+
   private def mkDf(rows: Seq[Row], schema: StructType) =
     spark.createDataFrame(
       new java.util.ArrayList[Row](scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
@@ -81,7 +92,7 @@ class QuantExprSpec extends SparkSpec {
   }
 
   test("abs_max == array_max(transform(abs)) on adversarial inputs (codegen path)") {
-    val m = absMaxBoth()
+    val m = withForcedCodegen(absMaxBoth())
     val bad = m.collect { case (id, (f, ref)) if f != ref => (id, f, ref) }
     assert(bad.isEmpty, s"abs_max diverged from the HOF reference: $bad")
     assert(m(1000)._1.isEmpty && m(1001)._1.isEmpty && m(1002)._1.isEmpty,
@@ -151,7 +162,7 @@ class QuantExprSpec extends SparkSpec {
   }
 
   test("sq8_quantize == transform-encode HOF on adversarial inputs (codegen path)") {
-    val m = quantBoth()
+    val m = withForcedCodegen(quantBoth())
     val bad = m.collect { case (id, (f, ref)) if f != ref => (id, f, ref) }
     assert(bad.isEmpty, s"sq8_quantize diverged from the HOF reference: $bad")
     assert(m(1000)._1.contains(Seq.empty), "empty array must encode to empty, not NULL")
@@ -238,7 +249,7 @@ class QuantExprSpec extends SparkSpec {
   }
 
   test("long_dot == zip_with/aggregate HOF on adversarial inputs (codegen path)") {
-    val m = longBoth()
+    val m = withForcedCodegen(longBoth())
     val bad = m.collect { case (id, (f, ref)) if f != ref => (id, f, ref) }
     assert(bad.isEmpty, s"long_dot diverged from the HOF reference: $bad")
     assert(m(1000) == (Some(0L), Some(0L)), "empty×empty must be 0, not NULL")

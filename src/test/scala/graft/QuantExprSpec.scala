@@ -142,7 +142,10 @@ class QuantExprSpec extends SparkSpec {
       Row(1002, Seq[java.lang.Float](null, 1f, null), java.lang.Double.valueOf(1.0)),
       Row(1003, Seq[java.lang.Float](-1f, 1f, 0.5f), java.lang.Double.valueOf(1.0)),
       // negative amax: sign flip, still exact
-      Row(1004, Seq[java.lang.Float](2f, -2f), java.lang.Double.valueOf(-1.0)))
+      Row(1004, Seq[java.lang.Float](2f, -2f), java.lang.Double.valueOf(-1.0)),
+      // NaN amax (the caller's guard excludes it, but the equivalence
+      // must still hold): NaN quotient -> floor's saturating NaN -> 0
+      Row(1005, Seq[java.lang.Float](1f, -3f), java.lang.Double.valueOf(Double.NaN)))
     random ++ edges
   }
 
@@ -171,6 +174,8 @@ class QuantExprSpec extends SparkSpec {
       "null elements must stay null; 1f at amax=1 must be exactly 127")
     assert(m(1003)._1.contains(Seq(Some(-127L), Some(127L), Some(64L))),
       "floor(x+0.5) half-up: -127, 127, floor(63.5+0.5)=64")
+    assert(m(1005)._1.contains(Seq(Some(0L), Some(0L))),
+      "NaN amax must saturate every code to 0 via floor's (long) NaN conversion")
   }
 
   test("sq8_quantize == HOF reference with codegen disabled (interpreted eval path)") {
